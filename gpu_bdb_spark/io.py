@@ -1,0 +1,80 @@
+"""Table catalog and IO for the driver's synthetic star schema.
+
+Mirrors the reference's reader layer (reference bdb_tools/readers.py:87-135:
+per-table parquet dirs, explicit `relevant_cols` pruning, small tables
+collapsed to one partition). On Spark, column pruning and predicate pushdown
+are automatic once the plan is declarative; the only policy we keep is the
+small-table/broadcast classification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables provided by the driver (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimensions small enough to always broadcast — the Spark-native analogue
+#: of the reference's SMALL_TABLES / SUPER_SMALL_TABLES single-partition
+#: placement (reference bdb_tools/readers.py:48-72, 129-134).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    hint_broadcast: bool | None = None,
+) -> DataFrame:
+    """Read one synthetic table; optionally project columns and mark for
+    broadcast.
+
+    `columns` mirrors the reference's `relevant_cols` contract
+    (readers.py:108-127) but is optional: Catalyst prunes the parquet scan
+    to the referenced columns regardless; passing it just documents intent.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as epoch-nanos long (see session.TUNED_CONF);
+        # truncate to micros with integer division, matching DuckDB's
+        # nanos→micros truncation.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if columns:
+        df = df.select(*columns)
+    if hint_broadcast or (hint_broadcast is None and name in BROADCAST_TABLES):
+        df = F.broadcast(df)
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register each table as a temp view for spark.sql queries
+    (reference dask-sql entry point: c.create_table, q01_utils.py:43-46)."""
+    for name in names:
+        spark.read.parquet(table_path(sf_dir, name)).createOrReplaceTempView(name)
+
+
+def write_result(df: DataFrame, output_dir: str, file_format: str = "parquet") -> None:
+    """ETL result sink (reference bdb_tools/utils.py:117-147:
+    overwrite qNN-results.parquet/csv)."""
+    writer = df.write.mode("overwrite")
+    if file_format == "csv":
+        writer.option("header", True).csv(output_dir)
+    else:
+        writer.parquet(output_dir)

@@ -1,0 +1,242 @@
+"""Deduplication operators for large-scale corpus curation (extension
+surface required by BASELINE.json beyond the reference's own operators).
+
+Four tiers, all expressed with built-in columnar expressions (no Python
+UDFs), each designed for the 100 TB case:
+
+* exact        — md5-of-normalized-text grouping (one shuffle on the hash).
+* n-gram Jaccard — shingle-set self-join; exact but quadratic in collision
+                   groups; use for verification / small candidate sets.
+* MinHash+LSH  — signature bands → bucket join → verify. The scale path:
+                 cost is O(docs·k) for signatures plus a shuffle on band
+                 keys; only near-duplicates ever meet in a reducer.
+* SimHash      — 64-bit fingerprint; hamming-adjacent buckets. Cheap
+                 screen for templated/boilerplate text.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.functions import tokenize
+from gpu_bdb_spark.operators.text import fingerprint, ngrams
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by content fingerprint; one row per distinct content
+    with the kept (minimum) id and the duplicate count."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """(id, shingles array<string> distinct, n_shingles) per document."""
+    toks = tokenize(text_col)
+    sh = F.array_distinct(ngrams(toks, n))
+    return df.select(
+        F.col(id_col).alias("id"),
+        sh.alias("shingles"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame, threshold: float, id_col: str = "id"
+) -> DataFrame:
+    """Exact n-gram Jaccard over all colliding pairs: explode shingles,
+    self-join on shingle, count intersections, compute
+    |A∩B| / (|A|+|B|−|A∩B|).
+
+    Exact but worst-case quadratic inside a shingle's posting list — at
+    100 TB use `minhash_lsh_pairs` to generate candidates and this only to
+    verify. Returns (id_1, id_2, jaccard) with id_1 < id_2, jaccard
+    rounded to 6 (cross-engine float discipline).
+    """
+    posting = shingled.select(
+        F.col(id_col).alias("id"), F.explode("shingles").alias("shingle")
+    )
+    a = posting.select(F.col("id").alias("id_1"), "shingle")
+    b = posting.select(F.col("id").alias("id_2"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = shingled.select(F.col(id_col).alias("id"), "n_shingles")
+    j = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_1", "n_shingles": "sz1"}), "id_1")
+        .join(sizes.withColumnsRenamed({"id": "id_2", "n_shingles": "sz2"}), "id_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_1", "id_2", "jaccard")
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signatures (id, mh_0..mh_{k-1}) from shingle sets.
+
+    Shape matters for speed: explode the (once-)hashed shingles into a
+    posting list and take the k per-seed minima in ONE hash aggregate —
+    whole-stage-codegen'd, with map-side partial mins. The
+    array-expression formulation (array_min ∘ transform per seed) runs in
+    the interpreted higher-order-function evaluator and was ~10× slower
+    at bench. Docs with empty shingle sets produce no row here.
+    """
+    posting = shingled.select(
+        F.col("id"),
+        F.explode(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        ).alias("h"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return posting.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    shingled: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verified.
+
+    rows = num_hashes // bands hashes per band; a pair becomes a candidate
+    if any band's row-hashes all agree (bucket join on (band, hash)).
+    Candidates are verified with exact Jaccard via `jaccard_pairs` logic on
+    the candidate subset only.
+
+    Scale: signatures are a narrow projection; the bucket join shuffles on
+    band keys so only same-bucket docs co-locate. This is the standard
+    petabyte-corpus dedup layout.
+    """
+    rows = num_hashes // bands
+    # Both sides of the bucket self-join (and the verify joins below) would
+    # re-evaluate the shingle/signature subtree per branch — Spark plans a
+    # self-join as two scans. Persist the two narrow reused intermediates
+    # (the reference persists reused intermediates the same way, ~50 sites,
+    # e.g. q08:156-166).
+    shingled = shingled.persist()
+    signed = minhash_signatures(shingled, num_hashes).persist()
+    # One pass: emit every band's (band, band_hash) from a single projection
+    # and explode — a per-band union would re-evaluate the signature
+    # expressions once per band (observed 16× cost at bench time).
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+            .alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+    buckets = (
+        signed.select(F.col("id"), F.explode(band_structs).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"),
+                F.col("bb.band_hash").alias("band_hash"))
+    )
+    left = buckets.select("band", "band_hash", F.col("id").alias("id_1"))
+    right = buckets.select("band", "band_hash", F.col("id").alias("id_2"))
+    candidates = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    # Cheap signature-estimate prefilter before the exact verify: the
+    # matching-coordinate fraction estimates Jaccard, so pairs far below
+    # the threshold (bucket-collision noise) never touch the wide shingle
+    # arrays. At bench this cut exact verification 213k → ~260 pairs.
+    est_floor = max(0.0, threshold - 0.2)
+    sigarr = signed.select(
+        "id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("sig"))
+    candidates = (
+        candidates
+        .join(sigarr.select(F.col("id").alias("id_1"),
+                            F.col("sig").alias("sig_1")), "id_1")
+        .join(sigarr.select(F.col("id").alias("id_2"),
+                            F.col("sig").alias("sig_2")), "id_2")
+        .withColumn(
+            "est",
+            F.size(F.filter(F.zip_with("sig_1", "sig_2", lambda x, y: x == y),
+                            lambda m: m)).cast("double") / F.lit(num_hashes),
+        )
+        .filter(F.col("est") >= est_floor)
+        .select("id_1", "id_2")
+    )
+    sets = shingled.select("id", "shingles", "n_shingles")
+    verified = (
+        candidates.join(
+            sets.select(F.col("id").alias("id_1"),
+                        F.col("shingles").alias("sh1"),
+                        F.col("n_shingles").alias("sz1")), "id_1")
+        .join(
+            sets.select(F.col("id").alias("id_2"),
+                        F.col("shingles").alias("sh2"),
+                        F.col("n_shingles").alias("sz2")), "id_2")
+        .withColumn("n_inter",
+                    F.size(F.array_intersect("sh1", "sh2")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_1", "id_2", "jaccard")
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document from xxhash64 of each token.
+
+    Bit i of the fingerprint is set when Σ_tokens (±1 by token-hash bit i)
+    is positive. Pure aggregation: explode → 64 conditional sums → bit
+    assembly; one shuffle on the doc id.
+    """
+    t = df.select(F.col(id_col).alias("id"),
+                  F.explode(tokenize(text_col)).alias("token"))
+    h = F.xxhash64("token")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = t.groupBy("id").agg(*aggs)
+    terms = [
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(63)
+    ]
+    terms.append(
+        F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    )
+    sim = reduce(lambda x, y: x + y, terms)
+    return per_doc.select("id", sim.alias("simhash"))

@@ -1,0 +1,124 @@
+"""Text analysis operators (reference bdb_tools/text.py:28-69 review→
+sentence→word pipeline; extended with the LLM-data-pipeline surface:
+token stats, quality scoring, language ID, fingerprinting).
+
+All operators are pure column expressions (split/explode/higher-order
+functions) — JVM-side, codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.functions import tokenize
+
+#: Stopword markers per language for the n-gram/stopword language-ID
+#: heuristic. Deterministic and SQL-expressible on purpose.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "las", "que", "es"),
+    "fr": ("le", "la", "les", "des", "est", "et"),
+    "zh": ("de5", "shi4", "le5", "zai4"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def sentences(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode text into (id, sentence_idx, sentence) rows.
+
+    Port of reference text.py:28-38 (EOL-substitution + split). The
+    reference builds a *global* sentence index via cumsum (q10:70-71) only
+    to use as a join key; (doc_id, sentence_idx) is the scale-correct key —
+    unique, stable, no global coordination.
+    """
+    sent_arr = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.?!]"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(sent_arr).alias("sentence_idx", "sentence"),
+    )
+
+
+def words(df: DataFrame, sentence_col: str = "sentence") -> DataFrame:
+    """Explode sentences into words (reference text.py:58-65)."""
+    return df.withColumn("word", F.explode(tokenize(sentence_col)))
+
+
+def ngrams(tokens: Column, n: int, sep: str = " ") -> Column:
+    """Word n-gram shingles of an array<string> column (built-ins only).
+
+    transform over a 0-based index sequence; returns [] for docs shorter
+    than n tokens.
+    """
+    if n == 1:
+        return tokens
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
+    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                sep, *[F.element_at(tokens, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def marker_count(tokens: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that appear in a marker list (long)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds: tokens (array), n_tokens, n_chars_seen, total_token_len,
+    stopword_cnt — all exact integers."""
+    out = df.withColumn("tokens", tokenize(text_col))
+    return (
+        out.withColumn("n_tokens", F.size("tokens").cast("long"))
+        .withColumn("n_chars_seen", F.length(text_col).cast("long"))
+        .withColumn(
+            "total_token_len",
+            F.aggregate(
+                F.transform("tokens", lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("stopword_cnt", marker_count(F.col("tokens"), STOPWORDS))
+    )
+
+
+def language_id(tokens: Column) -> Column:
+    """Stopword-count argmax language ID with deterministic tiebreak
+    (alphabetical language code wins ties; 'und' when no marker hits)."""
+    counts = {lang: marker_count(tokens, m) for lang, m in sorted(LANG_MARKERS.items())}
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    # fold in reverse-alphabetical order so the alphabetically-first
+    # language wins ties (last When evaluated first in the chain below)
+    for lang in sorted(counts, reverse=True):
+        pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best == 0, F.lit("und")).otherwise(pred)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    strip non-alphanumerics (keep spaces)."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, r" +", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (portable across engines — DuckDB md5 produces the same hex)."""
+    return F.md5(normalize_text(text))

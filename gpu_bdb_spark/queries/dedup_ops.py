@@ -1,0 +1,118 @@
+"""Deduplication operator coverage (extension surface: exact, n-gram
+Jaccard, MinHash+LSH, SimHash — BASELINE.json north star).
+
+Exact and n-gram Jaccard are hash-matched against DuckDB oracles. The
+MinHash/LSH and SimHash variants use engine-internal hashes (xxhash64) that
+no other engine reproduces, so they are registered without oracles — the
+driver records rows-only checks; their *correctness* is covered by unit
+tests against the exact-Jaccard ground truth (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.io import read_table
+from gpu_bdb_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingle_sets,
+    simhash64,
+)
+from gpu_bdb_spark.queries.registry import register
+
+DEDUP_EXACT_ORACLE = r"""
+SELECT
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                          ' +', ' ', 'g'))) AS fp,
+  MIN(doc_id) AS keeper_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", oracle=DEDUP_EXACT_ORACLE,
+          tags=("dedup", "exact"), bench=True)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: one hash-shuffle, keep min id.
+    This is the petabyte-scale first pass (hash-groupBy, no pairwise
+    work)."""
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return exact_duplicates(d, "text", "doc_id")
+
+
+NGRAM_JACCARD_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM t
+),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle FROM idx
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_1, i.id_2,
+  ROUND(CAST(i.n_inter AS DOUBLE)
+        / CAST(s1.sz + s2.sz - i.n_inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.id_1 = s1.doc_id
+JOIN sizes s2 ON i.id_2 = s2.doc_id
+WHERE CAST(i.n_inter AS DOUBLE)
+      / CAST(s1.sz + s2.sz - i.n_inter AS DOUBLE) >= 0.6
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE,
+          tags=("dedup", "jaccard", "near-dup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard near-duplicate pairs (threshold 0.6).
+
+    The exact formulation (shingle posting-list self-join) — correct but
+    worst-case quadratic within a shingle's posting list. At 100 TB this
+    runs only on LSH candidates; here it doubles as the ground truth for
+    the MinHash variant.
+    """
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    shingled = shingle_sets(d, "text", "doc_id", n=2)
+    return jaccard_pairs(shingled, threshold=0.6)
+
+
+@register("dedup_minhash_lsh", tags=("dedup", "minhash", "lsh"), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 16-band LSH candidates, exact-Jaccard verified at 0.6.
+
+    The scale path: signature cost O(docs·32), candidate join shuffles on
+    band keys only. No oracle — xxhash64 signatures are Spark-internal;
+    equivalence to `dedup_ngram_jaccard` (modulo LSH recall) is asserted in
+    tests/test_dedup.py.
+    """
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    shingled = shingle_sets(d, "text", "doc_id", n=2)
+    return minhash_lsh_pairs(shingled, num_hashes=32, bands=16, threshold=0.6)
+
+
+@register("dedup_simhash", tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (boilerplate screen). No oracle
+    (xxhash64-based); determinism + hamming behavior unit-tested."""
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return simhash64(d, "text", "doc_id")

@@ -1,0 +1,94 @@
+"""Registry wiring query callables to their DuckDB oracle SQL.
+
+Driver contract (__spark_entry__.py): every operator claimed from
+SURVEY.md §2 needs a `queries()` entry `(spark, sf_dir) -> DataFrame` and,
+when SQL-expressible, a matching `oracle_sql()` string that DuckDB runs on
+the same parquet tables. Column names must match exactly; the driver sorts
+columns by name and hash-compares values order-insensitively.
+
+Registration is decorator-based; query modules are imported lazily on first
+access so `import gpu_bdb_spark` stays cheap.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gpu_bdb_spark.session import ensure_runtime_conf
+
+#: Modules that register queries at import time.
+_QUERY_MODULES = (
+    "gpu_bdb_spark.queries.relational",
+    "gpu_bdb_spark.queries.windows",
+    "gpu_bdb_spark.queries.text_ops",
+    "gpu_bdb_spark.queries.dedup_ops",
+    "gpu_bdb_spark.queries.similarity_ops",
+    "gpu_bdb_spark.queries.ml_ops",
+)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+_LOADED = False
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+):
+    """Decorator: register `fn(spark, sf_dir) -> DataFrame` under `name`."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_runtime_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = QuerySpec(name, wrapped, oracle, tags, bench)
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    global _LOADED
+    if not _LOADED:
+        for mod in _QUERY_MODULES:
+            importlib.import_module(mod)
+        _LOADED = True
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in all_specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in all_specs().items()
+        if spec.oracle is not None
+    }
+
+
+def bench_specs() -> dict[str, QuerySpec]:
+    return {name: s for name, s in all_specs().items() if s.bench}

@@ -1,0 +1,67 @@
+"""Similarity-search operator coverage (extension surface: brute-force
+cosine top-k baseline + LSH-bucketed ANN — BASELINE.json north star).
+
+The brute-force oracle compares neighbor IDs and ranks only: cosine scores
+are floats whose last bits differ across engines, but with random vectors
+the induced *ordering* is stable (ties broken by neighbor id on both
+sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.io import read_table
+from gpu_bdb_spark.operators.similarity import brute_force_topk, lsh_topk
+from gpu_bdb_spark.queries.registry import register
+
+ANN_BRUTE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(q_vec, c_vec) AS cosine
+  FROM q, c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_cosine_topk", oracle=ANN_BRUTE_ORACLE,
+          tags=("similarity", "ann", "brute-force"), bench=True)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for every 10th vector.
+
+    Dot products run in zip_with/aggregate higher-order expressions
+    (JVM-side); the per-query top-k is a window heap. The broadcast side is
+    the query batch, so the corpus streams once regardless of size.
+    """
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    return brute_force_topk(q, e, k=5).select("query_id", "neighbor_id", "rank")
+
+
+@register("ann_lsh_topk", tags=("similarity", "ann", "lsh"), bench=True)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs top-5 via multi-table random-hyperplane LSH
+    (seeded, deterministic). No oracle — recall vs the brute-force ground
+    truth is asserted in tests/test_similarity.py; the driver records a
+    rows-only check."""
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    return lsh_topk(e, k=5, dim=64, n_planes=4, n_tables=8, seed=42).select(
+        "query_id", "neighbor_id", "rank")

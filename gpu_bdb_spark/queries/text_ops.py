@@ -1,0 +1,226 @@
+"""Text-analysis operator coverage (reference text pipeline bdb_tools/
+text.py:28-69 + the LLM-data-pipeline extension surface: token stats,
+quality scoring, language ID, fingerprinting).
+
+All Spark-side logic is built-in column expressions; DuckDB oracles use the
+equivalent list/lambda functions. Ratios divide exact integers in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.functions import tokenize
+from gpu_bdb_spark.io import read_table
+from gpu_bdb_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    marker_count,
+    token_stats,
+)
+from gpu_bdb_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# Tokenize + explode + count (reference text.py:58-65 word explode;
+# q10:55-123 word-level sentiment join shape)
+# ---------------------------------------------------------------------------
+
+TOKEN_COUNTS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+FROM toks
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 100
+"""
+
+
+@register("token_counts", oracle=TOKEN_COUNTS_ORACLE,
+          tags=("text", "explode", "topk"), bench=True)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: split → explode → count → deterministic
+    top-100 (reference text.py word pipeline; the aggregation is partial
+    map-side, so the shuffle carries only (token, count))."""
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return (
+        d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document token statistics + quality score
+# ---------------------------------------------------------------------------
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+TEXT_QUALITY_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars_seen
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(n_chars_seen AS BIGINT) AS n_chars_seen,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS total_token_len,
+         CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS BIGINT)
+           AS stopword_cnt
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, n_chars_seen, total_token_len, stopword_cnt,
+  CAST(total_token_len AS DOUBLE) / n_tokens AS avg_token_len,
+  CAST(stopword_cnt AS DOUBLE) / n_tokens AS stopword_ratio,
+  (CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 0.4 ELSE 0.0 END
+   + CASE WHEN CAST(stopword_cnt AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.5
+          THEN 0.3 ELSE 0.0 END
+   + CASE WHEN CAST(total_token_len AS DOUBLE) / n_tokens BETWEEN 3.0 AND 8.0
+          THEN 0.3 ELSE 0.0 END) AS quality_score
+FROM s
+"""
+
+
+@register("text_quality", oracle=TEXT_QUALITY_ORACLE,
+          tags=("text", "quality-score"), bench=True)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length / stopword-ratio / token-shape
+    heuristics) — the curation scorer of an LLM data pipeline. Exact
+    integer features; ratios are double divisions of identical integers."""
+    d = read_table(spark, sf_dir, "documents",
+                   ["doc_id", "text", "lang", "n_chars"], hint_broadcast=False)
+    s = token_stats(d, "text")
+    avg_len = F.col("total_token_len").cast("double") / F.col("n_tokens")
+    sw_ratio = F.col("stopword_cnt").cast("double") / F.col("n_tokens")
+    quality = (
+        F.when(F.col("n_tokens").between(20, 500), 0.4).otherwise(0.0)
+        + F.when(sw_ratio.between(0.01, 0.5), 0.3).otherwise(0.0)
+        + F.when(avg_len.between(3.0, 8.0), 0.3).otherwise(0.0)
+    )
+    return s.select(
+        "doc_id", "lang", "n_tokens", "n_chars_seen", "total_token_len",
+        "stopword_cnt",
+        avg_len.alias("avg_token_len"),
+        sw_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+def _lang_count_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (f"CAST(len(list_filter(toks, x -> x IN ({markers}))) AS BIGINT)"
+            f" AS c_{lang}")
+
+
+_LANG_COUNTS = ",\n         ".join(_lang_count_sql(m) for m in sorted(LANG_MARKERS))
+_BEST = "GREATEST(" + ", ".join(f"c_{m}" for m in sorted(LANG_MARKERS)) + ")"
+_PRED_CASES = "\n    ".join(
+    f"WHEN c_{m} = {_BEST} THEN '{m}'" for m in sorted(LANG_MARKERS)
+)
+
+LANG_ID_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+         {_LANG_COUNTS}
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang,
+  CASE WHEN {_BEST} = 0 THEN 'und'
+    {_PRED_CASES}
+    ELSE 'und' END AS pred_lang
+FROM c
+"""
+
+
+@register("lang_id", oracle=LANG_ID_ORACLE, tags=("text", "lang-id"))
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic argmax tiebreak
+    (alphabetically-first language wins; 'und' when no marker occurs)."""
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"],
+                   hint_broadcast=False)
+    toks = tokenize("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_id(toks).alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (md5 of normalized text — portable hash)
+# ---------------------------------------------------------------------------
+
+DOC_FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                          ' +', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+@register("doc_fingerprint", oracle=DOC_FINGERPRINT_ORACLE,
+          tags=("text", "fingerprint"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint: md5 over lowercased,
+    whitespace-collapsed, alphanumeric-only text. Engine-portable (md5 hex
+    matches across Spark/DuckDB, unlike xxhash64/murmur)."""
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Sentence explode with per-doc positions (reference text.py:28-38; global
+# cumsum index q10:70-71 replaced by the (doc_id, sentence_idx) key)
+# ---------------------------------------------------------------------------
+
+SENTENCES_ORACLE = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '[.?!]'),
+                                    x -> trim(x)),
+                     x -> x <> '') AS sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(sents))) - 1 AS INTEGER) AS sentence_idx,
+       unnest(sents) AS sentence
+FROM s
+"""
+
+
+@register("sentence_explode", oracle=SENTENCES_ORACLE,
+          tags=("text", "sentences"))
+def sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into position-indexed sentences. The reference keys
+    sentences by a *global* cumsum position (q10:70-71) purely as a join
+    key; (doc_id, sentence_idx) is unique, stable, and needs no global
+    coordination — the 100 TB-safe key."""
+    from gpu_bdb_spark.operators.text import sentences
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return sentences(d, "text", "doc_id")

@@ -1,0 +1,369 @@
+"""Window / order-dependent operator coverage (SURVEY.md §2.5).
+
+The reference implements every order-dependent operator as imperative
+per-partition code after a hand-placed shuffle (sessionization.py,
+q03_utils.py CUDA kernel, q08_utils.py). Here each one is a
+`pyspark.sql.Window` expression — the partitionBy implies the same single
+shuffle, and Catalyst/Tungsten run the sort + frame scan JVM-side.
+
+Ordering determinism: every window orders by (ts, event_id) / adds a unique
+tiebreak column so Spark and the DuckDB oracle sort identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.functions import dec
+from gpu_bdb_spark.io import read_table
+from gpu_bdb_spark.operators.sessionize import session_stats, sessionize
+from gpu_bdb_spark.operators.stats import regression_sums, slope_intercept
+from gpu_bdb_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# Timeout sessionization (reference sessionization.py:54-97, used by
+# q02:103-119, q04, q30)
+# ---------------------------------------------------------------------------
+
+SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600 * 1000000::BIGINT
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_seq,
+         COUNT(*) AS n_events,
+         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0 AS duration_s
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS events_per_session,
+       ROUND(MAX(duration_s), 6) AS max_session_duration_s
+FROM per_session
+GROUP BY user_id
+"""
+
+
+@register("sessionize_events", oracle=SESSIONIZE_ORACLE,
+          tags=("window", "sessionize"), bench=True)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeout sessionization (gap > 3600 s ⇒ new session) rolled up per
+    user. Window port of reference sessionization.py:54-97 — the
+    `partitionBy(user_id)` window implies the reference's hand-placed
+    `shuffle(on='wcs_user_sk')` (q02:104).
+    """
+    e = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id"],
+                   hint_broadcast=False)
+    sess = sessionize(e, "user_id", "ts", 3600, tiebreak_col="event_id")
+    per_session = session_stats(sess, "user_id", "ts", "session_seq")
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "events_per_session"),
+        F.round(F.max("duration_s"), 6).alias("max_session_duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking per group (absent in reference — SURVEY §2.5 "free in Spark")
+# ---------------------------------------------------------------------------
+
+WINDOW_RANK_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+    rank() OVER (PARTITION BY o_custkey
+                 ORDER BY year(o_orderdate) DESC) AS year_rank,
+    ntile(4) OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rn, year_rank, price_quartile
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register("window_rank_orders", oracle=WINDOW_RANK_ORACLE,
+          tags=("window", "rank", "topk-per-group"), bench=True)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number, plus rank (with real ties)
+    and ntile. The scalable top-k-per-group: one shuffle on the partition
+    key, no global sort."""
+    o = read_table(spark, sf_dir, "orders", hint_broadcast=False)
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    by_year = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.year("o_orderdate")))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(by_price).cast("long").alias("rn"),
+            F.rank().over(by_year).cast("long").alias("year_rank"),
+            F.ntile(4).over(by_price).cast("long").alias("price_quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag / lead gaps (reference sessionization.py:39-41 ts.diff(),
+# q08_utils.py:70-74 shift)
+# ---------------------------------------------------------------------------
+
+LAG_GAPS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+    lead(event_type)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT user_id,
+       COUNT(gap_us) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS avg_gap_us,
+       MAX(gap_us) AS max_gap_us,
+       COUNT(*) FILTER (WHERE next_type = 'purchase') AS n_before_purchase
+FROM gaps
+GROUP BY user_id
+"""
+
+
+@register("lag_gaps", oracle=LAG_GAPS_ORACLE, tags=("window", "lag-lead"))
+def lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics via lag/lead (reference diff/shift sites).
+    Gap sums stay integer microseconds (exact); the average divides two
+    exact integers in double."""
+    e = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id",
+                                             "event_type"], hint_broadcast=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select(
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("avg_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.count(F.when(F.col("next_type") == "purchase", 1)).alias(
+            "n_before_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmax / last-event-per-group (reference q04_utils.py:52-75
+# concat-string max trick → F.max_by)
+# ---------------------------------------------------------------------------
+
+LAST_EVENT_ORACLE = """
+SELECT user_id,
+       arg_max(event_type, ts) AS last_event_type,
+       arg_max(event_id, ts) AS last_event_id,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("last_event_per_user", oracle=LAST_EVENT_ORACLE,
+          tags=("argmax", "max-by"))
+def last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last event per user via max_by — replaces the reference's
+    max(concat(tstamp, ':', type_code)) string trick (q04_utils.py:52-75)."""
+    e = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id",
+                                             "event_type"], hint_broadcast=False)
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", F.col("ts")).alias("last_event_type"),
+        F.max_by("event_id", F.col("ts")).alias("last_event_id"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running cumulative aggregation (reference cumsum q10:70-71 global
+# positions; here the per-group frame-spec form)
+# ---------------------------------------------------------------------------
+
+CUMULATIVE_ORACLE = """
+SELECT o_custkey, o_orderkey,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS cum_spend,
+  row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+@register("cumulative_spend", oracle=CUMULATIVE_ORACLE,
+          tags=("window", "cumsum"))
+def cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend (frame-spec window sum in exact decimal)."""
+    o = read_table(spark, sf_dir, "orders", hint_broadcast=False)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(
+            F.sum(dec("o_totalprice")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("double"), 2).alias("cum_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-N-events-before (reference q03 CUDA kernel q03_utils.py:54-99 —
+# previous-5-rows window + time bound, no kernel needed)
+# ---------------------------------------------------------------------------
+
+LAST_VIEWS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+pairs AS (
+  SELECT p.user_id, p.event_id AS purchase_id,
+         v.event_id AS view_id, v.event_type AS prev_type,
+         p.us - v.us AS gap_us,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.us DESC, v.event_id DESC) AS recency
+  FROM e p JOIN e v
+    ON v.user_id = p.user_id
+   AND (v.us < p.us OR (v.us = p.us AND v.event_id < p.event_id))
+  WHERE p.event_type = 'purchase'
+)
+SELECT user_id, purchase_id, view_id, recency
+FROM pairs
+WHERE recency <= 5 AND prev_type = 'view' AND gap_us <= 86400 * 1000000::BIGINT
+"""
+
+
+@register("last_views_before_purchase", oracle=LAST_VIEWS_ORACLE,
+          tags=("window", "last-n-before"), bench=True)
+def last_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views among the 5 events preceding each purchase, within 1 day —
+    the reference's q03 semantics (last-5-views-within-10-days,
+    q03_utils.py:54-170) rebuilt as a rowsBetween(-5,-1) window +
+    higher-order array ops. The oracle's self-join formulation is
+    quadratic per user; this plan is O(rows·N) after one shuffle — the
+    100 TB-safe shape.
+    """
+    e = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id",
+                                             "event_type"], hint_broadcast=False)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-5, -1)
+    )
+    us = F.unix_micros("ts")
+    prev = F.collect_list(
+        F.struct(us.alias("us"), F.col("event_id").alias("view_id"),
+                 F.col("event_type").alias("prev_type"))
+    ).over(w)
+    with_prev = e.select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("event_type"), us.alias("p_us"), prev.alias("prev"))
+    # collect_list over an ASC window yields ascending order; recency rank
+    # of element i (0-based) in an array of size s is s - i.
+    enumerated = with_prev.withColumn(
+        "prev",
+        F.filter(
+            F.transform(
+                "prev",
+                lambda x, i: F.struct(
+                    x["us"].alias("us"),
+                    x["view_id"].alias("view_id"),
+                    x["prev_type"].alias("prev_type"),
+                    (F.size(F.col("prev")) - i).alias("recency"),
+                ),
+            ),
+            lambda x: (x["prev_type"] == F.lit("view"))
+            & ((F.col("p_us") - x["us"]) <= F.lit(86400 * 1_000_000)),
+        ),
+    )
+    return (
+        enumerated.filter(F.col("event_type") == "purchase")
+        .select("user_id", "purchase_id", F.explode("prev").alias("v"))
+        .select(
+            "user_id", "purchase_id",
+            F.col("v.view_id").alias("view_id"),
+            F.col("v.recency").cast("long").alias("recency"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regression slope per group (reference q15:80-140 declining categories)
+# ---------------------------------------------------------------------------
+
+SALES_SLOPE_ORACLE = """
+WITH daily AS (
+  SELECT p.p_brand,
+         date_diff('day', TIMESTAMP '1970-01-01 00:00:00', l.l_shipdate) AS day_num,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))) AS day_rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+sums AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         SUM(CAST(day_num AS DECIMAL(10,2))) AS sx,
+         SUM(CAST(day_rev AS DECIMAL(14,4))) AS sy,
+         SUM(CAST(day_num AS DECIMAL(10,2)) * CAST(day_rev AS DECIMAL(14,4))) AS sxy,
+         SUM(CAST(day_num AS DECIMAL(10,2)) * CAST(day_num AS DECIMAL(10,2))) AS sxx
+  FROM daily GROUP BY p_brand
+)
+SELECT p_brand, n,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+  ROUND((CAST(sy AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+FROM sums
+"""
+
+
+@register("sales_slope_by_brand", oracle=SALES_SLOPE_ORACLE,
+          tags=("regression", "stats"))
+def sales_slope_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares sales trend per brand from exact sufficient statistics
+    (reference q15:102-134 declining-categories regression)."""
+    l = read_table(spark, sf_dir, "lineitem",
+                   ["l_partkey", "l_shipdate", "l_extendedprice"],
+                   hint_broadcast=False)
+    p = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    daily = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+            .alias("day_num"),
+        )
+        .agg(F.sum(dec("l_extendedprice")).alias("day_rev"))
+    )
+    sums = regression_sums(daily, ["p_brand"], F.col("day_num"), F.col("day_rev"))
+    return slope_intercept(sums).select("p_brand", "n", "slope", "intercept")

@@ -1,0 +1,99 @@
+"""SparkSession construction tuned for the gpu-bdb workload.
+
+The reference hand-manages its cluster (reference
+bdb_tools/cluster_startup.py:27-128: one Dask worker per GPU, RMM pools,
+explicit small-table placement). On Spark the equivalent knobs are plain
+session confs: AQE for runtime re-planning, broadcast threshold for the
+dimension tables, shuffle partitions sized to the cluster.
+
+Everything here also works unchanged on a real cluster — only `master`
+changes. Local mode is a single JVM, so `spark.driver.memory` is the one
+memory knob that matters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that matter at 100 TB scale and cost nothing locally.
+TUNED_CONF: dict[str, str] = {
+    # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+    # ones, convert sort-merge joins to broadcast when a side turns out
+    # small. Replaces every hand-placed shuffle in the reference
+    # (e.g. reference q02:104 `shuffle(on='wcs_user_sk')`).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/supplier/part at our SF; the 15 dims
+    # of TPCx-BB) must broadcast — reference hand-rolls this by collapsing
+    # them to 1 partition (readers.py:129-134).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Deterministic timestamp arithmetic (oracle parity): all epoch math is
+    # done in UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow transfer for the few pandas-UDF operators (NER stub, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    # read as epoch-nanos long and convert in io.read_table (integer
+    # division — a double roundtrip would lose precision at 1e18 ns).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # ~128 MB input splits: at 100 TB this yields ~800k tasks, a sane
+    # default; locally it keeps small files in one partition.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "gpu_bdb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the tuned confs.
+
+    shuffle_partitions defaults to 2× cores locally; on a real cluster set
+    it (or leave AQE's coalescing to right-size it downward from a higher
+    initial number).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or max(2 * cpus, 8)),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in {**TUNED_CONF, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable subset of TUNED_CONF to an existing session.
+
+    Query callables receive an externally built SparkSession (the driver's);
+    confs like the session time zone are runtime-mutable and required for
+    deterministic epoch arithmetic, so set them defensively.
+    """
+    for key in (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+    ):
+        spark.conf.set(key, TUNED_CONF[key])
+    return spark

@@ -1,0 +1,57 @@
+"""MinHash-LSH and SimHash correctness against exact ground truth (the
+policy for engine-internal-hash operators: verify behavior, not hashes —
+SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.io import read_table
+from gpu_bdb_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingle_sets,
+    simhash64,
+)
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    """LSH-found pairs must be a subset of exact pairs (no false positives
+    after verification) with high recall (b=16, r=2 ⇒ ~99.9% at j=0.6)."""
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    shingled = shingle_sets(d, "text", "doc_id", n=2)
+    exact = {
+        (r.id_1, r.id_2)
+        for r in jaccard_pairs(shingled, threshold=0.6).collect()
+    }
+    lsh = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(shingled, 32, 16, threshold=0.6).collect()
+    }
+    assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+
+
+def test_simhash_deterministic_and_discriminative(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    a = {r.id: r.simhash for r in simhash64(d, "text", "doc_id").collect()}
+    b = {r.id: r.simhash for r in simhash64(d, "text", "doc_id").collect()}
+    assert a == b  # deterministic across runs
+    assert len(set(a.values())) > 1  # not degenerate
+
+
+def test_exact_duplicate_keeper_is_min_id(spark, sf_dir):
+    from gpu_bdb_spark.operators.dedup import exact_duplicates
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    groups = exact_duplicates(d, "text", "doc_id")
+    n_docs = d.count()
+    agg = groups.agg(F.sum("n_copies").alias("total"),
+                     F.count(F.lit(1)).alias("n_groups")).collect()[0]
+    assert agg.total == n_docs
+    assert agg.n_groups <= n_docs
