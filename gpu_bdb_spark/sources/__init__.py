@@ -1,0 +1,83 @@
+"""Source/sink surface beyond plain parquet (SURVEY.md §2.1).
+
+Reference equivalents:
+* build_reader format dispatch (readers.py:154-164; csv/orc declared but
+  unimplemented there — implemented here, Spark gives them for free).
+* CSV→Parquet load test ETL (load_test/gpu_bdb_load_test.py:48-147:
+  pipe-delimited CSV + external schema → sized parquet partitions).
+* Sentiment word-list source (q10:35-44, q18:176-187: 1-partition word
+  frame → here a broadcast DataFrame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SUPPORTED_FORMATS = ("parquet", "csv", "orc", "json")
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    data_format: str = "parquet",
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Format-dispatching reader (reference build_reader, readers.py:154-164).
+
+    CSV defaults to the TPC pipe-delimited convention when no options are
+    given. An explicit schema skips inference — mandatory at scale (schema
+    inference is a full extra pass over the data).
+    """
+    if data_format not in SUPPORTED_FORMATS:
+        raise ValueError(
+            f"unsupported format {data_format!r}; one of {SUPPORTED_FORMATS}")
+    reader = spark.read.format(data_format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if data_format == "csv":
+        opts = {"sep": "|", "header": "false"}
+        opts.update(options)
+        reader = reader.options(**opts)
+    elif options:
+        reader = reader.options(**options)
+    return reader.load(path)
+
+
+def csv_to_parquet(
+    spark: SparkSession,
+    csv_path: str,
+    out_path: str,
+    schema: T.StructType,
+    sep: str = "|",
+    target_partitions: int | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Load-test ETL (reference gpu_bdb_load_test.py:48-147): schema-applied
+    delimited CSV → snappy parquet, optionally re-sized.
+
+    The reference targets ~2 GB partitions by row-count arithmetic; Spark's
+    equivalent policy is `spark.sql.files.maxPartitionBytes` at read time
+    plus an optional repartition before write.
+    """
+    df = read_source(spark, csv_path, "csv", schema=schema, sep=sep)
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    df.write.mode("overwrite").option("compression", compression).parquet(out_path)
+
+
+def load_word_list(
+    spark: SparkSession, path: str, sentiment: str
+) -> DataFrame:
+    """Sentiment lexicon source (reference q10:35-44): one word per line →
+    broadcast (word, sentiment) frame, deduped (q10:38-40 drops dups)."""
+    words = (
+        spark.read.text(path)
+        .select(F.trim(F.col("value")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .withColumn("sentiment", F.lit(sentiment))
+    )
+    return F.broadcast(words)

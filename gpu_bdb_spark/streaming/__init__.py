@@ -1,0 +1,20 @@
+"""Structured Streaming operators.
+
+The reference has NO streaming surface (SURVEY.md §1.1: clickstream
+"sessionization" is batch over a fact table) — this module is the extension
+that makes the batch operators live: the same events schema processed as an
+unbounded stream with watermarks, tumbling/sliding windows, and native
+session windows reproducing bdb_tools/sessionization.py semantics on a feed.
+"""
+
+from gpu_bdb_spark.streaming.ops import (
+    session_window_stats,
+    streaming_event_counts,
+    streaming_sessionize,
+)
+
+__all__ = [
+    "session_window_stats",
+    "streaming_event_counts",
+    "streaming_sessionize",
+]

@@ -1,0 +1,58 @@
+"""Scale-correctness assertions on physical plans: pushdown, pruning,
+broadcast, partial aggregation, distributed top-k. These encode the §4
+optimizer expectations — regressions here mean a plan that would fall over
+at 100 TB even if results stay correct."""
+
+from __future__ import annotations
+
+from gpu_bdb_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_aggregate,
+    has_top_k,
+    pushed_filters,
+    scan_read_schemas,
+)
+from gpu_bdb_spark.queries.registry import all_specs
+
+
+def test_pricing_summary_prunes_and_pushes_down(spark, sf_dir):
+    plan = formatted_plan(all_specs()["pricing_summary"].fn(spark, sf_dir))
+    schemas = scan_read_schemas(plan)
+    assert schemas, "no parquet scan found"
+    # 7 referenced columns, not all 11 of lineitem
+    assert "l_orderkey" not in schemas[0] and "l_partkey" not in schemas[0]
+    assert "l_shipdate" in schemas[0]
+    filters = [f for f in pushed_filters(plan) if f != "[]"]
+    assert filters, f"date filter did not reach the scan: {plan[:500]}"
+    assert has_partial_aggregate(plan)
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    plan = formatted_plan(all_specs()["revenue_by_nation"].fn(spark, sf_dir))
+    assert has_broadcast_join(plan), "dimension joins should broadcast"
+
+
+def test_top_orders_is_distributed_topk(spark, sf_dir):
+    plan = formatted_plan(all_specs()["top_orders"].fn(spark, sf_dir))
+    assert has_top_k(plan), "orderBy+limit must compile to TakeOrderedAndProject"
+
+
+def test_semi_and_anti_join_operators(spark, sf_dir):
+    semi = formatted_plan(all_specs()["order_priority_semi"].fn(spark, sf_dir))
+    anti = formatted_plan(all_specs()["customers_anti_join"].fn(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_sessionize_single_shuffle_for_window(spark, sf_dir):
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.sessionize import sessionize
+
+    e = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id"],
+                   hint_broadcast=False)
+    import re
+
+    plan = formatted_plan(sessionize(e, "user_id", "ts", 3600, "event_id"))
+    # both window expressions share one partitioning: exactly one exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

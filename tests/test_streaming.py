@@ -1,0 +1,82 @@
+"""Streaming operators driven end-to-end with a file-source readStream over
+the events table, results collected via a memory sink and compared against
+the same transformation applied in batch (the Structured Streaming
+batch-equivalence contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.io import read_table, table_path
+from gpu_bdb_spark.streaming import (
+    streaming_event_counts,
+    streaming_sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir, tmp_path_factory):
+    batch = read_table(spark, sf_dir, "events")
+    # file stream sources need a directory; expose the single parquet file
+    # through a symlinked dir
+    stream_dir = tmp_path_factory.mktemp("events_stream")
+    (stream_dir / "events.parquet").symlink_to(table_path(sf_dir, "events"))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(table_path(sf_dir, "events")).schema
+        )
+        .parquet(str(stream_dir))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return batch, stream
+
+
+def _run_to_memory(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).toPandas()
+    q.stop()
+    return out
+
+
+def test_windowed_counts_match_batch(spark, events_stream):
+    batch, stream = events_stream
+    got = _run_to_memory(
+        spark, streaming_event_counts(stream, "30 minutes"), "win_counts")
+    expect = streaming_event_counts(batch, "30 minutes").toPandas()
+    key = ["window_start", "window_end", "event_type"]
+    got = got.sort_values(key, ignore_index=True)
+    expect = expect.sort_values(key, ignore_index=True)
+    assert len(got) == len(expect) > 0
+    assert got[key + ["n_events"]].equals(expect[key + ["n_events"]])
+
+
+def test_streaming_sessionize_matches_batch_sessionize(spark, events_stream):
+    """Native session_window on the stream must produce the same
+    (user, session_count) grouping as the batch Window-based operator."""
+    from gpu_bdb_spark.operators.sessionize import sessionize
+
+    batch, stream = events_stream
+    got = _run_to_memory(
+        spark, streaming_sessionize(stream, "1 hour"), "sess")
+    stream_per_user = (
+        got.groupby("user_id").size().sort_index()
+    )
+    batch_sessions = sessionize(batch, "user_id", "ts", 3600, "event_id")
+    batch_per_user = (
+        batch_sessions.groupBy("user_id")
+        .agg(F.countDistinct("session_seq").alias("n"))
+        .toPandas()
+        .set_index("user_id")["n"]
+        .sort_index()
+    )
+    assert (stream_per_user == batch_per_user).all()
