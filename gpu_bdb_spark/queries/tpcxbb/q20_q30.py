@@ -1,0 +1,463 @@
+"""TPCx-BB q20–q30 (semantics per SURVEY.md §2.11).
+
+ML queries (q20/q25/q26/q28) return dict payloads {'labels': DataFrame,
+'wssse'/metric floats} — verification is cost/metric-based per the
+reference policy (utils.py:517-581), never label identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.operators.pairs import pair_counts
+from gpu_bdb_spark.operators.sessionize import sessionize
+from gpu_bdb_spark.queries.tpcxbb.base import Tables, click_timestamp, date_to_days
+from gpu_bdb_spark.queries.tpcxbb.registry import register_q
+
+
+def _kmeans_payload(spark, features_df, feature_cols, id_col):
+    """Shared K-Means tail (reference train_clustering_model,
+    utils.py:957-1018: 8 clusters, 20 iterations)."""
+    from pyspark.ml.feature import VectorAssembler
+
+    from gpu_bdb_spark.operators.ml import kmeans_fit
+
+    assembled = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="features",
+        handleInvalid="keep").transform(features_df)
+    _, pred, wssse = kmeans_fit(assembled, k=8, max_iter=20, seed=42)
+    labels = pred.select(
+        F.col(id_col),
+        F.col("prediction").cast("long").alias("cluster"))
+    return {"labels": labels, "wssse": float(wssse)}
+
+
+@register_q(20)
+def q20(spark: SparkSession, tables: Tables) -> dict:
+    """Customer return-behavior K-Means (reference q20:57-158): per-customer
+    order/return count+value ratios, inf/null scrubbed to 0."""
+    ss = tables("store_sales",
+                ["ss_customer_sk", "ss_ticket_number", "ss_item_sk",
+                 "ss_net_paid"], broadcast=False).filter(
+        F.col("ss_customer_sk").isNotNull())
+    sr = tables("store_returns",
+                ["sr_customer_sk", "sr_ticket_number", "sr_item_sk",
+                 "sr_return_amt"], broadcast=False).filter(
+        F.col("sr_customer_sk").isNotNull())
+    orders = ss.groupBy(F.col("ss_customer_sk").alias("user_sk")).agg(
+        F.countDistinct("ss_ticket_number").alias("orders_count"),
+        F.count("ss_item_sk").alias("orders_items"),
+        F.sum("ss_net_paid").cast("double").alias("orders_money"),
+    )
+    returns = sr.groupBy(F.col("sr_customer_sk").alias("user_sk")).agg(
+        F.countDistinct("sr_ticket_number").alias("returns_count"),
+        F.count("sr_item_sk").alias("returns_items"),
+        F.sum("sr_return_amt").cast("double").alias("returns_money"),
+    )
+    ratio = lambda num, den: F.coalesce(  # noqa: E731
+        F.when(F.col(den) != 0, F.col(num).cast("double") / F.col(den)),
+        F.lit(0.0))
+    feats = (
+        orders.join(returns, "user_sk", "left")
+        .na.fill(0)
+        .withColumn("orderRatio", ratio("returns_count", "orders_count"))
+        .withColumn("itemsRatio", ratio("returns_items", "orders_items"))
+        .withColumn("monetaryRatio", ratio("returns_money", "orders_money"))
+        .withColumn("frequency", F.col("returns_count").cast("double"))
+    )
+    return _kmeans_payload(
+        spark, feats, ["orderRatio", "itemsRatio", "monetaryRatio",
+                       "frequency"], "user_sk")
+
+
+@register_q(21)
+def q21(spark: SparkSession, tables: Tables, *, year=2003, month=1,
+        limit=100) -> DataFrame:
+    """Items returned then re-bought on the web (reference q21:52-224):
+    store sale in (year,month), return within 6 months, web re-purchase by
+    the same customer within 3 years."""
+    dd = tables("date_dim", ["d_date_sk", "d_year", "d_moy"], broadcast=False)
+    d1 = F.broadcast(dd.filter((F.col("d_year") == year)
+                               & (F.col("d_moy") == month))
+                     .select(F.col("d_date_sk").alias("d1_sk")))
+    d2 = F.broadcast(dd.filter((F.col("d_year") == year)
+                               & F.col("d_moy").between(month, month + 6))
+                     .select(F.col("d_date_sk").alias("d2_sk")))
+    d3 = F.broadcast(dd.filter(F.col("d_year").between(year, year + 2))
+                     .select(F.col("d_date_sk").alias("d3_sk")))
+    ss = tables("store_sales",
+                ["ss_item_sk", "ss_store_sk", "ss_customer_sk",
+                 "ss_ticket_number", "ss_quantity", "ss_sold_date_sk"],
+                broadcast=False)
+    sr = tables("store_returns",
+                ["sr_item_sk", "sr_customer_sk", "sr_ticket_number",
+                 "sr_return_quantity", "sr_returned_date_sk"], broadcast=False)
+    ws = tables("web_sales",
+                ["ws_item_sk", "ws_bill_customer_sk", "ws_quantity",
+                 "ws_sold_date_sk"], broadcast=False)
+    store = tables("store", ["s_store_sk", "s_store_name", "s_store_id"])
+    item = tables("item", ["i_item_sk", "i_item_id", "i_item_desc"])
+    part_sales = ss.join(d1, ss.ss_sold_date_sk == F.col("d1_sk"))
+    returned = sr.join(d2, sr.sr_returned_date_sk == F.col("d2_sk"))
+    repurchased = ws.join(d3, ws.ws_sold_date_sk == F.col("d3_sk"))
+    joined = (
+        part_sales.join(
+            returned,
+            (F.col("ss_item_sk") == F.col("sr_item_sk"))
+            & (F.col("ss_customer_sk") == F.col("sr_customer_sk"))
+            & (F.col("ss_ticket_number") == F.col("sr_ticket_number")))
+        .join(
+            repurchased,
+            (F.col("sr_item_sk") == F.col("ws_item_sk"))
+            & (F.col("sr_customer_sk") == F.col("ws_bill_customer_sk")))
+        .join(store, F.col("ss_store_sk") == store.s_store_sk)
+        .join(item, F.col("ss_item_sk") == item.i_item_sk)
+    )
+    return (
+        joined.groupBy("i_item_id", "i_item_desc", "s_store_id", "s_store_name")
+        .agg(
+            F.sum("ss_quantity").cast("long").alias("store_sales_quantity"),
+            F.sum("sr_return_quantity").cast("long").alias(
+                "store_returns_quantity"),
+            F.sum("ws_quantity").cast("long").alias("web_sales_quantity"),
+        )
+        .orderBy("i_item_id", "i_item_desc", "s_store_id", "s_store_name")
+        .limit(limit)
+    )
+
+
+@register_q(22)
+def q22(spark: SparkSession, tables: Tables, *, pivot_date="2001-05-08",
+        price_min=0.98, price_max=1.5) -> DataFrame:
+    """Inventory before/after ratio ±30 days around a price-change date for
+    items in a price band (reference q22:57-126; ratio ∈ [2/3, 3/2])."""
+    pivot_days = date_to_days(F.lit(pivot_date))
+    dd = (
+        tables("date_dim", ["d_date_sk", "d_date"])
+        .withColumn("d_days", date_to_days("d_date"))
+        .filter((F.col("d_days") >= pivot_days - 30)
+                & (F.col("d_days") <= pivot_days + 30))
+    )
+    item = tables("item", ["i_item_sk", "i_item_id", "i_current_price"]).filter(
+        F.col("i_current_price").between(price_min, price_max))
+    inv = tables("inventory",
+                 ["inv_date_sk", "inv_item_sk", "inv_warehouse_sk",
+                  "inv_quantity_on_hand"], broadcast=False)
+    wh = tables("warehouse", ["w_warehouse_sk", "w_warehouse_name"])
+    j = (
+        inv.join(dd, inv.inv_date_sk == dd.d_date_sk)
+        .join(item, inv.inv_item_sk == item.i_item_sk)
+        .join(wh, inv.inv_warehouse_sk == wh.w_warehouse_sk)
+    )
+    grouped = j.groupBy("w_warehouse_name", "i_item_id").agg(
+        F.sum(F.when(F.col("d_days") < pivot_days,
+                     F.col("inv_quantity_on_hand")).otherwise(0))
+        .alias("inv_before"),
+        F.sum(F.when(F.col("d_days") >= pivot_days,
+                     F.col("inv_quantity_on_hand")).otherwise(0))
+        .alias("inv_after"),
+    )
+    ratio = F.col("inv_after").cast("double") / F.col("inv_before")
+    return (
+        grouped.filter(F.col("inv_before") > 0)
+        .withColumn("inv_ratio", ratio)
+        .filter(ratio.between(2.0 / 3.0, 3.0 / 2.0))
+        .select("w_warehouse_name", "i_item_id", "inv_before", "inv_after")
+        .orderBy("w_warehouse_name", "i_item_id")
+        .limit(100)
+    )
+
+
+@register_q(23)
+def q23(spark: SparkSession, tables: Tables, *, year=2001, month=1,
+        coefficient=1.3) -> DataFrame:
+    """Inventory coefficient-of-variation ≥1.3 in two consecutive months
+    (reference q23:31-81)."""
+    dd = tables("date_dim", ["d_date_sk", "d_year", "d_moy"]).filter(
+        (F.col("d_year") == year)
+        & F.col("d_moy").between(month, month + 1))
+    inv = tables("inventory",
+                 ["inv_date_sk", "inv_item_sk", "inv_warehouse_sk",
+                  "inv_quantity_on_hand"], broadcast=False)
+    j = inv.join(dd, inv.inv_date_sk == dd.d_date_sk)
+    cov = (
+        j.groupBy("inv_warehouse_sk", "inv_item_sk", "d_moy")
+        .agg(F.avg("inv_quantity_on_hand").alias("qty_mean"),
+             F.stddev_samp("inv_quantity_on_hand").alias("qty_std"))
+        .filter(F.col("qty_mean") > 0)
+        .withColumn("qty_cov", F.col("qty_std") / F.col("qty_mean"))
+        .filter(F.col("qty_cov") >= coefficient)
+    )
+    m1 = cov.filter(F.col("d_moy") == month).select(
+        "inv_warehouse_sk", "inv_item_sk",
+        F.col("d_moy").alias("d_moy"), F.col("qty_cov").alias("cov"))
+    m2 = cov.filter(F.col("d_moy") == month + 1).select(
+        F.col("inv_warehouse_sk").alias("w2"),
+        F.col("inv_item_sk").alias("i2"),
+        F.col("qty_cov").alias("cov_consecutive"))
+    return (
+        m1.join(m2, (m1.inv_warehouse_sk == m2.w2) & (m1.inv_item_sk == m2.i2))
+        .select("inv_warehouse_sk", "inv_item_sk", "d_moy", "cov",
+                "cov_consecutive")
+        .orderBy("inv_warehouse_sk", "inv_item_sk")
+    )
+
+
+@register_q(24)
+def q24(spark: SparkSession, tables: Tables, *, item_sk=10000) -> DataFrame:
+    """Cross-price elasticity after competitor price changes (reference
+    q24:30-177): per competitor price period, (curr−prev)/(prev·Δprice),
+    averaged per item."""
+    imp = tables("item_marketprices",
+                 ["imp_sk", "imp_item_sk", "imp_competitor_price",
+                  "imp_start_date", "imp_end_date"], broadcast=False).filter(
+        F.col("imp_item_sk") == item_sk)
+    item = tables("item", ["i_item_sk", "i_current_price"]).filter(
+        F.col("i_item_sk") == item_sk)
+    periods = (
+        item.join(imp, item.i_item_sk == imp.imp_item_sk)
+        .withColumn("price_change",
+                    (F.col("i_current_price") - F.col("imp_competitor_price"))
+                    / F.col("imp_competitor_price"))
+        .withColumn("no_days_comp_price",
+                    F.col("imp_end_date") - F.col("imp_start_date"))
+        .select("i_item_sk", "imp_sk", "imp_start_date", "price_change",
+                "no_days_comp_price")
+    )
+
+    def channel_quantities(df, date_col, qty_col, prefix):
+        per_day = df.groupBy(F.col(date_col).alias("day_sk")).agg(
+            F.sum(qty_col).alias("qty"))
+        j = per_day.crossJoin(F.broadcast(periods))
+        curr = F.when(
+            (F.col("day_sk") >= F.col("imp_start_date"))
+            & (F.col("day_sk") < F.col("imp_start_date")
+               + F.col("no_days_comp_price")), F.col("qty")).otherwise(0)
+        prev = F.when(
+            (F.col("day_sk") >= F.col("imp_start_date")
+             - F.col("no_days_comp_price"))
+            & (F.col("day_sk") < F.col("imp_start_date")), F.col("qty")
+        ).otherwise(0)
+        return j.groupBy("imp_sk", "imp_start_date", "price_change").agg(
+            F.sum(curr).alias(f"current_{prefix}_quant"),
+            F.sum(prev).alias(f"prev_{prefix}_quant"),
+        )
+
+    ws = tables("web_sales", ["ws_item_sk", "ws_sold_date_sk", "ws_quantity"],
+                broadcast=False).filter(F.col("ws_item_sk") == item_sk)
+    ss = tables("store_sales", ["ss_item_sk", "ss_sold_date_sk",
+                                "ss_quantity"], broadcast=False).filter(
+        F.col("ss_item_sk") == item_sk)
+    w = channel_quantities(ws, "ws_sold_date_sk", "ws_quantity", "ws")
+    s = channel_quantities(ss, "ss_sold_date_sk", "ss_quantity", "ss")
+    merged = w.join(s, ["imp_sk", "imp_start_date", "price_change"])
+    denom = ((F.col("prev_ss_quant") + F.col("prev_ws_quant"))
+             * F.col("price_change")).cast("double")
+    elasticity = F.when(
+        denom != 0,
+        (F.col("current_ss_quant") + F.col("current_ws_quant")
+         - F.col("prev_ss_quant") - F.col("prev_ws_quant")).cast("double")
+        / denom)
+    return (
+        merged.withColumn("cross_price_elasticity", elasticity)
+        .groupBy(F.lit(item_sk).cast("long").alias("ws_item_sk"))
+        .agg(F.avg("cross_price_elasticity").alias("cross_price_elasticity"))
+    )
+
+
+@register_q(25)
+def q25(spark: SparkSession, tables: Tables, *, cutoff_date="2002-01-02",
+        recency_anchor=37621) -> dict:
+    """RFM K-Means segmentation (reference q25:55-119): store+web rollups
+    concatenated, recency = within 60 days of day-sk 37621."""
+    cutoff_days = date_to_days(F.lit(cutoff_date))
+    dd = (
+        tables("date_dim", ["d_date_sk", "d_date"])
+        .withColumn("d_days", date_to_days("d_date"))
+        .filter(F.col("d_days") > cutoff_days)
+        .select("d_date_sk")
+    )
+
+    def channel(df, cust, date_sk, order_no, amount):
+        j = df.filter(F.col(cust).isNotNull()).join(
+            dd, F.col(date_sk) == dd.d_date_sk)
+        return j.groupBy(F.col(cust).alias("cid")).agg(
+            F.max(date_sk).alias("most_recent_date"),
+            F.countDistinct(order_no).alias("frequency"),
+            F.sum(amount).cast("double").alias("amount"),
+        )
+
+    ss = channel(
+        tables("store_sales",
+               ["ss_customer_sk", "ss_sold_date_sk", "ss_ticket_number",
+                "ss_net_paid"], broadcast=False),
+        "ss_customer_sk", "ss_sold_date_sk", "ss_ticket_number", "ss_net_paid")
+    ws = channel(
+        tables("web_sales",
+               ["ws_bill_customer_sk", "ws_sold_date_sk", "ws_order_number",
+                "ws_net_paid"], broadcast=False),
+        "ws_bill_customer_sk", "ws_sold_date_sk", "ws_order_number",
+        "ws_net_paid")
+    rfm = (
+        ss.unionByName(ws)
+        .groupBy("cid")
+        .agg(F.max("most_recent_date").alias("most_recent_date"),
+             F.sum("frequency").alias("frequency"),
+             F.sum("amount").alias("amount"))
+        .withColumn(
+            "recency",
+            ((F.lit(recency_anchor) - F.col("most_recent_date")) < 60)
+            .cast("long").cast("double"))
+        .withColumn("frequency", F.col("frequency").cast("double"))
+        .select("cid", "recency", "frequency", "amount")
+    )
+    return _kmeans_payload(spark, rfm, ["recency", "frequency", "amount"],
+                           "cid")
+
+
+@register_q(26)
+def q26(spark: SparkSession, tables: Tables, *, category="Books",
+        min_items=5) -> dict:
+    """K-Means over per-class purchase counts for `category` buyers
+    (reference q26:30-87: one-hot i_class_id 1..15, HAVING count ≥ 5)."""
+    item = tables("item", ["i_item_sk", "i_class_id", "i_category"]).filter(
+        F.col("i_category") == category)
+    ss = tables("store_sales", ["ss_customer_sk", "ss_item_sk"],
+                broadcast=False).filter(F.col("ss_customer_sk").isNotNull())
+    j = ss.join(item, ss.ss_item_sk == item.i_item_sk).select(
+        "ss_customer_sk", "i_class_id")
+    class_ids = list(range(1, 16))
+    piv = (
+        j.groupBy("ss_customer_sk")
+        .pivot("i_class_id", class_ids)
+        .count()
+        .na.fill(0)
+    )
+    total = sum((F.col(str(c)) for c in class_ids[1:]),
+                F.col(str(class_ids[0])))
+    feats = piv.withColumn("total", total.cast("double")).filter(
+        F.col("total") >= min_items)
+    for c in class_ids:
+        feats = feats.withColumn(f"id{c}", F.col(str(c)).cast("double")).drop(
+            str(c))
+    return _kmeans_payload(
+        spark, feats, [f"id{c}" for c in class_ids], "ss_customer_sk")
+
+
+@register_q(27)
+def q27(spark: SparkSession, tables: Tables, *, item_sk=10002) -> DataFrame:
+    """Competitor (ORG) extraction from reviews of `item_sk` (reference
+    q27:64-71 via spaCy en_core_web_sm). spaCy is not in this container:
+    falls back to a deterministic capitalized-sequence heuristic NER —
+    clearly marked; swap in the spaCy pipe for model parity (the reference
+    itself never verifies q27, utils.py:648-650)."""
+    reviews = tables("product_reviews",
+                     ["pr_review_sk", "pr_item_sk", "pr_review_content"],
+                     broadcast=False).filter(F.col("pr_item_sk") == item_sk)
+    from gpu_bdb_spark.operators.text import sentences as split_sentences
+
+    sent = split_sentences(
+        reviews.select("pr_review_sk", F.col("pr_review_content").alias("c")),
+        "c", "pr_review_sk").join(
+        reviews.select("pr_review_sk", "pr_item_sk"), "pr_review_sk")
+    try:  # pragma: no cover - spaCy unavailable in this environment
+        import spacy  # noqa: F401
+
+        raise NotImplementedError(
+            "spaCy present: wire mapInPandas NER here for model parity")
+    except ImportError:
+        # HEURISTIC STUB: maximal runs of Capitalized tokens, excluding
+        # sentence-initial single words — deterministic and dependency-free.
+        orgs = F.expr(
+            r"filter(regexp_extract_all(sentence, "
+            r"'([A-Z][a-zA-Z0-9]+(?: [A-Z][a-zA-Z0-9]+)+)', 1), x -> x != '')")
+    return (
+        sent.select(
+            "pr_review_sk",
+            F.lit(item_sk).cast("long").alias("pr_item_sk"),
+            F.explode(orgs).alias("company_name"),
+            "sentence")
+        .distinct()
+        .orderBy("pr_review_sk", "company_name")
+    )
+
+
+@register_q(28)
+def q28(spark: SparkSession, tables: Tables) -> dict:
+    """Naive Bayes sentiment classifier over review text (reference
+    q28_utils.py:63-103, 260-301): rating<3 → NEG, 3 → NEUT, >3 → POS;
+    90/10 split; HashingTF + multinomial NB."""
+    from gpu_bdb_spark.functions import tokenize
+    from gpu_bdb_spark.operators.ml import naive_bayes_text_fit
+
+    reviews = tables("product_reviews",
+                     ["pr_review_sk", "pr_review_rating",
+                      "pr_review_content"], broadcast=False).filter(
+        F.col("pr_review_content").isNotNull()
+        & F.col("pr_review_rating").isNotNull())
+    labeled = reviews.withColumn(
+        "sentiment",
+        F.when(F.col("pr_review_rating") < 3, "NEG")
+        .when(F.col("pr_review_rating") == 3, "NEUT")
+        .otherwise("POS"),
+    ).withColumn("tokens", tokenize(F.lower(F.col("pr_review_content"))))
+    model, pred, accuracy = naive_bayes_text_fit(
+        labeled, "tokens", "sentiment", num_features=2**18, smoothing=0.001)
+    predictions = pred.select(
+        "pr_review_sk", "sentiment",
+        F.col("prediction").cast("long").alias("predicted_label"))
+    return {"predictions": predictions, "accuracy": float(accuracy)}
+
+
+@register_q(29)
+def q29(spark: SparkSession, tables: Tables, *, limit=100) -> DataFrame:
+    """Category pairs co-purchased in the same web order
+    (reference q29:58-126)."""
+    item = tables("item", ["i_item_sk", "i_category_id"]).filter(
+        F.col("i_category_id").isNotNull())
+    ws = tables("web_sales", ["ws_order_number", "ws_item_sk"],
+                broadcast=False)
+    baskets = ws.join(item, ws.ws_item_sk == item.i_item_sk).select(
+        "ws_order_number", "i_category_id")
+    pairs = pair_counts(baskets, "ws_order_number", "i_category_id",
+                        "category_id")
+    return (
+        pairs.select(
+            F.col("category_id_1").alias("category_id_1"),
+            F.col("category_id_2").alias("category_id_2"),
+            "cnt")
+        .orderBy(F.desc("cnt"), "category_id_1", "category_id_2")
+        .limit(limit)
+    )
+
+
+@register_q(30)
+def q30(spark: SparkSession, tables: Tables, *, timeout_s=3600,
+        limit=40) -> DataFrame:
+    """Category pairs co-viewed in the same session (reference
+    q30:63-143: sessionize → distinct (user, session, category) → pairs)."""
+    item = tables("item", ["i_item_sk", "i_category_id"]).filter(
+        F.col("i_category_id").isNotNull())
+    wcs = tables("web_clickstreams",
+                 ["wcs_user_sk", "wcs_click_date_sk", "wcs_click_time_sk",
+                  "wcs_item_sk"], broadcast=False)
+    clicks = (
+        wcs.filter(F.col("wcs_user_sk").isNotNull()
+                   & F.col("wcs_item_sk").isNotNull())
+        .join(item, F.col("wcs_item_sk") == item.i_item_sk)
+        .withColumn("ts", F.timestamp_seconds(
+            click_timestamp("wcs_click_date_sk", "wcs_click_time_sk")))
+        .select("wcs_user_sk", "ts", "i_category_id", "wcs_item_sk")
+    )
+    sess = sessionize(clicks, "wcs_user_sk", "ts", timeout_s,
+                      tiebreak_col="wcs_item_sk")
+    session_cats = sess.select(
+        F.concat_ws("_", "wcs_user_sk", "session_seq").alias("session_key"),
+        "i_category_id").distinct()
+    pairs = pair_counts(session_cats, "session_key", "i_category_id",
+                        "category_id")
+    return (
+        pairs.orderBy(F.desc("cnt"), "category_id_1", "category_id_2")
+        .limit(limit)
+    )

@@ -36,6 +36,10 @@ TUNED_CONF: dict[str, str] = {
     # Arrow transfer for the few pandas-UDF operators (NER stub, multimodal).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # Classic (non-ANSI) SQL semantics: the reference computes in permissive
+    # float64 (x/0 → inf/NaN scrubbed explicitly, q20:30-43); ANSI aborts
+    # whole 100 TB jobs on a single bad row.
+    "spark.sql.ansi.enabled": "false",
     # events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
     # read as epoch-nanos long and convert in io.read_table (integer
     # division — a double roundtrip would lose precision at 1e18 ns).
@@ -88,6 +92,7 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     deterministic epoch arithmetic, so set them defensively.
     """
     for key in (
+        "spark.sql.ansi.enabled",
         "spark.sql.legacy.parquet.nanosAsLong",
         "spark.sql.session.timeZone",
         "spark.sql.adaptive.enabled",
