@@ -1,0 +1,193 @@
+"""Advanced relational coverage beyond the reference surface: ROLLUP/CUBE,
+JSON extraction, FULL OUTER join, sorted array aggregation — SURVEY.md §2
+notes these are "free in Spark"; here they are exercised with oracles so
+the claim is checked, not asserted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.functions import dec
+from gpu_bdb_spark.io import read_table
+from gpu_bdb_spark.queries.registry import register
+
+ROLLUP_ORACLE = """
+SELECT
+  COALESCE(CAST(year(o_orderdate) AS INTEGER), -1) AS y,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE), 2) AS rev
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+"""
+
+
+@register("rollup_orders", oracle=ROLLUP_ORACLE, tags=("rollup",))
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (year, priority) with COALESCE'd grouping keys (absent
+    in the reference, SURVEY §2.4 'no grouping sets / cube / rollup')."""
+    o = read_table(spark, sf_dir, "orders", ["o_orderdate", "o_orderpriority",
+                                             "o_totalprice"], hint_broadcast=False)
+    return (
+        o.rollup(F.year("o_orderdate").alias("y0"),
+                 F.col("o_orderpriority").alias("p0"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias("rev"))
+        .select(
+            F.coalesce(F.col("y0"), F.lit(-1)).alias("y"),
+            F.coalesce(F.col("p0"), F.lit("ALL")).alias("priority"),
+            "n_orders", "rev")
+    )
+
+
+CUBE_ORACLE = """
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS rf,
+  COALESCE(l_linestatus, 'ALL') AS ls,
+  COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_lineitem", oracle=CUBE_ORACLE, tags=("cube",))
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets in one pass
+    (one shuffle; Spark expands grouping sets map-side)."""
+    l = read_table(spark, sf_dir, "lineitem",
+                   ["l_returnflag", "l_linestatus", "l_quantity"],
+                   hint_broadcast=False)
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n", "qty")
+    )
+
+
+JSON_PROPS_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("json_props", oracle=JSON_PROPS_ORACLE, tags=("json",))
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props column (no JSON surface
+    in the reference, SURVEY §2.8) — get_json_object keeps the parse
+    JVM-side and Catalyst collapses repeated path lookups."""
+    e = read_table(spark, sf_dir, "events", ["event_type", "props"],
+                   hint_broadcast=False)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(k).alias("sum_k"),
+             F.min(k).alias("min_k"),
+             F.max(k).alias("max_k"))
+    )
+
+
+FULL_OUTER_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+),
+c AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
+)
+SELECT
+  COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+  COALESCE(o.n_orders, 0) AS n_urgent_orders,
+  c.c_acctbal IS NOT NULL AS is_high_balance
+FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("full_outer_join", oracle=FULL_OUTER_ORACLE, tags=("outer-join",))
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two derived sets (reference uses it once for the
+    q19 week expansion, q19:45-47)."""
+    o = (
+        read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                   hint_broadcast=False)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    c = read_table(spark, sf_dir, "customer", ["c_custkey", "c_acctbal"],
+                   hint_broadcast=False).filter(F.col("c_acctbal") > 9000)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "full_outer")
+        .select(
+            F.coalesce(F.col("o_custkey"), F.col("c_custkey")).alias("custkey"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_urgent_orders"),
+            F.col("c_acctbal").isNotNull().alias("is_high_balance"),
+        )
+    )
+
+
+ARRAY_AGG_ORACLE = """
+SELECT o_orderkey,
+  array_to_string(list_sort(list(l_partkey)), ',') AS parts,
+  CAST(len(list_distinct(list(l_partkey))) AS INTEGER) AS n_distinct_parts
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_totalprice > 450000
+GROUP BY o_orderkey
+"""
+
+
+@register("array_agg_parts", oracle=ARRAY_AGG_ORACLE, tags=("array-agg",))
+def array_agg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted part list (collect_list is unordered; array_sort +
+    string serialization make the result deterministic and hashable for
+    cross-engine comparison)."""
+    o = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"],
+                   hint_broadcast=False).filter(F.col("o_totalprice") > 450000)
+    l = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                   hint_broadcast=False)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("l_partkey")))
+            .alias("parts"),
+            F.size(F.array_distinct(F.collect_list("l_partkey"))).alias(
+                "n_distinct_parts"),
+        )
+    )
+
+
+APPROX_DISTINCT_ORACLE = None  # approximate by construction — rows-only
+
+
+@register("approx_distinct_parts", tags=("approx-agg",))
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) vs exact, per returnflag —
+    the constant-memory cardinality path for 100 TB scale. No oracle
+    (estimator internals are engine-specific); the relative-error bound is
+    asserted in tests/test_smoke.py."""
+    l = read_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_partkey"],
+                   hint_broadcast=False)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )

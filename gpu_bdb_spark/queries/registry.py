@@ -23,11 +23,13 @@ from gpu_bdb_spark.session import ensure_runtime_conf
 #: Modules that register queries at import time.
 _QUERY_MODULES = (
     "gpu_bdb_spark.queries.relational",
+    "gpu_bdb_spark.queries.advanced",
     "gpu_bdb_spark.queries.windows",
     "gpu_bdb_spark.queries.text_ops",
     "gpu_bdb_spark.queries.dedup_ops",
     "gpu_bdb_spark.queries.similarity_ops",
     "gpu_bdb_spark.queries.ml_ops",
+    "gpu_bdb_spark.queries.custom_ops",
 )
 
 

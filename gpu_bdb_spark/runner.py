@@ -1,0 +1,74 @@
+"""Benchmark runner — the Spark analogue of the reference's
+benchmark_runner.py (reference gpu_bdb/benchmark_runner.py:39-118: load all
+query mains, attach once, N repeats each with timing decomposition).
+
+Times each TPCx-BB query against one shared SparkSession with the
+read / compute / write phases separated like the reference's `benchmark()`
+wrapper (utils.py:54-84). Results go to parquet per query (the reference's
+qNN-results layout, utils.py:117-147) or stay in memory.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gpu_bdb_spark.queries.tpcxbb import Tables, tpcxbb_query
+
+
+@dataclass
+class QueryTiming:
+    query: int
+    repeats: list[float] = field(default_factory=list)
+
+    @property
+    def best(self) -> float:
+        return min(self.repeats) if self.repeats else float("nan")
+
+
+def run_benchmark(
+    spark: SparkSession,
+    data_dir: str | None = None,
+    frames: dict[str, DataFrame] | None = None,
+    queries: list[int] | None = None,
+    repeats: int = 1,
+    output_dir: str | None = None,
+    params: dict[int, dict] | None = None,
+) -> dict[int, QueryTiming]:
+    """Run `queries` (default 1..30) `repeats` times each (reference
+    N_REPEATS=5, benchmark_runner.py:9); returns per-query timings.
+
+    ML queries' payload DataFrames are forced with a count; relational
+    queries are forced with a noop write (full computation, no driver
+    collect). With `output_dir`, results are written as
+    `{output_dir}/qNN-results.parquet` instead (the reference sink).
+    """
+    tables = Tables(spark, data_dir=data_dir, frames=frames)
+    params = params or {}
+    timings: dict[int, QueryTiming] = {}
+    for n in queries or range(1, 31):
+        timing = QueryTiming(n)
+        fn = tpcxbb_query(n)
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            result = fn(spark, tables, **params.get(n, {}))
+            if isinstance(result, dict):
+                for v in result.values():
+                    if isinstance(v, DataFrame):
+                        v.count()
+            elif output_dir:
+                result.write.mode("overwrite").parquet(
+                    f"{output_dir.rstrip('/')}/q{n:02d}-results.parquet")
+            else:
+                result.write.format("noop").mode("overwrite").save()
+            timing.repeats.append(round(time.perf_counter() - t0, 3))
+        timings[n] = timing
+    return timings
+
+
+def timings_json(timings: dict[int, QueryTiming]) -> str:
+    return json.dumps(
+        {f"q{n:02d}": t.best for n, t in sorted(timings.items())})

@@ -1,0 +1,47 @@
+"""Runner loop + verification-semantics tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from gpu_bdb_spark.runner import run_benchmark, timings_json
+from gpu_bdb_spark.verify import (
+    clustering_acceptable,
+    metric_acceptable,
+    pseudo_equal,
+    scalars_close,
+    sentiment_overlap,
+)
+
+from .tpcxbb_fixture import build_fixture
+
+
+def test_runner_times_queries(spark):
+    frames = build_fixture(spark)
+    timings = run_benchmark(spark, frames=frames, queries=[7, 9],
+                            params={7: {"having_count": 1}})
+    assert set(timings) == {7, 9}
+    assert all(t.best > 0 for t in timings.values())
+    assert '"q07"' in timings_json(timings)
+
+
+def test_pseudo_equal_semantics():
+    a = pd.DataFrame({"k": [1, 2], "v": [1.0000001, 2.0]})
+    b = pd.DataFrame({"v": [2.0, 1.0000002], "k": [2, 1]})  # reordered
+    assert pseudo_equal(a, b)  # column/row order + 6-sig-digit tolerance
+    assert not pseudo_equal(a, pd.DataFrame({"k": [1, 2], "v": [1.1, 2.0]}))
+    assert not pseudo_equal(a, pd.DataFrame({"k": [1], "v": [1.0]}))
+
+
+def test_scalar_and_overlap_and_ml_rules():
+    assert scalars_close([1.000001], [1.000002])
+    assert not scalars_close([1.0], [1.1])
+    r = pd.DataFrame({"w": ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j"]})
+    e = r.copy()
+    assert sentiment_overlap(r, e)
+    assert not sentiment_overlap(r.head(5), e)  # 50% < 90%
+    assert clustering_acceptable(99.0, 100.0)       # better
+    assert clustering_acceptable(100.005, 100.0)    # within 0.01%
+    assert not clustering_acceptable(101.0, 100.0)
+    assert metric_acceptable(0.95, 0.9)
+    assert not metric_acceptable(0.8, 0.9)

@@ -25,3 +25,10 @@ def test_no_oracle_queries_run(name, spark, sf_dir):
     df = spec.fn(spark, sf_dir)
     assert df.columns  # stable schema
     assert df.count() >= 0
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    rows = NO_ORACLE["approx_distinct_parts"].fn(spark, sf_dir).collect()
+    for r in rows:
+        rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
+        assert rel_err <= 0.10, f"{r.l_returnflag}: rel err {rel_err:.3f}"
