@@ -81,3 +81,26 @@ def load_word_list(
         .withColumn("sentiment", F.lit(sentiment))
     )
     return F.broadcast(words)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (+optionally sorted) catalog table.
+
+    Bucketing pre-shuffles the data ONCE at write time; subsequent joins
+    and aggregations on the bucket columns read co-located partitions and
+    skip their Exchange entirely — the durable version of the reference's
+    hand-placed `shuffle(on=[...])` (q02:104, q29:85). At 100 TB, bucket
+    the fact tables on their dominant join key and every downstream query
+    saves that shuffle. Verified by plan in tests/test_plans.py.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

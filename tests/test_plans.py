@@ -56,3 +56,34 @@ def test_sessionize_single_shuffle_for_window(spark, sf_dir):
     plan = formatted_plan(sessionize(e, "user_id", "ts", 3600, "event_id"))
     # both window expressions share one partitioning: exactly one exchange
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_bucketed_join_skips_exchange(spark, sf_dir, tmp_path_factory):
+    """Bucketing both join sides on the key removes the per-query shuffle
+    (the scale story for repeated fact-fact joins)."""
+    import re
+
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.sources import write_bucketed
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    assert warehouse  # in-memory catalog + local warehouse dir
+    o = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"],
+                   hint_broadcast=False)
+    l = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
+                   hint_broadcast=False)
+    write_bucketed(o, "orders_b", ["o_orderkey"], 4)
+    write_bucketed(l, "lineitem_b", ["l_orderkey"], 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try:
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        plan = formatted_plan(
+            ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            .groupBy("o_orderkey").count())
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

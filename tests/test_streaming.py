@@ -80,3 +80,40 @@ def test_streaming_sessionize_matches_batch_sessionize(spark, events_stream):
         .sort_index()
     )
     assert (stream_per_user == batch_per_user).all()
+
+
+def test_stateful_running_counts_match_batch(spark, events_stream):
+    """applyInPandasWithState running totals: the FINAL update per user
+    must equal the batch aggregate over the whole input."""
+    from gpu_bdb_spark.streaming.stateful import running_user_stats
+
+    batch, stream = events_stream
+    got = _run_to_memory_update(spark, running_user_stats(
+        stream.filter(F.col("user_id").isNotNull())), "stateful")
+    # update mode emits one row per user per micro-batch; keep the last
+    final = got.sort_values("n_events").groupby("user_id").tail(1)
+    expect = (
+        batch.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"))
+        .toPandas()
+    )
+    f = final.set_index("user_id").sort_index()
+    e = expect.set_index("user_id").sort_index()
+    assert (f["n_events"] == e["n_events"]).all()
+    assert (abs(f["total_value"] - e["total_value"]) < 1e-6).all()
+
+
+def _run_to_memory_update(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).toPandas()
+    q.stop()
+    return out

@@ -101,3 +101,31 @@ def test_q23_cov_months_are_consecutive(spark, tables):
     assert rows, "fixture engineered high-variance inventory pairs"
     assert all(r.d_moy == 1 for r in rows)
     assert all(r.cov >= 1.3 and r.cov_consecutive >= 1.3 for r in rows)
+
+
+def test_tables_from_parquet_data_dir(spark, tables, tmp_path_factory):
+    """The production Tables path: fixture written as parquet in the
+    reference layout ({data_dir}/{table}/), read back with explicit
+    schemas, and a query produces identical results to the in-memory
+    path."""
+    data_dir = str(tmp_path_factory.mktemp("tpcxbb_parquet"))
+    for name in ("store_sales", "item", "date_dim", "customer",
+                 "customer_address"):
+        tables(name, broadcast=False).write.mode("overwrite").parquet(
+            f"{data_dir}/{name}")
+    pq_tables = Tables(spark, data_dir=data_dir)
+    mem = tpcxbb_query(7)(spark, tables, having_count=1).collect()
+    pq = tpcxbb_query(7)(spark, pq_tables, having_count=1).collect()
+    assert sorted(map(tuple, mem)) == sorted(map(tuple, pq))
+
+
+def test_pair_counts_variants_agree(spark, tables):
+    from gpu_bdb_spark.operators.pairs import pair_counts, pair_counts_compact
+
+    ss = tables("store_sales", ["ss_ticket_number", "ss_item_sk"],
+                broadcast=False)
+    a = {(r.item_sk_1, r.item_sk_2, r.cnt) for r in pair_counts(
+        ss, "ss_ticket_number", "ss_item_sk", "item_sk").collect()}
+    b = {(r.item_sk_1, r.item_sk_2, r.cnt) for r in pair_counts_compact(
+        ss, "ss_ticket_number", "ss_item_sk", "item_sk").collect()}
+    assert a == b and a
