@@ -1,0 +1,339 @@
+"""TPCx-BB query results vs independent DuckDB oracles on the same fixture
+data (written to parquet once, read by both engines). Comparison uses the
+reference's own pseudo-equality semantics (verify.pseudo_equal: order
+insensitive, ~6 significant digits) — the strongest parity statement we can
+make without the official kit's golden outputs.
+
+Covers the SQL-expressible subset; sessionization/text/ML queries are
+verified semantically in test_tpcxbb.py / test_runner_verify.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from gpu_bdb_spark.queries.tpcxbb import Tables, tpcxbb_query
+from gpu_bdb_spark.schemas import ALL_TABLES
+from gpu_bdb_spark.verify import pseudo_equal
+
+from .tpcxbb_fixture import build_fixture
+
+AMOUNT = ("(ws_ext_list_price - ws_ext_wholesale_cost - ws_ext_discount_amt"
+          " + ws_ext_sales_price) / 2")
+SS_AMOUNT = ("(ss_ext_list_price - ss_ext_wholesale_cost - ss_ext_discount_amt"
+             " + ss_ext_sales_price) / 2")
+
+ORACLES: dict[int, tuple[str, dict]] = {
+    1: ("""
+WITH baskets AS (
+  SELECT DISTINCT ss.ss_ticket_number, ss.ss_item_sk
+  FROM store_sales ss JOIN item i ON ss.ss_item_sk = i.i_item_sk
+  WHERE ss.ss_store_sk IN (10,20,33,40,50) AND i.i_category_id IN (1,2,3)
+)
+SELECT a.ss_item_sk AS item_sk_1, b.ss_item_sk AS item_sk_2, COUNT(*) AS cnt
+FROM baskets a JOIN baskets b
+  ON a.ss_ticket_number = b.ss_ticket_number AND a.ss_item_sk < b.ss_item_sk
+GROUP BY 1, 2
+""", {"min_count": 0, "limit": 10_000}),
+    6: ("""
+WITH ws_y AS (
+  SELECT ws_bill_customer_sk AS customer_sk,
+    CAST(SUM(CASE WHEN d_year = 2001 THEN {A} ELSE 0 END) AS DOUBLE) AS wf,
+    CAST(SUM(CASE WHEN d_year = 2002 THEN {A} ELSE 0 END) AS DOUBLE) AS ws2
+  FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+  WHERE d_year IN (2001, 2002) GROUP BY 1
+),
+ss_y AS (
+  SELECT ss_customer_sk AS customer_sk,
+    CAST(SUM(CASE WHEN d_year = 2001 THEN {S} ELSE 0 END) AS DOUBLE) AS sf,
+    CAST(SUM(CASE WHEN d_year = 2002 THEN {S} ELSE 0 END) AS DOUBLE) AS ss2
+  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE d_year IN (2001, 2002) GROUP BY 1
+)
+SELECT w.ws2 / w.wf AS web_sales_increase_ratio,
+       c.c_customer_sk, c.c_first_name, c.c_last_name,
+       c.c_preferred_cust_flag, c.c_birth_country, c.c_login,
+       c.c_email_address
+FROM ws_y w JOIN ss_y s ON w.customer_sk = s.customer_sk
+JOIN customer c ON w.customer_sk = c.c_customer_sk
+WHERE w.wf > 0 AND s.sf > 0
+ORDER BY web_sales_increase_ratio DESC, c.c_customer_sk
+LIMIT 100
+""".replace("{A}", AMOUNT).replace("{S}", SS_AMOUNT), {}),
+    7: ("""
+WITH avg_p AS (
+  SELECT i_category, AVG(i_current_price) AS ap FROM item GROUP BY 1
+),
+pricey AS (
+  SELECT i.i_item_sk FROM item i JOIN avg_p a ON i.i_category = a.i_category
+  WHERE i.i_current_price > a.ap * 1.2
+)
+SELECT ca.ca_state, COUNT(*) AS cnt
+FROM store_sales ss
+JOIN date_dim d ON ss.ss_sold_date_sk = d.d_date_sk
+ AND d.d_year = 2004 AND d.d_moy = 7
+JOIN pricey p ON ss.ss_item_sk = p.i_item_sk
+JOIN customer c ON ss.ss_customer_sk = c.c_customer_sk
+JOIN customer_address ca ON c.c_current_addr_sk = ca.ca_address_sk
+WHERE ca.ca_state IS NOT NULL
+GROUP BY 1 HAVING COUNT(*) >= 1
+ORDER BY cnt DESC, ca_state LIMIT 10
+""", {"having_count": 1}),
+    9: ("""
+SELECT CAST(SUM(ss_quantity) AS BIGINT) AS "sum(ss_quantity)"
+FROM store_sales ss
+JOIN date_dim d ON ss.ss_sold_date_sk = d.d_date_sk AND d.d_year = 2001
+JOIN customer_demographics cd ON ss.ss_cdemo_sk = cd.cd_demo_sk
+JOIN customer_address ca ON ss.ss_addr_sk = ca.ca_address_sk
+WHERE (
+ (cd.cd_marital_status = 'M' AND cd.cd_education_status = '4 yr Degree'
+  AND ss.ss_sales_price BETWEEN 100 AND 150
+  AND ca.ca_country = 'United States' AND ca.ca_state IN ('KY','GA','NM')
+  AND ss.ss_net_profit BETWEEN 0 AND 2000)
+ OR
+ (cd.cd_marital_status = 'M' AND cd.cd_education_status = '4 yr Degree'
+  AND ss.ss_sales_price BETWEEN 50 AND 200
+  AND ca.ca_country = 'United States' AND ca.ca_state IN ('MT','OR','IN')
+  AND ss.ss_net_profit BETWEEN 150 AND 3000)
+ OR
+ (cd.cd_marital_status = 'M' AND cd.cd_education_status = '4 yr Degree'
+  AND ss.ss_sales_price BETWEEN 150 AND 200
+  AND ca.ca_country = 'United States' AND ca.ca_state IN ('WI','MO','WV')
+  AND ss.ss_net_profit BETWEEN 50 AND 25000)
+)
+""", {}),
+    12: ("""
+WITH cat_items AS (
+  SELECT i_item_sk FROM item WHERE i_category IN ('Books','Electronics')
+),
+clicks AS (
+  SELECT DISTINCT wcs_user_sk, wcs_click_date_sk
+  FROM web_clickstreams
+  WHERE wcs_user_sk IS NOT NULL AND wcs_item_sk IS NOT NULL
+    AND wcs_sales_sk IS NULL
+    AND wcs_click_date_sk BETWEEN 37134 AND 37164
+    AND wcs_item_sk IN (SELECT i_item_sk FROM cat_items)
+),
+sales AS (
+  SELECT DISTINCT ss_customer_sk, ss_sold_date_sk
+  FROM store_sales
+  WHERE ss_customer_sk IS NOT NULL
+    AND ss_sold_date_sk BETWEEN 37134 AND 37224
+    AND ss_item_sk IN (SELECT i_item_sk FROM cat_items)
+)
+SELECT DISTINCT c.wcs_user_sk
+FROM clicks c JOIN sales s
+  ON c.wcs_user_sk = s.ss_customer_sk
+ AND c.wcs_click_date_sk < s.ss_sold_date_sk
+ORDER BY wcs_user_sk
+""", {}),
+    13: ("""
+WITH s AS (
+  SELECT ss_customer_sk AS c_customer_sk,
+    CAST(SUM(CASE WHEN d_year = 2001 THEN ss_net_paid ELSE 0 END) AS DOUBLE) AS f,
+    CAST(SUM(CASE WHEN d_year = 2002 THEN ss_net_paid ELSE 0 END) AS DOUBLE) AS s2
+  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE d_year IN (2001, 2002) GROUP BY 1 HAVING SUM(CASE WHEN d_year = 2001 THEN ss_net_paid ELSE 0 END) > 0
+),
+w AS (
+  SELECT ws_bill_customer_sk AS c_customer_sk,
+    CAST(SUM(CASE WHEN d_year = 2001 THEN ws_net_paid ELSE 0 END) AS DOUBLE) AS f,
+    CAST(SUM(CASE WHEN d_year = 2002 THEN ws_net_paid ELSE 0 END) AS DOUBLE) AS s2
+  FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+  WHERE d_year IN (2001, 2002) GROUP BY 1 HAVING SUM(CASE WHEN d_year = 2001 THEN ws_net_paid ELSE 0 END) > 0
+)
+SELECT s.c_customer_sk, c.c_first_name, c.c_last_name,
+       s.s2 / s.f AS "storeSalesIncreaseRatio",
+       w.s2 / w.f AS "webSalesIncreaseRatio"
+FROM s JOIN w ON s.c_customer_sk = w.c_customer_sk
+JOIN customer c ON s.c_customer_sk = c.c_customer_sk
+WHERE w.s2 / w.f > s.s2 / s.f
+ORDER BY "webSalesIncreaseRatio" DESC, s.c_customer_sk, c.c_first_name,
+         c.c_last_name
+LIMIT 100
+""", {}),
+    14: ("""
+WITH j AS (
+  SELECT t.t_hour
+  FROM web_sales ws
+  JOIN household_demographics hd
+    ON ws.ws_ship_hdemo_sk = hd.hd_demo_sk AND hd.hd_dep_count = 5
+  JOIN web_page wp
+    ON ws.ws_web_page_sk = wp.wp_web_page_sk
+   AND wp.wp_char_count BETWEEN 5000 AND 6000
+  JOIN time_dim t ON ws.ws_sold_time_sk = t.t_time_sk
+)
+SELECT CASE WHEN SUM(CASE WHEN t_hour BETWEEN 19 AND 20 THEN 1 ELSE 0 END) > 0
+  THEN CAST(SUM(CASE WHEN t_hour BETWEEN 7 AND 8 THEN 1 ELSE 0 END) AS DOUBLE)
+       / SUM(CASE WHEN t_hour BETWEEN 19 AND 20 THEN 1 ELSE 0 END)
+  ELSE -1.0 END AS am_pm_ratio
+FROM j
+""", {}),
+    16: ("""
+WITH dd AS (
+  SELECT d_date_sk,
+         date_diff('day', DATE '1970-01-01', CAST(d_date AS DATE)) AS d_days
+  FROM date_dim
+  WHERE date_diff('day', DATE '1970-01-01', CAST(d_date AS DATE))
+        BETWEEN date_diff('day', DATE '1970-01-01', DATE '2001-03-16') - 30
+            AND date_diff('day', DATE '1970-01-01', DATE '2001-03-16') + 30
+)
+SELECT w.w_state, i.i_item_id,
+  CAST(SUM(CASE WHEN dd.d_days < date_diff('day', DATE '1970-01-01', DATE '2001-03-16')
+       THEN ws.ws_sales_price - COALESCE(wr.wr_refunded_cash, 0) ELSE 0 END)
+       AS DOUBLE) AS sales_before,
+  CAST(SUM(CASE WHEN dd.d_days >= date_diff('day', DATE '1970-01-01', DATE '2001-03-16')
+       THEN ws.ws_sales_price - COALESCE(wr.wr_refunded_cash, 0) ELSE 0 END)
+       AS DOUBLE) AS sales_after
+FROM web_sales ws
+JOIN dd ON ws.ws_sold_date_sk = dd.d_date_sk
+LEFT JOIN web_returns wr
+  ON ws.ws_order_number = wr.wr_order_number AND ws.ws_item_sk = wr.wr_item_sk
+JOIN item i ON ws.ws_item_sk = i.i_item_sk
+JOIN warehouse w ON ws.ws_warehouse_sk = w.w_warehouse_sk
+GROUP BY 1, 2
+ORDER BY 1, 2 LIMIT 100
+""", {}),
+    17: ("""
+WITH f AS (
+  SELECT COALESCE(p.p_channel_email, 'None') AS e,
+         COALESCE(p.p_channel_dmail, 'None') AS dm,
+         COALESCE(p.p_channel_tv, 'None') AS tv,
+         ss.ss_ext_sales_price AS price
+  FROM store_sales ss
+  JOIN date_dim d ON ss.ss_sold_date_sk = d.d_date_sk
+   AND d.d_year = 2001 AND d.d_moy = 12
+  JOIN promotion p ON ss.ss_promo_sk = p.p_promo_sk
+  JOIN customer c ON ss.ss_customer_sk = c.c_customer_sk
+  WHERE ss.ss_store_sk IN
+      (SELECT s_store_sk FROM store WHERE s_gmt_offset = -5.0)
+    AND c.c_current_addr_sk IN
+      (SELECT ca_address_sk FROM customer_address WHERE ca_gmt_offset = -5.0)
+),
+g AS (
+  SELECT e, dm, tv, CAST(SUM(price) AS DOUBLE) AS total FROM f GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(CASE WHEN dm = 'Y' OR e = 'Y' OR tv = 'Y' THEN total
+                ELSE 0 END) AS DOUBLE) AS promotional,
+       CAST(SUM(total) AS DOUBLE) AS total,
+       CASE WHEN SUM(total) > 0
+            THEN SUM(CASE WHEN dm = 'Y' OR e = 'Y' OR tv = 'Y' THEN total
+                     ELSE 0 END) * 100.0 / SUM(total)
+            ELSE 0.0 END AS promo_percent
+FROM g
+""", {}),
+    21: ("""
+SELECT i.i_item_id, i.i_item_desc, st.s_store_id, st.s_store_name,
+  CAST(SUM(ss.ss_quantity) AS BIGINT) AS store_sales_quantity,
+  CAST(SUM(sr.sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+  CAST(SUM(ws.ws_quantity) AS BIGINT) AS web_sales_quantity
+FROM store_sales ss
+JOIN date_dim d1 ON ss.ss_sold_date_sk = d1.d_date_sk
+ AND d1.d_year = 2003 AND d1.d_moy = 1
+JOIN store_returns sr
+  ON ss.ss_item_sk = sr.sr_item_sk AND ss.ss_customer_sk = sr.sr_customer_sk
+ AND ss.ss_ticket_number = sr.sr_ticket_number
+JOIN date_dim d2 ON sr.sr_returned_date_sk = d2.d_date_sk
+ AND d2.d_year = 2003 AND d2.d_moy BETWEEN 1 AND 7
+JOIN web_sales ws
+  ON sr.sr_item_sk = ws.ws_item_sk
+ AND sr.sr_customer_sk = ws.ws_bill_customer_sk
+JOIN date_dim d3 ON ws.ws_sold_date_sk = d3.d_date_sk
+ AND d3.d_year BETWEEN 2003 AND 2005
+JOIN store st ON ss.ss_store_sk = st.s_store_sk
+JOIN item i ON ss.ss_item_sk = i.i_item_sk
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2, 3, 4 LIMIT 100
+""", {}),
+    22: ("""
+WITH dd AS (
+  SELECT d_date_sk,
+         date_diff('day', DATE '1970-01-01', CAST(d_date AS DATE)) AS d_days
+  FROM date_dim
+),
+pvt AS (SELECT date_diff('day', DATE '1970-01-01', DATE '2001-02-01') AS p)
+SELECT w.w_warehouse_name, i.i_item_id,
+  CAST(SUM(CASE WHEN dd.d_days < pvt.p THEN inv.inv_quantity_on_hand
+           ELSE 0 END) AS BIGINT) AS inv_before,
+  CAST(SUM(CASE WHEN dd.d_days >= pvt.p THEN inv.inv_quantity_on_hand
+           ELSE 0 END) AS BIGINT) AS inv_after
+FROM inventory inv
+JOIN dd ON inv.inv_date_sk = dd.d_date_sk
+CROSS JOIN pvt
+JOIN item i ON inv.inv_item_sk = i.i_item_sk
+ AND i.i_current_price BETWEEN 0.98 AND 1.5
+JOIN warehouse w ON inv.inv_warehouse_sk = w.w_warehouse_sk
+WHERE dd.d_days BETWEEN pvt.p - 30 AND pvt.p + 30
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN dd.d_days < pvt.p THEN inv.inv_quantity_on_hand
+           ELSE 0 END) > 0
+   AND CAST(SUM(CASE WHEN dd.d_days >= pvt.p THEN inv.inv_quantity_on_hand
+            ELSE 0 END) AS DOUBLE)
+       / SUM(CASE WHEN dd.d_days < pvt.p THEN inv.inv_quantity_on_hand
+             ELSE 0 END) BETWEEN 2.0/3.0 AND 3.0/2.0
+ORDER BY 1, 2 LIMIT 100
+""", {"pivot_date": "2001-02-01"}),
+    23: ("""
+WITH cov AS (
+  SELECT inv_warehouse_sk, inv_item_sk, d_moy,
+         AVG(inv_quantity_on_hand) AS m,
+         STDDEV_SAMP(inv_quantity_on_hand) AS s
+  FROM inventory JOIN date_dim ON inv_date_sk = d_date_sk
+  WHERE d_year = 2001 AND d_moy BETWEEN 1 AND 2
+  GROUP BY 1, 2, 3
+  HAVING AVG(inv_quantity_on_hand) > 0
+     AND STDDEV_SAMP(inv_quantity_on_hand) / AVG(inv_quantity_on_hand) >= 1.3
+)
+SELECT a.inv_warehouse_sk, a.inv_item_sk, a.d_moy,
+       a.s / a.m AS cov, b.s / b.m AS cov_consecutive
+FROM cov a JOIN cov b
+  ON a.inv_warehouse_sk = b.inv_warehouse_sk
+ AND a.inv_item_sk = b.inv_item_sk
+WHERE a.d_moy = 1 AND b.d_moy = 2
+ORDER BY 1, 2
+""", {}),
+    29: ("""
+WITH baskets AS (
+  SELECT DISTINCT ws.ws_order_number, i.i_category_id
+  FROM web_sales ws JOIN item i ON ws.ws_item_sk = i.i_item_sk
+  WHERE i.i_category_id IS NOT NULL
+)
+SELECT a.i_category_id AS category_id_1, b.i_category_id AS category_id_2,
+       COUNT(*) AS cnt
+FROM baskets a JOIN baskets b
+  ON a.ws_order_number = b.ws_order_number
+ AND a.i_category_id < b.i_category_id
+GROUP BY 1, 2
+ORDER BY cnt DESC, 1, 2 LIMIT 100
+""", {}),
+}
+
+
+@pytest.fixture(scope="module")
+def ducked(spark, tmp_path_factory):
+    """Fixture written to parquet once; DuckDB views + Spark Tables over
+    the SAME files."""
+    frames = build_fixture(spark)
+    data_dir = str(tmp_path_factory.mktemp("tpcxbb_oracle"))
+    con = duckdb.connect()
+    for name in ALL_TABLES:
+        frames[name].coalesce(1).write.mode("overwrite").parquet(
+            f"{data_dir}/{name}")
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"parquet_scan('{data_dir}/{name}/*.parquet')")
+    tables = Tables(spark, data_dir=data_dir)
+    yield tables, con
+    con.close()
+
+
+@pytest.mark.parametrize("n", sorted(ORACLES))
+def test_tpcxbb_vs_duckdb_oracle(n, spark, ducked):
+    tables, con = ducked
+    sql, overrides = ORACLES[n]
+    got = tpcxbb_query(n)(spark, tables, **overrides).toPandas()
+    expected = con.execute(sql).df()
+    assert pseudo_equal(got, expected), (
+        f"q{n}: spark {len(got)} rows vs oracle {len(expected)} rows\n"
+        f"spark:\n{got.head(10)}\noracle:\n{expected.head(10)}")
