@@ -13,6 +13,7 @@ _MODULES = (
 )
 
 TPCXBB_QUERIES: dict[int, Callable] = {}
+_loaded = False
 
 
 def register_q(n: int):
@@ -24,7 +25,12 @@ def register_q(n: int):
 
 
 def tpcxbb_query(n: int) -> Callable:
-    if not TPCXBB_QUERIES:
+    # A flag, not dict truthiness: importing one query module directly
+    # (e.g. for its constants) partially populates the dict and must not
+    # suppress loading the rest.
+    global _loaded
+    if not _loaded:
         for mod in _MODULES:
             importlib.import_module(mod)
+        _loaded = True
     return TPCXBB_QUERIES[n]

@@ -19,12 +19,395 @@ from gpu_bdb_spark.verify import pseudo_equal
 
 from .tpcxbb_fixture import build_fixture
 
-AMOUNT = ("(ws_ext_list_price - ws_ext_wholesale_cost - ws_ext_discount_amt"
+from gpu_bdb_spark.queries.tpcxbb.q10_q19 import DEFAULT_NEG, DEFAULT_POS
+
+NEG_SQL = ", ".join(f"('{w}', 'NEG')" for w in sorted(set(DEFAULT_NEG)))
+POS_SQL = ", ".join(f"('{w}', 'POS')" for w in sorted(set(DEFAULT_POS)))
+
+#: review text → (review, sentence) rows, lowercased (reference text.py)
+SENTENCES_SQL = r"""
+  SELECT pr_review_sk, pr_item_sk, pr_review_date,
+         unnest(list_filter(list_transform(
+             string_split_regex(lower(pr_review_content), '[.?!]'),
+             x -> trim(x)), x -> x <> '')) AS sentence
+  FROM product_reviews
+  WHERE pr_review_content IS NOT NULL
+"""
+
+AMOUNT =("(ws_ext_list_price - ws_ext_wholesale_cost - ws_ext_discount_amt"
           " + ws_ext_sales_price) / 2")
 SS_AMOUNT = ("(ss_ext_list_price - ss_ext_wholesale_cost - ss_ext_discount_amt"
              " + ss_ext_sales_price) / 2")
 
 ORACLES: dict[int, tuple[str, dict]] = {
+    2: ("""
+WITH clicks AS (
+  SELECT wcs_user_sk AS u, wcs_item_sk AS item,
+         wcs_click_date_sk * 86400 + wcs_click_time_sk AS ts
+  FROM web_clickstreams
+  WHERE wcs_user_sk IS NOT NULL AND wcs_item_sk IS NOT NULL
+),
+flagged AS (
+  SELECT u, item, ts,
+    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 3600
+         THEN 1 ELSE 0 END AS ns
+  FROM clicks WINDOW w AS (PARTITION BY u ORDER BY ts, item)
+),
+sess AS (
+  SELECT u, item,
+    SUM(ns) OVER (PARTITION BY u ORDER BY ts, item
+                  ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+dist AS (SELECT DISTINCT u, sid, item FROM sess),
+target AS (SELECT DISTINCT u, sid FROM dist WHERE item = 10001)
+SELECT d.item AS item_sk_1, CAST(10001 AS BIGINT) AS item_sk_2,
+       COUNT(*) AS cnt
+FROM dist d JOIN target t ON d.u = t.u AND d.sid = t.sid
+WHERE d.item <> 10001
+GROUP BY 1
+ORDER BY cnt DESC, item_sk_1 LIMIT 30
+""", {}),
+    4: ("""
+WITH clicks AS (
+  SELECT wcs_user_sk AS u,
+         wcs_click_date_sk * 86400 + wcs_click_time_sk AS ts,
+         wcs_web_page_sk AS wp, wp_type
+  FROM web_clickstreams JOIN web_page ON wcs_web_page_sk = wp_web_page_sk
+  WHERE wcs_web_page_sk IS NOT NULL AND wcs_user_sk IS NOT NULL
+    AND wcs_sales_sk IS NULL
+),
+flagged AS (
+  SELECT u, ts, wp, wp_type,
+    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 3600
+         THEN 1 ELSE 0 END AS ns
+  FROM clicks WINDOW w AS (PARTITION BY u ORDER BY ts, wp)
+),
+sess AS (
+  SELECT u, ts, wp_type,
+    SUM(ns) OVER (PARTITION BY u ORDER BY ts, wp
+                  ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+per AS (
+  SELECT u, sid, COUNT(*) AS pagecount,
+    arg_max(CASE WHEN wp_type IN ('order','dynamic') THEN wp_type END,
+            CASE WHEN wp_type IN ('order','dynamic')
+                 THEN ts * 2 + CASE WHEN wp_type = 'order' THEN 1 ELSE 0 END
+            END) AS last_cart_type
+  FROM sess GROUP BY 1, 2
+)
+SELECT CAST(SUM(pagecount) AS DOUBLE) / COUNT(*) AS "sum(pagecount)/count(*)"
+FROM per WHERE last_cart_type = 'dynamic'
+""", {}),
+    8: ("""
+WITH dd AS (
+  SELECT d_date_sk FROM date_dim
+  WHERE CAST(d_date AS DATE) BETWEEN DATE '2001-09-02' AND DATE '2002-09-02'
+),
+clicks AS (
+  SELECT wcs_user_sk AS u,
+         wcs_click_date_sk * 86400 + wcs_click_time_sk AS ts,
+         wcs_sales_sk AS sale, wp_type,
+         (wp_type = 'review') AS is_review
+  FROM web_clickstreams
+  JOIN dd ON wcs_click_date_sk = d_date_sk
+  JOIN web_page ON wcs_web_page_sk = wp_web_page_sk
+  WHERE wcs_user_sk IS NOT NULL
+),
+w AS (
+  SELECT u, ts, sale, is_review,
+    MIN(CASE WHEN is_review THEN ts END) OVER (PARTITION BY u)
+      AS first_review_ts,
+    MAX(CASE WHEN is_review THEN ts END) OVER (
+      PARTITION BY u ORDER BY ts, COALESCE(sale, 0), wp_type
+      ROWS UNBOUNDED PRECEDING) AS session_start
+  FROM clicks
+),
+rs AS (
+  SELECT DISTINCT sale FROM w
+  WHERE ts >= first_review_ts AND sale IS NOT NULL AND sale <> 0
+    AND NOT is_review AND ts - session_start <= 259200
+),
+sales AS (
+  SELECT ws_order_number AS o, ws_net_paid
+  FROM web_sales JOIN dd ON ws_sold_date_sk = d_date_sk
+)
+SELECT
+  CAST(trunc(CAST(COALESCE(SUM(CASE WHEN o IN (SELECT sale FROM rs)
+             THEN ws_net_paid END), 0) AS DOUBLE)) AS BIGINT)
+    AS q08_review_sales_amount,
+  CAST(trunc(CAST(COALESCE(SUM(ws_net_paid), 0)
+             - COALESCE(SUM(CASE WHEN o IN (SELECT sale FROM rs)
+                        THEN ws_net_paid END), 0) AS DOUBLE)) AS BIGINT)
+    AS no_q08_review_sales_amount
+FROM sales
+""", {}),
+    15: ("""
+WITH dd AS (
+  SELECT d_date_sk,
+         date_diff('day', DATE '1970-01-01', CAST(d_date AS DATE)) AS d_days
+  FROM date_dim
+  WHERE CAST(d_date AS DATE) BETWEEN DATE '2001-09-02' AND DATE '2002-09-02'
+),
+daily AS (
+  SELECT i.i_category_id, dd.d_days,
+         SUM(CAST(ss.ss_net_paid AS DECIMAL(14,4))) AS day_sum
+  FROM store_sales ss
+  JOIN dd ON ss.ss_sold_date_sk = dd.d_date_sk
+  JOIN item i ON ss.ss_item_sk = i.i_item_sk
+  WHERE ss.ss_store_sk = 10 AND i.i_category_id IS NOT NULL
+  GROUP BY 1, 2
+),
+sums AS (
+  SELECT i_category_id, COUNT(*) AS n,
+    SUM(CAST(d_days AS DECIMAL(10,2))) AS sx,
+    SUM(CAST(day_sum AS DECIMAL(14,4))) AS sy,
+    SUM(CAST(d_days AS DECIMAL(10,2)) * CAST(day_sum AS DECIMAL(14,4))) AS sxy,
+    SUM(CAST(d_days AS DECIMAL(10,2)) * CAST(d_days AS DECIMAL(10,2))) AS sxx
+  FROM daily GROUP BY 1
+),
+fitted AS (
+  SELECT i_category_id AS cat,
+    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+    ROUND((CAST(sy AS DOUBLE)
+           - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+  FROM sums
+)
+SELECT cat, slope, intercept FROM fitted WHERE slope <= 0 ORDER BY cat
+""", {}),
+    30: ("""
+WITH clicks AS (
+  SELECT wcs_user_sk AS u, wcs_item_sk AS item, i.i_category_id AS cat,
+         wcs_click_date_sk * 86400 + wcs_click_time_sk AS ts
+  FROM web_clickstreams JOIN item i ON wcs_item_sk = i.i_item_sk
+  WHERE wcs_user_sk IS NOT NULL AND wcs_item_sk IS NOT NULL
+    AND i.i_category_id IS NOT NULL
+),
+flagged AS (
+  SELECT u, item, cat, ts,
+    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 3600
+         THEN 1 ELSE 0 END AS ns
+  FROM clicks WINDOW w AS (PARTITION BY u ORDER BY ts, item)
+),
+sess AS (
+  SELECT u, cat,
+    SUM(ns) OVER (PARTITION BY u ORDER BY ts, item
+                  ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+dist AS (SELECT DISTINCT u, sid, cat FROM sess)
+SELECT a.cat AS category_id_1, b.cat AS category_id_2, COUNT(*) AS cnt
+FROM dist a JOIN dist b ON a.u = b.u AND a.sid = b.sid AND a.cat < b.cat
+GROUP BY 1, 2
+ORDER BY cnt DESC, 1, 2 LIMIT 40
+""", {}),
+    3: ("""
+WITH clicks AS (
+  SELECT wcs_user_sk AS u, wcs_item_sk AS item, wcs_sales_sk AS sale,
+         wcs_click_date_sk * 86400 + wcs_click_time_sk AS ts
+  FROM web_clickstreams
+  WHERE wcs_user_sk IS NOT NULL AND wcs_item_sk IS NOT NULL
+),
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY u ORDER BY ts, item) AS rn
+  FROM clicks
+),
+purch AS (
+  SELECT * FROM numbered WHERE sale IS NOT NULL AND item = 10001
+),
+pairs AS (
+  SELECT p.u, v.item AS viewed
+  FROM purch p JOIN numbered v
+    ON v.u = p.u AND v.rn BETWEEN p.rn - 5 AND p.rn - 1
+  WHERE p.ts - v.ts <= 864000
+)
+SELECT CAST(10001 AS BIGINT) AS purchased_item, viewed AS lastviewed_item,
+       COUNT(*) AS cnt
+FROM pairs JOIN item i ON viewed = i.i_item_sk
+WHERE i.i_category_id IN (2, 3)
+GROUP BY viewed
+ORDER BY cnt DESC, lastviewed_item LIMIT 100
+""", {}),
+    10: (f"""
+WITH sent AS ({SENTENCES_SQL}),
+words AS (
+  SELECT pr_item_sk, sentence,
+         unnest(list_filter(string_split_regex(sentence, '\\s+'),
+                            x -> x <> '')) AS word
+  FROM sent WHERE pr_item_sk IS NOT NULL
+),
+lex(sent_word, sentiment) AS (VALUES {POS_SQL}, {NEG_SQL})
+SELECT DISTINCT pr_item_sk AS item_sk, sentence AS review_sentence,
+       sentiment, word AS sentiment_word
+FROM words JOIN lex ON word = sent_word
+ORDER BY item_sk, review_sentence, sentiment_word
+""", {}),
+    11: ("""
+WITH dd AS (
+  SELECT d_date_sk FROM date_dim
+  WHERE CAST(d_date AS DATE) BETWEEN DATE '2003-01-02' AND DATE '2003-02-02'
+),
+sold AS (
+  SELECT DISTINCT ws_item_sk FROM web_sales
+  JOIN dd ON ws_sold_date_sk = d_date_sk
+  WHERE ws_item_sk IS NOT NULL
+),
+per_item AS (
+  SELECT pr_item_sk, COUNT(pr_review_rating) AS reviews_count,
+         AVG(pr_review_rating) AS avg_rating
+  FROM product_reviews WHERE pr_item_sk IS NOT NULL GROUP BY 1
+)
+SELECT corr(reviews_count, avg_rating) AS "corr(reviews_count, avg_rating)"
+FROM sold JOIN per_item ON ws_item_sk = pr_item_sk
+""", {}),
+    18: (f"""
+WITH dd AS (
+  SELECT d_date_sk,
+         date_diff('day', DATE '1970-01-01', CAST(d_date AS DATE)) AS d_days
+  FROM date_dim
+  WHERE CAST(d_date AS DATE) BETWEEN DATE '2001-05-02' AND DATE '2001-09-02'
+),
+daily AS (
+  SELECT ss_store_sk, dd.d_days,
+         SUM(CAST(ss_net_paid AS DECIMAL(14,4))) AS day_sum
+  FROM store_sales JOIN dd ON ss_sold_date_sk = dd.d_date_sk
+  GROUP BY 1, 2
+),
+sums AS (
+  SELECT ss_store_sk, COUNT(*) AS n,
+    SUM(CAST(d_days AS DECIMAL(10,2))) AS sx,
+    SUM(CAST(day_sum AS DECIMAL(14,4))) AS sy,
+    SUM(CAST(d_days AS DECIMAL(10,2)) * CAST(day_sum AS DECIMAL(14,4))) AS sxy,
+    SUM(CAST(d_days AS DECIMAL(10,2)) * CAST(d_days AS DECIMAL(10,2))) AS sxx
+  FROM daily GROUP BY 1
+),
+declining AS (
+  SELECT ss_store_sk FROM sums
+  WHERE ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) <= 0
+),
+stores AS (
+  SELECT DISTINCT lower(s_store_name) AS store_name FROM store
+  WHERE s_store_sk IN (SELECT ss_store_sk FROM declining)
+),
+sent AS ({SENTENCES_SQL}),
+mentioned AS (
+  SELECT st.store_name, s.pr_review_date, s.sentence
+  FROM sent s JOIN stores st ON contains(s.sentence, st.store_name)
+),
+words AS (
+  SELECT store_name, pr_review_date, sentence,
+         unnest(list_filter(string_split_regex(sentence, '\\s+'),
+                            x -> x <> '')) AS word
+  FROM mentioned
+),
+lex(sent_word, sentiment) AS (VALUES {NEG_SQL})
+SELECT DISTINCT store_name AS s_name, pr_review_date AS r_date, sentence,
+       sentiment, word AS sentiment_word
+FROM words JOIN lex ON word = sent_word
+ORDER BY s_name, r_date, sentence, sentiment_word
+""", {}),
+    19: (f"""
+WITH weeks AS (
+  SELECT DISTINCT d_week_seq FROM date_dim
+  WHERE d_date IN ('2001-06-10', '2001-07-10')
+),
+wd AS (
+  SELECT d_date_sk FROM date_dim
+  WHERE d_week_seq IN (SELECT d_week_seq FROM weeks)
+),
+sr AS (
+  SELECT sr_item_sk, SUM(sr_return_quantity) AS sr_item_qty
+  FROM store_returns JOIN wd ON sr_returned_date_sk = d_date_sk
+  GROUP BY 1
+),
+wr AS (
+  SELECT wr_item_sk, SUM(wr_return_quantity) AS wr_item_qty
+  FROM web_returns JOIN wd ON wr_returned_date_sk = d_date_sk
+  GROUP BY 1
+),
+balanced AS (
+  SELECT sr_item_sk AS item_sk
+  FROM sr JOIN wr ON sr_item_sk = wr_item_sk
+  WHERE abs(sr_item_qty - wr_item_qty)
+        / ((sr_item_qty + wr_item_qty) / 2.0) <= 1.0
+),
+sent AS ({SENTENCES_SQL}),
+words AS (
+  SELECT pr_item_sk, sentence,
+         unnest(list_filter(string_split_regex(sentence, '\\s+'),
+                            x -> x <> '')) AS word
+  FROM sent WHERE pr_item_sk IN (SELECT item_sk FROM balanced)
+),
+lex(sent_word, sentiment) AS (VALUES {NEG_SQL})
+SELECT DISTINCT pr_item_sk AS item_sk, sentence, sentiment,
+       word AS sentiment_word
+FROM words JOIN lex ON word = sent_word
+ORDER BY item_sk, sentence, sentiment_word
+""", {"return_dates": ("2001-06-10", "2001-07-10"), "tolerance": 1.0}),
+    24: ("""
+WITH periods AS (
+  SELECT imp.imp_sk, imp.imp_start_date,
+         CAST((i.i_current_price - imp.imp_competitor_price)
+              / imp.imp_competitor_price AS DOUBLE) AS price_change,
+         imp.imp_end_date - imp.imp_start_date AS nd
+  FROM item i JOIN item_marketprices imp ON i.i_item_sk = imp.imp_item_sk
+  WHERE i.i_item_sk = 10000
+),
+ws_day AS (
+  SELECT ws_sold_date_sk AS d, SUM(ws_quantity) AS q
+  FROM web_sales WHERE ws_item_sk = 10000 GROUP BY 1
+),
+ss_day AS (
+  SELECT ss_sold_date_sk AS d, SUM(ss_quantity) AS q
+  FROM store_sales WHERE ss_item_sk = 10000 GROUP BY 1
+),
+w AS (
+  SELECT p.imp_sk, p.imp_start_date, p.price_change,
+    COALESCE(SUM(CASE WHEN wd.d >= p.imp_start_date
+             AND wd.d < p.imp_start_date + p.nd THEN wd.q ELSE 0 END), 0)
+      AS current_ws_quant,
+    COALESCE(SUM(CASE WHEN wd.d >= p.imp_start_date - p.nd
+             AND wd.d < p.imp_start_date THEN wd.q ELSE 0 END), 0)
+      AS prev_ws_quant
+  FROM periods p LEFT JOIN ws_day wd ON TRUE
+  GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT p.imp_sk, p.imp_start_date, p.price_change,
+    COALESCE(SUM(CASE WHEN sd.d >= p.imp_start_date
+             AND sd.d < p.imp_start_date + p.nd THEN sd.q ELSE 0 END), 0)
+      AS current_ss_quant,
+    COALESCE(SUM(CASE WHEN sd.d >= p.imp_start_date - p.nd
+             AND sd.d < p.imp_start_date THEN sd.q ELSE 0 END), 0)
+      AS prev_ss_quant
+  FROM periods p LEFT JOIN ss_day sd ON TRUE
+  GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT w.imp_sk, w.price_change,
+         w.current_ws_quant, w.prev_ws_quant,
+         s.current_ss_quant, s.prev_ss_quant
+  FROM w JOIN s ON w.imp_sk = s.imp_sk
+)
+SELECT CAST(10000 AS BIGINT) AS ws_item_sk,
+  AVG(CASE WHEN (prev_ss_quant + prev_ws_quant) * price_change <> 0
+      THEN CAST(current_ss_quant + current_ws_quant
+                - prev_ss_quant - prev_ws_quant AS DOUBLE)
+           / ((prev_ss_quant + prev_ws_quant) * price_change)
+      END) AS cross_price_elasticity
+FROM m
+""", {}),
     1: ("""
 WITH baskets AS (
   SELECT DISTINCT ss.ss_ticket_number, ss.ss_item_sk
