@@ -11,7 +11,7 @@ sources.load_word_list.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gpu_bdb_spark.operators.stats import regression_sums, slope_intercept

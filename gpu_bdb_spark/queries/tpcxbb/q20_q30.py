@@ -7,7 +7,7 @@ reference policy (utils.py:517-581), never label identity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gpu_bdb_spark.operators.pairs import pair_counts
