@@ -191,3 +191,31 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
     )
+
+
+PERCENTILES_ORACLE = """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.25), 6) AS p25,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.75), 6) AS p75,
+  COUNT(value) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("value_percentiles", oracle=PERCENTILES_ORACLE,
+          tags=("percentile", "stats"))
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark `percentile` =
+    DuckDB `quantile_cont`, both linear interpolation over the sorted
+    group). Exact sort-based; the constant-memory scale path is
+    percentile_approx — same API shape, swap when groups stop fitting."""
+    e = read_table(spark, sf_dir, "events", ["event_type", "value"],
+                   hint_broadcast=False)
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.count("value").alias("n"),
+    )
