@@ -224,3 +224,41 @@ def sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     return sentences(d, "text", "doc_id")
+
+
+# BPE-ish regex tokenization (brief: "token counting (whitespace + a
+# BPE-ish regex)"): letter runs / digit runs / punctuation runs, each with
+# an optional leading space — the GPT-2-style pre-tokenizer shape,
+# restricted to regex syntax shared by Java (Spark) and RE2 (DuckDB).
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+BPE_TOKENS_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{BPE_PATTERN}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_bpe_tokens
+FROM t
+"""
+
+
+@register("bpe_token_counts", oracle=BPE_TOKENS_ORACLE,
+          tags=("text", "bpe-tokens"))
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE-style token counts via a pre-tokenizer regex
+    (letter/digit/punct runs with optional leading space) — the
+    token-budget estimator of an LLM data pipeline. regexp_extract_all is
+    JVM-side; the pattern is restricted to the Java∩RE2 common syntax so
+    the oracle tokenizes identically."""
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias(
+            "n_distinct_bpe_tokens"),
+    )

@@ -1,0 +1,120 @@
+"""Property-based operator tests (hypothesis) — each operator compared
+against a pure-Python reference implementation on small generated inputs.
+This corpus is our addition; the reference has no unit tests at all
+(SURVEY.md §5).
+
+Strategy sizes are kept tiny: each example round-trips through a Spark job,
+so examples are few and data small; the point is edge-case structure (empty
+groups, ties, single-element arrays), not volume.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_sessionize(events, timeout_s):
+    """Reference sessionization: events = [(user, ts_us, tiebreak)]."""
+    out = {}
+    by_user: dict = {}
+    for u, ts, tb in events:
+        by_user.setdefault(u, []).append((ts, tb))
+    for u, rows in by_user.items():
+        rows.sort()
+        seq = 0
+        prev = None
+        for ts, tb in rows:
+            if prev is None or ts - prev > timeout_s * 1_000_000:
+                seq += 1
+            out[(u, ts, tb)] = seq
+            prev = ts
+    return out
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 3),              # user
+                  st.integers(0, 10_000_000_000), # ts micros
+                  st.integers(0, 10**6)),         # unique-ish tiebreak
+        min_size=1, max_size=40, unique_by=lambda e: (e[0], e[1], e[2])),
+    timeout_s=st.sampled_from([1, 60, 3600]),
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_python_reference(spark, events, timeout_s):
+    from gpu_bdb_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(u, ts, tb) for u, ts, tb in events], "user_id long, us long, tb long"
+    ).withColumn("ts", F.timestamp_micros("us"))
+    got = {
+        (r.user_id, r.us, r.tb): r.session_seq
+        for r in sessionize(df, "user_id", "ts", timeout_s,
+                            tiebreak_col="tb").collect()
+    }
+    assert got == _py_sessionize(events, timeout_s)
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 8)),
+                  min_size=0, max_size=60),
+)
+@settings(**SETTINGS)
+def test_pair_counts_matches_python_reference(spark, rows):
+    from itertools import combinations
+
+    from gpu_bdb_spark.operators.pairs import pair_counts
+
+    expected: dict = {}
+    groups: dict = {}
+    for g, i in rows:
+        groups.setdefault(g, set()).add(i)
+    for items in groups.values():
+        for a, b in combinations(sorted(items), 2):
+            expected[(a, b)] = expected.get((a, b), 0) + 1
+
+    df = spark.createDataFrame(rows or [(None, None)], "g long, i long")
+    got = {
+        (r.item_1, r.item_2): r.cnt
+        for r in pair_counts(df, "g", "i").collect()
+    }
+    assert got == expected
+
+
+@given(
+    tokens=st.lists(st.text(alphabet="abc", min_size=1, max_size=3),
+                    min_size=0, max_size=12),
+    n=st.sampled_from([1, 2, 3]),
+)
+@settings(**SETTINGS)
+def test_ngrams_matches_python_reference(spark, tokens, n):
+    from gpu_bdb_spark.operators.text import ngrams
+
+    expected = [
+        " ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)
+    ]
+    df = spark.createDataFrame([(tokens,)], "toks array<string>")
+    got = df.select(ngrams(F.col("toks"), n).alias("g")).collect()[0].g
+    assert list(got) == expected
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=30),
+)
+@settings(**SETTINGS)
+def test_salted_collect_set_matches_set(spark, vals):
+    from gpu_bdb_spark.operators.skew import salted_collect_set
+
+    df = spark.createDataFrame([(1, v) for v in vals], "k long, v long")
+    got = salted_collect_set(df, "k", "v", n_salts=3).collect()
+    assert len(got) == 1
+    assert sorted(got[0]["values"]) == sorted(set(vals))
