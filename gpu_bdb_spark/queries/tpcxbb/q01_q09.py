@@ -215,9 +215,16 @@ def q05(spark: SparkSession, tables: Tables, *, category="Books") -> dict:
                 "Advanced Degree", "College", "4 yr Degree", "2 yr Degree"),
                 1.0).otherwise(0.0))
         .withColumn("male", F.when(F.col("cd_gender") == "M", 1.0).otherwise(0.0))
-        .withColumn("label",
-                    F.when(F.col("clicks_in_category") > 2, 1.0).otherwise(0.0))
     )
+    # label = clicks_in_category > mean(clicks_in_category) (reference
+    # q05:129-137). Global mean via broadcast 1-row agg — a partitionless
+    # window would funnel every row through one task at scale.
+    mean_clicks = feats.agg(
+        F.avg("clicks_in_category").alias("_mean_clicks"))
+    feats = feats.crossJoin(F.broadcast(mean_clicks)).withColumn(
+        "label",
+        F.when(F.col("clicks_in_category") > F.col("_mean_clicks"),
+               1.0).otherwise(0.0))
     feature_cols = ["college_education", "male"] + [str(c) for c in cat_ids]
     assembled = VectorAssembler(
         inputCols=feature_cols, outputCol="raw_features").transform(feats)
