@@ -26,7 +26,10 @@ def _kmeans_payload(spark, features_df, feature_cols, id_col):
     assembled = VectorAssembler(
         inputCols=list(feature_cols), outputCol="features",
         handleInvalid="keep").transform(features_df)
-    _, pred, wssse = kmeans_fit(assembled, k=8, max_iter=20, seed=42)
+    # k clamps to the population so tiny inputs still fit (at SF scale this
+    # is always the reference's k=8)
+    k = max(1, min(8, assembled.count()))
+    _, pred, wssse = kmeans_fit(assembled, k=k, max_iter=20, seed=42)
     labels = pred.select(
         F.col(id_col),
         F.col("prediction").cast("long").alias("cluster"))
@@ -320,7 +323,7 @@ def q25(spark: SparkSession, tables: Tables, *, cutoff_date="2002-01-02",
 def q26(spark: SparkSession, tables: Tables, *, category="Books",
         min_items=5) -> dict:
     """K-Means over per-class purchase counts for `category` buyers
-    (reference q26:30-87: one-hot i_class_id 1..15, HAVING count ≥ 5)."""
+    (reference q26:30-87: one-hot i_class_id 1..15, total > 5 strict)."""
     item = tables("item", ["i_item_sk", "i_class_id", "i_category"]).filter(
         F.col("i_category") == category)
     ss = tables("store_sales", ["ss_customer_sk", "ss_item_sk"],
@@ -337,7 +340,7 @@ def q26(spark: SparkSession, tables: Tables, *, category="Books",
     total = sum((F.col(str(c)) for c in class_ids[1:]),
                 F.col(str(class_ids[0])))
     feats = piv.withColumn("total", total.cast("double")).filter(
-        F.col("total") >= min_items)
+        F.col("total") > min_items)  # strict > (reference q26 rollup filter)
     for c in class_ids:
         feats = feats.withColumn(f"id{c}", F.col(str(c)).cast("double")).drop(
             str(c))
