@@ -27,9 +27,14 @@ def _kmeans_payload(spark, features_df, feature_cols, id_col):
         inputCols=list(feature_cols), outputCol="features",
         handleInvalid="keep").transform(features_df)
     # k clamps to the population so tiny inputs still fit (at SF scale this
-    # is always the reference's k=8)
-    k = max(1, min(8, assembled.count()))
-    _, pred, wssse = kmeans_fit(assembled, k=k, max_iter=20, seed=42)
+    # is always the reference's k=8); degenerate populations (<2 points)
+    # trivially form one cluster with zero cost
+    n = assembled.count()
+    if n < 2:
+        labels = assembled.select(
+            F.col(id_col), F.lit(0).cast("long").alias("cluster"))
+        return {"labels": labels, "wssse": 0.0}
+    _, pred, wssse = kmeans_fit(assembled, k=min(8, n), max_iter=20, seed=42)
     labels = pred.select(
         F.col(id_col),
         F.col("prediction").cast("long").alias("cluster"))
