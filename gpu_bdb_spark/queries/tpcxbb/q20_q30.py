@@ -26,15 +26,17 @@ def _kmeans_payload(spark, features_df, feature_cols, id_col):
     assembled = VectorAssembler(
         inputCols=list(feature_cols), outputCol="features",
         handleInvalid="keep").transform(features_df)
-    # k clamps to the population so tiny inputs still fit (at SF scale this
-    # is always the reference's k=8); degenerate populations (<2 points)
-    # trivially form one cluster with zero cost
-    n = assembled.count()
-    if n < 2:
+    # k clamps to the number of DISTINCT feature points so tiny inputs
+    # still fit (KMeans cannot place more centers than distinct points; at
+    # SF scale this is always the reference's k=8). Degenerate populations
+    # (<2 distinct points) trivially form one cluster with zero cost.
+    n_distinct = assembled.select("features").distinct().count()
+    if n_distinct < 2:
         labels = assembled.select(
             F.col(id_col), F.lit(0).cast("long").alias("cluster"))
         return {"labels": labels, "wssse": 0.0}
-    _, pred, wssse = kmeans_fit(assembled, k=min(8, n), max_iter=20, seed=42)
+    _, pred, wssse = kmeans_fit(assembled, k=min(8, n_distinct),
+                                max_iter=20, seed=42)
     labels = pred.select(
         F.col(id_col),
         F.col("prediction").cast("long").alias("cluster"))

@@ -203,6 +203,23 @@ def build_fixture(spark: SparkSession) -> dict[str, DataFrame]:
                     ss_ext_wholesale_cost=price * 0.7,
                     ss_ext_discount_amt=price * 0.1,
                     ss_net_profit=round(rng.uniform(-50, 2500), 2)))
+    # engineered q26 population: customers 1..8 are heavy 'Books' buyers
+    # (>5 Books-class items each) so the per-class K-Means has real input
+    books_items = [isk for i, isk in enumerate(item_sks)
+                   if (i % 7) + 1 == 1 and i % 29 != 7][:6]
+    for cust in range(1, 9):
+        ticket += 1
+        for isk in books_items:
+            price = 30.0 + cust
+            rows.append(_row(
+                "store_sales", ss_sold_date_sk=sk("2002-03-15"),
+                ss_sold_time_sk=10, ss_item_sk=isk, ss_customer_sk=cust,
+                ss_store_sk=10, ss_ticket_number=ticket,
+                ss_quantity=cust % 3 + 1, ss_sales_price=price,
+                ss_net_paid=price, ss_ext_sales_price=price,
+                ss_ext_list_price=price * 1.2,
+                ss_ext_wholesale_cost=price * 0.7,
+                ss_ext_discount_amt=price * 0.1, ss_net_profit=5.0))
     data["store_sales"] = rows
 
     # ---- web_sales: orders with >=2 categories; am/pm hours
@@ -322,9 +339,11 @@ def build_fixture(spark: SparkSession) -> dict[str, DataFrame]:
     for w in range(1, 4):
         for isk in item_sks[:20]:
             for month, base in (("2001-01", 100), ("2001-02", 90)):
-                for dom in (5, 12, 19, 26):
+                for j, dom in enumerate((5, 12, 19, 26)):
                     high_var = (w == 1 and isk <= 6)
-                    qty = (rng.choice([0, 5, 400, 900]) if high_var
+                    # deterministic high-variance pattern (cov ≈ 1.5) so
+                    # q23 hits don't depend on the shared rng stream
+                    qty = ([0, 1200, 5, 300][j] if high_var
                            else base + rng.randint(-5, 5))
                     rows.append(_row(
                         "inventory", inv_date_sk=sk(f"{month}-{dom:02d}"),
