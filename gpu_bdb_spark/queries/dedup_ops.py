@@ -116,3 +116,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     return simhash64(d, "text", "doc_id")
+
+
+EMBED_NEARDUP_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_1, id_2, ROUND(cosine, 4) AS cosine
+FROM pairs WHERE cosine >= 0.35
+"""
+
+
+@register("dedup_embedding_cosine", oracle=EMBED_NEARDUP_ORACLE,
+          tags=("dedup", "embedding", "near-dup"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup tier of an
+    LLM pipeline): all pairs with cosine ≥ 0.35, exact. At 100 TB this
+    exact form runs only on LSH-bucketed candidates
+    (operators/similarity.lsh_topk provides the bucketing); here it doubles
+    as the verifiable baseline. Scores rounded to 4 (engines differ in the
+    last float bits)."""
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select(
+        F.col("vec_id"), vd.alias("vec"),
+        F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
+        .alias("nrm"))
+    a = v.select(F.col("vec_id").alias("id_1"), F.col("vec").alias("v1"),
+                 F.col("nrm").alias("n1"))
+    b = v.select(F.col("vec_id").alias("id_2"), F.col("vec").alias("v2"),
+                 F.col("nrm").alias("n2"))
+    dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cosine = dot / (F.col("n1") * F.col("n2"))
+    return (
+        a.join(b, F.col("id_1") < F.col("id_2"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_1", "id_2", F.round("cosine", 4).alias("cosine"))
+    )

@@ -26,7 +26,8 @@ c AS (
 ),
 scored AS (
   SELECT query_id, neighbor_id,
-         list_cosine_similarity(q_vec, c_vec) AS cosine
+         list_cosine_similarity(CAST(q_vec AS DOUBLE[]),
+                                CAST(c_vec AS DOUBLE[])) AS cosine
   FROM q, c
   WHERE query_id <> neighbor_id
 ),
