@@ -44,9 +44,12 @@ def _kmeans_payload(spark, features_df, feature_cols, id_col):
 
 
 @register_q(20)
-def q20(spark: SparkSession, tables: Tables) -> dict:
+def q20(spark: SparkSession, tables: Tables, *, features_only=False):
     """Customer return-behavior K-Means (reference q20:57-158): per-customer
-    order/return count+value ratios, inf/null scrubbed to 0."""
+    order/return count+value ratios, inf/null scrubbed to 0.
+
+    `features_only=True` returns the deterministic feature frame (the ETL
+    half) for oracle verification; the model stays metric-verified."""
     ss = tables("store_sales",
                 ["ss_customer_sk", "ss_ticket_number", "ss_item_sk",
                  "ss_net_paid"], broadcast=False).filter(
@@ -75,7 +78,11 @@ def q20(spark: SparkSession, tables: Tables) -> dict:
         .withColumn("itemsRatio", ratio("returns_items", "orders_items"))
         .withColumn("monetaryRatio", ratio("returns_money", "orders_money"))
         .withColumn("frequency", F.col("returns_count").cast("double"))
+        .select("user_sk", "orderRatio", "itemsRatio", "monetaryRatio",
+                "frequency")
     )
+    if features_only:
+        return feats
     return _kmeans_payload(
         spark, feats, ["orderRatio", "itemsRatio", "monetaryRatio",
                        "frequency"], "user_sk")
@@ -278,7 +285,7 @@ def q24(spark: SparkSession, tables: Tables, *, item_sk=10000) -> DataFrame:
 
 @register_q(25)
 def q25(spark: SparkSession, tables: Tables, *, cutoff_date="2002-01-02",
-        recency_anchor=37621) -> dict:
+        recency_anchor=37621, features_only=False):
     """RFM K-Means segmentation (reference q25:55-119): store+web rollups
     concatenated, recency = within 60 days of day-sk 37621."""
     cutoff_days = date_to_days(F.lit(cutoff_date))
@@ -322,13 +329,15 @@ def q25(spark: SparkSession, tables: Tables, *, cutoff_date="2002-01-02",
         .withColumn("frequency", F.col("frequency").cast("double"))
         .select("cid", "recency", "frequency", "amount")
     )
+    if features_only:
+        return rfm
     return _kmeans_payload(spark, rfm, ["recency", "frequency", "amount"],
                            "cid")
 
 
 @register_q(26)
 def q26(spark: SparkSession, tables: Tables, *, category="Books",
-        min_items=5) -> dict:
+        min_items=5, features_only=False):
     """K-Means over per-class purchase counts for `category` buyers
     (reference q26:30-87: one-hot i_class_id 1..15, total > 5 strict)."""
     item = tables("item", ["i_item_sk", "i_class_id", "i_category"]).filter(
@@ -351,6 +360,9 @@ def q26(spark: SparkSession, tables: Tables, *, category="Books",
     for c in class_ids:
         feats = feats.withColumn(f"id{c}", F.col(str(c)).cast("double")).drop(
             str(c))
+    feats = feats.drop("total")
+    if features_only:
+        return feats
     return _kmeans_payload(
         spark, feats, [f"id{c}" for c in class_ids], "ss_customer_sk")
 

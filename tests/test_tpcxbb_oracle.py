@@ -720,3 +720,93 @@ def test_tpcxbb_vs_duckdb_oracle(n, spark, ducked):
     assert pseudo_equal(got, expected), (
         f"q{n}: spark {len(got)} rows vs oracle {len(expected)} rows\n"
         f"spark:\n{got.head(10)}\noracle:\n{expected.head(10)}")
+
+
+#: feature-frame oracles for the clustering queries' deterministic ETL half
+FEATURE_ORACLES: dict[int, tuple[str, dict]] = {
+    20: ("""
+WITH o AS (
+  SELECT ss_customer_sk AS user_sk,
+         COUNT(DISTINCT ss_ticket_number) AS orders_count,
+         COUNT(ss_item_sk) AS orders_items,
+         CAST(SUM(ss_net_paid) AS DOUBLE) AS orders_money
+  FROM store_sales WHERE ss_customer_sk IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT sr_customer_sk AS user_sk,
+         COUNT(DISTINCT sr_ticket_number) AS returns_count,
+         COUNT(sr_item_sk) AS returns_items,
+         CAST(SUM(sr_return_amt) AS DOUBLE) AS returns_money
+  FROM store_returns WHERE sr_customer_sk IS NOT NULL GROUP BY 1
+)
+SELECT o.user_sk,
+  CASE WHEN o.orders_count <> 0
+       THEN CAST(COALESCE(r.returns_count, 0) AS DOUBLE) / o.orders_count
+       ELSE 0.0 END AS "orderRatio",
+  CASE WHEN o.orders_items <> 0
+       THEN CAST(COALESCE(r.returns_items, 0) AS DOUBLE) / o.orders_items
+       ELSE 0.0 END AS "itemsRatio",
+  CASE WHEN o.orders_money <> 0
+       THEN COALESCE(r.returns_money, 0.0) / o.orders_money
+       ELSE 0.0 END AS "monetaryRatio",
+  CAST(COALESCE(r.returns_count, 0) AS DOUBLE) AS frequency
+FROM o LEFT JOIN r ON o.user_sk = r.user_sk
+""", {}),
+    25: ("""
+WITH dd AS (
+  SELECT d_date_sk FROM date_dim WHERE CAST(d_date AS DATE) > DATE '2002-01-02'
+),
+ch AS (
+  SELECT ss_customer_sk AS cid, MAX(ss_sold_date_sk) AS mrd,
+         COUNT(DISTINCT ss_ticket_number) AS freq,
+         CAST(SUM(ss_net_paid) AS DOUBLE) AS amount
+  FROM store_sales JOIN dd ON ss_sold_date_sk = d_date_sk
+  WHERE ss_customer_sk IS NOT NULL GROUP BY 1
+  UNION ALL
+  SELECT ws_bill_customer_sk, MAX(ws_sold_date_sk),
+         COUNT(DISTINCT ws_order_number),
+         CAST(SUM(ws_net_paid) AS DOUBLE)
+  FROM web_sales JOIN dd ON ws_sold_date_sk = d_date_sk
+  WHERE ws_bill_customer_sk IS NOT NULL GROUP BY 1
+)
+SELECT cid,
+  CAST(CASE WHEN 37621 - MAX(mrd) < 60 THEN 1 ELSE 0 END AS DOUBLE)
+    AS recency,
+  CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) AS frequency,
+  SUM(amount) AS amount
+FROM ch GROUP BY cid
+""", {}),
+    26: ("""
+WITH j AS (
+  SELECT ss_customer_sk, i_class_id
+  FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+  WHERE ss_customer_sk IS NOT NULL AND i_category = 'Books'
+),
+piv AS (
+  SELECT ss_customer_sk,
+    {cols}
+  FROM j GROUP BY 1
+)
+SELECT * EXCLUDE (total) FROM (
+  SELECT ss_customer_sk, {ids}, ({total}) AS total FROM piv
+) WHERE total > 5
+""".format(
+        cols=",\n    ".join(
+            f"CAST(COUNT(*) FILTER (WHERE i_class_id = {c}) AS DOUBLE) AS c{c}"
+            for c in range(1, 16)),
+        ids=", ".join(f"c{c} AS id{c}" for c in range(1, 16)),
+        total=" + ".join(f"c{c}" for c in range(1, 16)),
+    ), {}),
+}
+
+
+@pytest.mark.parametrize("n", sorted(FEATURE_ORACLES))
+def test_ml_feature_frames_vs_duckdb_oracle(n, spark, ducked):
+    tables, con = ducked
+    sql, overrides = FEATURE_ORACLES[n]
+    got = tpcxbb_query(n)(spark, tables, features_only=True,
+                          **overrides).toPandas()
+    expected = con.execute(sql).df()
+    assert pseudo_equal(got, expected), (
+        f"q{n} features: {len(got)} vs {len(expected)} rows\n"
+        f"{got.head()}\n{expected.head()}")
