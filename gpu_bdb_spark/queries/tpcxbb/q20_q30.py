@@ -386,20 +386,39 @@ def q27(spark: SparkSession, tables: Tables, *, item_sk=10002) -> DataFrame:
     try:  # pragma: no cover - spaCy unavailable in this environment
         import spacy  # noqa: F401
 
-        raise NotImplementedError(
-            "spaCy present: wire mapInPandas NER here for model parity")
+        # Model-parity path: per-partition spaCy pipe over Arrow batches
+        # (reference q27_utils.py:42-53 uses en_core_web_sm the same way).
+        def ner_batches(batches):
+            import pandas as _pd
+            import spacy as _spacy
+
+            nlp = _spacy.load("en_core_web_sm", disable=["parser", "tagger"])
+            for pdf in batches:
+                out = []
+                for rk, s in zip(pdf["pr_review_sk"], pdf["sentence"]):
+                    for ent in nlp(s).ents:
+                        if ent.label_ == "ORG":
+                            out.append((rk, ent.text, s))
+                yield _pd.DataFrame(
+                    out, columns=["pr_review_sk", "company_name", "sentence"])
+
+        extracted = sent.select("pr_review_sk", "sentence").mapInPandas(
+            ner_batches,
+            "pr_review_sk long, company_name string, sentence string")
     except ImportError:
-        # HEURISTIC STUB: maximal runs of Capitalized tokens, excluding
-        # sentence-initial single words — deterministic and dependency-free.
+        # HEURISTIC FALLBACK (this container has no spaCy): maximal runs of
+        # ≥2 Capitalized tokens — deterministic and dependency-free. The
+        # reference never verifies q27 output either (utils.py:648-650).
         orgs = F.expr(
             r"filter(regexp_extract_all(sentence, "
             r"'([A-Z][a-zA-Z0-9]+(?: [A-Z][a-zA-Z0-9]+)+)', 1), x -> x != '')")
+        extracted = sent.select(
+            "pr_review_sk", F.explode(orgs).alias("company_name"), "sentence")
     return (
-        sent.select(
+        extracted.select(
             "pr_review_sk",
             F.lit(item_sk).cast("long").alias("pr_item_sk"),
-            F.explode(orgs).alias("company_name"),
-            "sentence")
+            "company_name", "sentence")
         .distinct()
         .orderBy("pr_review_sk", "company_name")
     )

@@ -72,3 +72,34 @@ def run_benchmark(
 def timings_json(timings: dict[int, QueryTiming]) -> str:
     return json.dumps(
         {f"q{n:02d}": t.best for n, t in sorted(timings.items())})
+
+
+def _main() -> None:
+    """CLI: run TPCx-BB queries against a parquet data_dir.
+
+    python -m gpu_bdb_spark.runner --data-dir /path --queries 1 7 9 \
+        --repeats 2 [--output-dir /tmp/results]
+    """
+    import argparse
+
+    from gpu_bdb_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="TPCx-BB benchmark runner")
+    ap.add_argument("--data-dir", required=True,
+                    help="directory with {table}/ parquet subdirs")
+    ap.add_argument("--queries", type=int, nargs="*", default=None,
+                    help="query numbers (default 1..30)")
+    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--output-dir", default=None,
+                    help="write qNN-results.parquet per query")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="gpu_bdb_spark-runner")
+    timings = run_benchmark(
+        spark, data_dir=args.data_dir, queries=args.queries,
+        repeats=args.repeats, output_dir=args.output_dir)
+    print(timings_json(timings))
+
+
+if __name__ == "__main__":
+    _main()
