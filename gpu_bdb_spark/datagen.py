@@ -299,7 +299,87 @@ def generate_table(spark: SparkSession, name: str, sf: float = 1.0,
             ).alias("pr_review_content"),
         )
 
+    if name == "store":
+        names = ("able", "ought", "bar", "cally", "eing", "anti")
+        return ranged(6).select(
+            _pick_at("id", (10, 20, 33, 40, 50, 60)).alias("s_store_sk"),
+            F.format_string("S%d", F.col("id").cast("int")).alias("s_store_id"),
+            _pick_at("id", names).alias("s_store_name"),
+            F.when(F.pmod(F.col("id"), F.lit(2)) == 0, -5.0).otherwise(-6.0)
+            .cast("decimal(5,2)").alias("s_gmt_offset"),
+        )
+
+    if name == "warehouse":
+        return ranged(3).select(
+            (F.col("id") + 1).alias("w_warehouse_sk"),
+            F.concat(F.lit("warehouse "), F.col("id") + 1)
+            .alias("w_warehouse_name"),
+            _pick_at("id", STATES[:3]).alias("w_state"),
+        )
+
+    if name == "web_page":
+        return ranged(12).select(
+            (F.col("id") + 1).alias("wp_web_page_sk"),
+            _pick_at("id", WP_TYPES).alias("wp_type"),
+            F.when(F.pmod(F.col("id"), F.lit(3)) == 0, 5500).otherwise(2000)
+            .alias("wp_char_count"),
+        )
+
+    if name == "promotion":
+        return ranged(8).select(
+            (F.col("id") + 1).alias("p_promo_sk"),
+            _pick_at("id", ("Y", "N", None)).alias("p_channel_dmail"),
+            _pick_at("id", ("N", "Y", None)).alias("p_channel_email"),
+            _pick_at("id", ("N", None, "Y")).alias("p_channel_tv"),
+        )
+
+    if name == "customer_address":
+        return ranged(30).select(
+            (F.col("id") + 1).alias("ca_address_sk"),
+            F.when(_u("canull") < 0.05, None)
+            .otherwise(_pick_at("id", STATES)).alias("ca_state"),
+            F.lit("United States").alias("ca_country"),
+            F.lit(-5.0).cast("decimal(5,2)").alias("ca_gmt_offset"),
+        )
+
+    if name == "customer_demographics":
+        return ranged(24).select(
+            (F.col("id") + 1).alias("cd_demo_sk"),
+            F.when(F.pmod(F.col("id"), F.lit(2)) == 0, "M").otherwise("F")
+            .alias("cd_gender"),
+            F.when(F.pmod(F.col("id"), F.lit(3)) != 0, "M").otherwise("S")
+            .alias("cd_marital_status"),
+            _pick_at("id", EDUCATION).alias("cd_education_status"),
+        )
+
+    if name == "household_demographics":
+        return ranged(10).select(
+            (F.col("id") + 1).alias("hd_demo_sk"),
+            F.when(F.pmod(F.col("id"), F.lit(2)) == 0, 5).otherwise(2)
+            .cast("int").alias("hd_dep_count"),
+        )
+
+    if name == "item_marketprices":
+        return ranged(6).select(
+            (F.col("id") + 1).alias("imp_sk"),
+            F.when(F.col("id") < 4, 10000)
+            .otherwise(F.col("id") - 3).alias("imp_item_sk"),
+            F.round(F.lit(2.0) + F.col("id"), 2).cast("decimal(7,2)")
+            .alias("imp_competitor_price"),
+            (F.lit(DAY0 + SK_OFFSET + 59) + (F.col("id") + 1) * 40)
+            .alias("imp_start_date"),
+            (F.lit(DAY0 + SK_OFFSET + 89) + (F.col("id") + 1) * 40)
+            .alias("imp_end_date"),
+        )
+
     raise KeyError(f"datagen does not cover table {name!r}")
+
+
+def _pick_at(id_col: str, values: tuple) -> Column:
+    """Positional pick: element values[id mod len] (1-based element_at)."""
+    arr = F.array(*[F.lit(v) for v in values])
+    return F.element_at(
+        arr, (F.pmod(F.col(id_col), F.lit(len(values))) + 1).cast("int"))
 
 
 def _u_over(col: str, salt: str) -> Column:
@@ -313,7 +393,9 @@ def _u_over(col: str, salt: str) -> Column:
 GENERATED_TABLES = (
     "date_dim", "time_dim", "item", "customer", "store_sales",
     "store_returns", "web_sales", "web_returns", "web_clickstreams",
-    "inventory", "product_reviews",
+    "inventory", "product_reviews", "store", "warehouse", "web_page",
+    "promotion", "customer_address", "customer_demographics",
+    "household_demographics", "item_marketprices",
 )
 
 
