@@ -8,6 +8,11 @@ Each query is forced end-to-end with the `noop` sink (full computation, no
 driver collect — the fair analogue of the reference's write-phase timing,
 utils.py:54-84). Timing excludes SparkSession startup, includes plan build +
 execution per query.
+
+Each query runs $SPARK_GRAFT_REPEATS times (default 3; the reference runs
+N_REPEATS=5, benchmark_runner.py:9) and reports the BEST repeat, so
+round-over-round comparisons measure the plan, not JIT/page-cache jitter.
+The spread is reported per query in "spread" (max-min across repeats).
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ from gpu_bdb_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     spark = get_spark(app_name="gpu_bdb_spark-bench")
 
     # Untimed warmup: load parquet/codegen/shuffle classes so the JVM
@@ -35,19 +41,29 @@ def main() -> None:
         "overwrite").save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
+        print(f"  {name}: best {timings[name]:.3f}s "
+              f"(spread {spread[name]:.3f}s over {repeats})",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
-        "metric": "gpu_bdb_spark headline-query wall time",
+        "metric": "gpu_bdb_spark headline-query wall time (best of "
+                  f"{repeats})",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

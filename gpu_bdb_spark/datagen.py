@@ -15,7 +15,13 @@ their parent rows by filtering the SAME deterministic generator output, so
 
 Covers the tables the 30 queries touch; dimension domains follow
 FIXTURES.md §A (states/categories/education values, sk 37134 = 2001-09-02
-date alignment, target items 10000/10001/10002).
+date alignment, target items 10000/10001/10002). Sales/review dates span
+the full 1461-day date_dim range and fact item FKs cover the special SKs,
+so every query's default window sees data. Density caveats at small SF:
+q07's HAVING ≥10-customers threshold needs SF≥1, and q19's cross-channel
+coincidence (same item returned in store AND web inside 4 specific weeks
+with sums within 10%) needs SF≥~10 — below that they are correctly empty;
+pass `params` overrides to the runner to hit smaller datasets.
 """
 
 from __future__ import annotations
@@ -51,6 +57,22 @@ def _pick(salt: str, values: tuple) -> Column:
     arr = F.array(*[F.lit(v) for v in values])
     idx = F.pmod(F.xxhash64(F.col("id"), F.lit(salt)), F.lit(len(values)))
     return F.element_at(arr, (idx + 1).cast("int"))
+
+
+def _item_sk(salt: str, n_item: int, boost: float = 0.0) -> Column:
+    """Deterministic fact-table item FK over the item table's real SK
+    domain {10000,10001,10002} ∪ [3, n_item): raw draws 0-2 map onto the
+    special SKs (the item table replaces i_item_sk 0-2 with 10000-10002,
+    so bare 0-2 would be dangling). With `boost`, an extra deterministic
+    slice of rows lands on the specials so targeted queries (q02/q24/q30
+    default item_sk 10000/10001) see a workable number of sales."""
+    raw = F.pmod(F.xxhash64(F.col("id"), F.lit(salt)), F.lit(n_item))
+    mapped = F.when(raw < 3, raw + 10000).otherwise(raw)
+    if boost:
+        special = 10000 + F.pmod(F.xxhash64(F.col("id"), F.lit(salt + "#")),
+                                 F.lit(3))
+        return F.when(_u(salt + "boost") < boost, special).otherwise(mapped)
+    return mapped
 
 
 def _sizes(sf: float) -> dict[str, int]:
@@ -133,19 +155,29 @@ def generate_table(spark: SparkSession, name: str, sf: float = 1.0,
             (F.pmod(F.col("id"), F.lit(30)) + 1).alias("c_current_addr_sk"),
             F.concat(F.lit("fn"), F.col("id")).alias("c_first_name"),
             F.concat(F.lit("ln"), F.col("id")).alias("c_last_name"),
+            # descriptive columns q06 selects (reference q06:43-202)
+            F.when(F.pmod(F.col("id"), F.lit(3)) == 0, "Y").otherwise("N")
+            .alias("c_preferred_cust_flag"),
+            _pick("bc", ("UNITED STATES", "CANADA", "GERMANY", "JAPAN",
+                         "BRAZIL")).alias("c_birth_country"),
+            F.format_string("login%06d", F.col("id").cast("int"))
+            .alias("c_login"),
+            F.format_string("c%06d@example.com", F.col("id").cast("int"))
+            .alias("c_email_address"),
         )
 
     if name == "store_sales":
         n = sizes["store_sales"]
         ticket = (F.col("id") / 4).cast("long")
         price = F.round(F.lit(20.0) + _u("sp") * 160.0, 2)
-        day = (F.pmod(F.xxhash64(ticket, F.lit("ssday")), F.lit(730))
+        # full 1461-day date_dim span so 2003/2004-window queries
+        # (q07/q21) see sales
+        day = (F.pmod(F.xxhash64(ticket, F.lit("ssday")), F.lit(N_DAYS))
                + DAY0 + SK_OFFSET)
         return ranged(n).select(
             day.alias("ss_sold_date_sk"),
             F.pmod(F.col("id"), F.lit(24)).alias("ss_sold_time_sk"),
-            F.pmod(F.xxhash64(F.col("id"), F.lit("ssitem")),
-                   F.lit(n_item)).alias("ss_item_sk"),
+            _item_sk("ssitem", n_item, boost=0.04).alias("ss_item_sk"),
             (F.pmod(F.xxhash64(ticket, F.lit("sscust")), F.lit(n_cust)) + 1)
             .alias("ss_customer_sk"),
             (F.pmod(F.xxhash64(ticket, F.lit("sscust")), F.lit(24)) + 1)
@@ -177,9 +209,12 @@ def generate_table(spark: SparkSession, name: str, sf: float = 1.0,
         keep = F.pmod(F.xxhash64("ss_ticket_number", "ss_item_sk",
                                  F.lit("sret")), F.lit(10)) == 0
         return ss.filter(keep).select(
-            (F.col("ss_sold_date_sk")
-             + F.pmod(F.xxhash64("ss_ticket_number", F.lit("rdelta")),
-                      F.lit(140)) + 10).alias("sr_returned_date_sk"),
+            F.least(
+                F.col("ss_sold_date_sk")
+                + F.pmod(F.xxhash64("ss_ticket_number", F.lit("rdelta")),
+                         F.lit(140)) + 10,
+                F.lit(DAY0 + SK_OFFSET + N_DAYS - 1),
+            ).alias("sr_returned_date_sk"),
             F.col("ss_item_sk").alias("sr_item_sk"),
             F.col("ss_customer_sk").alias("sr_customer_sk"),
             F.col("ss_ticket_number").alias("sr_ticket_number"),
@@ -194,13 +229,14 @@ def generate_table(spark: SparkSession, name: str, sf: float = 1.0,
         n = sizes["web_sales"]
         order = (F.col("id") / 3).cast("long")
         price = F.round(F.lit(15.0) + _u("wp") * 145.0, 2)
-        day = (F.pmod(F.xxhash64(order, F.lit("wsday")), F.lit(730))
+        # full span: q11 (2003-01) and q19 (2004 return weeks) need
+        # sales beyond 2002
+        day = (F.pmod(F.xxhash64(order, F.lit("wsday")), F.lit(N_DAYS))
                + DAY0 + SK_OFFSET)
         return ranged(n).select(
             day.alias("ws_sold_date_sk"),
             _pick("wst", (7, 8, 19, 20, 12)).alias("ws_sold_time_sk"),
-            F.pmod(F.xxhash64(F.col("id"), F.lit("wsitem")),
-                   F.lit(n_item)).alias("ws_item_sk"),
+            _item_sk("wsitem", n_item, boost=0.04).alias("ws_item_sk"),
             (F.pmod(F.xxhash64(order, F.lit("wscust")), F.lit(n_cust)) + 1)
             .alias("ws_bill_customer_sk"),
             (F.pmod(F.xxhash64(order, F.lit("wscust")), F.lit(10)) + 1)
@@ -226,9 +262,12 @@ def generate_table(spark: SparkSession, name: str, sf: float = 1.0,
         keep = F.pmod(F.xxhash64("ws_order_number", "ws_item_sk",
                                  F.lit("wret")), F.lit(10)) == 0
         return ws.filter(keep).select(
-            (F.col("ws_sold_date_sk")
-             + F.pmod(F.xxhash64("ws_order_number", F.lit("wdelta")),
-                      F.lit(55)) + 5).alias("wr_returned_date_sk"),
+            F.least(
+                F.col("ws_sold_date_sk")
+                + F.pmod(F.xxhash64("ws_order_number", F.lit("wdelta")),
+                         F.lit(55)) + 5,
+                F.lit(DAY0 + SK_OFFSET + N_DAYS - 1),
+            ).alias("wr_returned_date_sk"),
             F.col("ws_item_sk").alias("wr_item_sk"),
             F.col("ws_order_number").alias("wr_order_number"),
             (F.pmod(F.xxhash64("ws_item_sk", F.lit("wq")), F.lit(4))
@@ -242,8 +281,11 @@ def generate_table(spark: SparkSession, name: str, sf: float = 1.0,
         n = sizes["web_clickstreams"]
         user = (F.pmod((F.col("id") / 50).cast("long"), F.lit(n_cust)) + 1)
         pos = F.pmod(F.col("id"), F.lit(50))  # position within the burst
-        day = (F.pmod(F.xxhash64(user, F.lit("wcday")), F.lit(60))
-               + DAY0 + 244 + SK_OFFSET)  # around Sep-Oct 2001 (q08/q12)
+        # one year from 2001-09-02: inside q08's default window, with the
+        # first 30 days covering q12's click_start_sk=37134 window and
+        # store sales extending past it for the ≤90-day theta join
+        day = (F.pmod(F.xxhash64(user, F.lit("wcday")), F.lit(365))
+               + DAY0 + 244 + SK_OFFSET)
         # two sub-bursts > 1 h apart; clicks 1 min apart inside a burst
         tod = (F.lit(1000) + pos * 60
                + F.when(pos >= 25, 3600 * 3).otherwise(0))
@@ -255,8 +297,7 @@ def generate_table(spark: SparkSession, name: str, sf: float = 1.0,
                    % (sizes["web_sales"] // 3)).alias("wcs_sales_sk"),
             F.when(_u("inull") < 0.03, None)
             .when(_u("target") < 0.05, 10001)
-            .otherwise(F.pmod(F.xxhash64(F.col("id"), F.lit("wci")),
-                              F.lit(n_item))).alias("wcs_item_sk"),
+            .otherwise(_item_sk("wci", n_item)).alias("wcs_item_sk"),
             (F.pmod(F.col("id"), F.lit(12)) + 1).alias("wcs_web_page_sk"),
             F.when(_u("unull") < 0.05, None).otherwise(user)
             .alias("wcs_user_sk"),
@@ -267,8 +308,7 @@ def generate_table(spark: SparkSession, name: str, sf: float = 1.0,
         return ranged(n).select(
             (F.pmod(F.col("id"), F.lit(59)) + DAY0 + SK_OFFSET)
             .alias("inv_date_sk"),  # Jan–Feb 2001
-            F.pmod(F.xxhash64(F.col("id"), F.lit("invi")), F.lit(40))
-            .alias("inv_item_sk"),
+            _item_sk("invi", min(40, n_item)).alias("inv_item_sk"),
             (F.pmod(F.col("id"), F.lit(3)) + 1).alias("inv_warehouse_sk"),
             F.when(_u("hv") < 0.2,
                    _pick("hvv", (0, 1200, 5, 300)).cast("int"))
@@ -281,12 +321,15 @@ def generate_table(spark: SparkSession, name: str, sf: float = 1.0,
         senti = _pick("sw", ("good", "great", "bad", "terrible", "awful"))
         store_name = _pick("sn", ("able", "ought", "bar", "cally"))
         item = F.when(_u("ri") < 0.1, 10002).otherwise(
-            F.pmod(F.xxhash64(F.col("id"), F.lit("pri")), F.lit(n_item)))
+            _item_sk("pri", n_item))
+        # full 2001-2004 span so review-windowed queries past 2001 see data
+        review_date = F.date_add(
+            F.lit("2001-01-01").cast("date"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit("prday")),
+                   F.lit(N_DAYS)).cast("int"))
         return ranged(n).select(
             (F.col("id") + 1).alias("pr_review_sk"),
-            F.concat(F.lit("2001-"),
-                     F.lpad(F.pmod(F.col("id"), F.lit(12)) + 1, 2, "0"),
-                     F.lit("-10")).alias("pr_review_date"),
+            review_date.cast("string").alias("pr_review_date"),
             (F.pmod(F.col("id"), F.lit(5)).cast("int") + 1)
             .alias("pr_review_rating"),
             item.alias("pr_item_sk"),
@@ -360,10 +403,12 @@ def generate_table(spark: SparkSession, name: str, sf: float = 1.0,
         )
 
     if name == "item_marketprices":
+        # four price periods for the q24 default item, one each for the
+        # other special items — every imp_item_sk exists in `item`
         return ranged(6).select(
             (F.col("id") + 1).alias("imp_sk"),
             F.when(F.col("id") < 4, 10000)
-            .otherwise(F.col("id") - 3).alias("imp_item_sk"),
+            .otherwise(F.col("id") - 3 + 10000).alias("imp_item_sk"),
             F.round(F.lit(2.0) + F.col("id"), 2).cast("decimal(7,2)")
             .alias("imp_competitor_price"),
             (F.lit(DAY0 + SK_OFFSET + 59) + (F.col("id") + 1) * 40)

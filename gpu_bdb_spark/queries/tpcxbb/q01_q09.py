@@ -176,10 +176,16 @@ def q04(spark: SparkSession, tables: Tables, *, timeout_s=3600) -> DataFrame:
 
 
 @register_q(5)
-def q05(spark: SparkSession, tables: Tables, *, category="Books") -> dict:
+def q05(spark: SparkSession, tables: Tables, *, category="Books",
+        features_only=False):
     """Logistic regression for interest in `category` (reference q05:60-88
     one-hot + q05_utils.py:35-123 model). Returns dict payload:
-    {'metrics': DataFrame, 'model': fitted model}."""
+    {'metrics': DataFrame, 'model': fitted model}.
+
+    `features_only=True` returns the deterministic labeled feature frame
+    (the ETL half, oracled vs DuckDB in tests/test_tpcxbb_oracle.py); the
+    model itself stays metric-verified, the reference's own policy
+    (utils.py:548-581)."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import StandardScaler, VectorAssembler
@@ -226,6 +232,13 @@ def q05(spark: SparkSession, tables: Tables, *, category="Books") -> dict:
         F.when(F.col("clicks_in_category") > F.col("_mean_clicks"),
                1.0).otherwise(0.0))
     feature_cols = ["college_education", "male"] + [str(c) for c in cat_ids]
+    if features_only:
+        return feats.select(
+            "wcs_user_sk", *[F.col(str(c)).cast("long").alias(str(c))
+                             for c in cat_ids],
+            F.col("clicks_in_category").cast("long").alias(
+                "clicks_in_category"),
+            "college_education", "male", "label")
     assembled = VectorAssembler(
         inputCols=feature_cols, outputCol="raw_features").transform(feats)
     scaled = StandardScaler(

@@ -425,10 +425,14 @@ def q27(spark: SparkSession, tables: Tables, *, item_sk=10002) -> DataFrame:
 
 
 @register_q(28)
-def q28(spark: SparkSession, tables: Tables) -> dict:
+def q28(spark: SparkSession, tables: Tables, *, features_only=False):
     """Naive Bayes sentiment classifier over review text (reference
     q28_utils.py:63-103, 260-301): rating<3 → NEG, 3 → NEUT, >3 → POS;
-    90/10 split; HashingTF + multinomial NB."""
+    90/10 split; HashingTF + multinomial NB.
+
+    `features_only=True` returns the deterministic labeled-token frame
+    (the ETL half, oracled vs DuckDB in tests/test_tpcxbb_oracle.py); the
+    model stays metric-verified (reference utils.py:548-581 policy)."""
     from gpu_bdb_spark.functions import tokenize
     from gpu_bdb_spark.operators.ml import naive_bayes_text_fit
 
@@ -443,6 +447,11 @@ def q28(spark: SparkSession, tables: Tables) -> dict:
         .when(F.col("pr_review_rating") == 3, "NEUT")
         .otherwise("POS"),
     ).withColumn("tokens", tokenize(F.lower(F.col("pr_review_content"))))
+    if features_only:
+        return labeled.select(
+            "pr_review_sk", "sentiment",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "tokens").alias("token_str"))
     model, pred, accuracy = naive_bayes_text_fit(
         labeled, "tokens", "sentiment", num_features=2**18, smoothing=0.001)
     predictions = pred.select(

@@ -49,15 +49,26 @@ def run_benchmark(
     tables = Tables(spark, data_dir=data_dir, frames=frames)
     params = params or {}
     timings: dict[int, QueryTiming] = {}
-    for n in queries or range(1, 31):
+    if queries is None:  # explicit [] means "run nothing", not "run all"
+        queries = list(range(1, 31))
+    for n in queries:
         timing = QueryTiming(n)
         fn = tpcxbb_query(n)
         for _ in range(repeats):
             t0 = time.perf_counter()
             result = fn(spark, tables, **params.get(n, {}))
             if isinstance(result, dict):
-                for v in result.values():
-                    if isinstance(v, DataFrame):
+                # ML queries return payload frames (metrics/clusters/
+                # confusion); sink each like the reference's per-query
+                # results dir (utils.py:117-147)
+                for key, v in result.items():
+                    if not isinstance(v, DataFrame):
+                        continue
+                    if output_dir:
+                        v.write.mode("overwrite").parquet(
+                            f"{output_dir.rstrip('/')}"
+                            f"/q{n:02d}-{key}-results.parquet")
+                    else:
                         v.count()
             elif output_dir:
                 result.write.mode("overwrite").parquet(

@@ -722,8 +722,57 @@ def test_tpcxbb_vs_duckdb_oracle(n, spark, ducked):
         f"spark:\n{got.head(10)}\noracle:\n{expected.head(10)}")
 
 
-#: feature-frame oracles for the clustering queries' deterministic ETL half
+#: feature-frame oracles for the ML queries' deterministic ETL half
 FEATURE_ORACLES: dict[int, tuple[str, dict]] = {
+    5: ("""
+WITH clicks AS (
+  SELECT wcs_user_sk, i_category, i_category_id
+  FROM web_clickstreams JOIN item ON wcs_item_sk = i_item_sk
+  WHERE wcs_user_sk IS NOT NULL AND wcs_item_sk IS NOT NULL
+),
+per_user AS (
+  SELECT wcs_user_sk,
+    {cat_counts}
+  FROM clicks GROUP BY 1
+),
+cic AS (
+  SELECT wcs_user_sk, COUNT(*) AS clicks_in_category
+  FROM clicks WHERE i_category = 'Books' GROUP BY 1
+),
+feats AS (
+  SELECT p.*,
+         COALESCE(c.clicks_in_category, 0) AS clicks_in_category,
+         CASE WHEN cd_education_status IN
+              ('Advanced Degree', 'College', '4 yr Degree', '2 yr Degree')
+              THEN 1.0 ELSE 0.0 END AS college_education,
+         CASE WHEN cd_gender = 'M' THEN 1.0 ELSE 0.0 END AS male
+  FROM per_user p
+  LEFT JOIN cic c USING (wcs_user_sk)
+  JOIN customer cu ON p.wcs_user_sk = cu.c_customer_sk
+  JOIN customer_demographics d ON cu.c_current_cdemo_sk = d.cd_demo_sk
+)
+SELECT *, CASE WHEN clicks_in_category >
+                    (SELECT AVG(clicks_in_category) FROM feats)
+               THEN 1.0 ELSE 0.0 END AS label
+FROM feats
+""".format(cat_counts=",\n    ".join(
+        f'COUNT(*) FILTER (WHERE i_category_id = {c}) AS "{c}"'
+        for c in range(1, 8))), {}),
+    28: ("""
+SELECT pr_review_sk,
+       CASE WHEN pr_review_rating < 3 THEN 'NEG'
+            WHEN pr_review_rating = 3 THEN 'NEUT'
+            ELSE 'POS' END AS sentiment,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       list_aggregate(toks, 'string_agg', ' ') AS token_str
+FROM (
+  SELECT pr_review_sk, pr_review_rating,
+         list_filter(string_split_regex(lower(pr_review_content), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM product_reviews
+  WHERE pr_review_content IS NOT NULL AND pr_review_rating IS NOT NULL
+)
+""", {}),
     20: ("""
 WITH o AS (
   SELECT ss_customer_sk AS user_sk,
