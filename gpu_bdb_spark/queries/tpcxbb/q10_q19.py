@@ -20,12 +20,32 @@ from gpu_bdb_spark.operators.text import words as split_words
 from gpu_bdb_spark.queries.tpcxbb.base import Tables, date_to_days
 from gpu_bdb_spark.queries.tpcxbb.registry import register_q
 
-#: Minimal built-in lexicon (stand-in for the reference's
-#: sentiment_files/*.txt; q10:35-44).
-DEFAULT_POS = ("good", "great", "excellent", "love", "best", "happy",
-               "wonderful", "fantastic", "nice", "amazing")
-DEFAULT_NEG = ("bad", "terrible", "awful", "hate", "worst", "angry",
-               "horrible", "poor", "broken", "disappointing")
+#: Built-in lexicon (stand-in for the reference's sentiment_files/*.txt;
+#: q10:35-44 — those files are not redistributed). ~60 common English
+#: sentiment words per side; inject larger domain lexicons via the
+#: pos_words/neg_words parameters or sources.load_word_list.
+DEFAULT_POS = (
+    "good", "great", "excellent", "love", "best", "happy", "wonderful",
+    "fantastic", "nice", "amazing", "awesome", "beautiful", "brilliant",
+    "charming", "comfortable", "convenient", "delightful", "durable",
+    "easy", "effective", "efficient", "elegant", "enjoyable", "exceptional",
+    "fabulous", "fast", "favorite", "fine", "flawless", "fresh", "friendly",
+    "fun", "generous", "gorgeous", "handy", "helpful", "ideal", "impressed",
+    "impressive", "incredible", "lovely", "loved", "marvelous", "outstanding",
+    "perfect", "pleasant", "pleased", "premium", "quality", "recommend",
+    "reliable", "satisfied", "smooth", "solid", "sturdy", "stunning",
+    "superb", "superior", "terrific", "valuable", "worthwhile")
+DEFAULT_NEG = (
+    "bad", "terrible", "awful", "hate", "worst", "angry", "horrible",
+    "poor", "broken", "disappointing", "annoying", "atrocious", "awkward",
+    "cheap", "clumsy", "crap", "cracked", "damaged", "defective",
+    "deficient", "dirty", "disappointed", "disgusting", "dreadful",
+    "faulty", "flawed", "flimsy", "fragile", "garbage", "gross", "hated",
+    "inadequate", "inferior", "junk", "lousy", "mediocre", "mess",
+    "miserable", "misleading", "noisy", "overpriced", "pathetic",
+    "problem", "refund", "regret", "return", "returned", "rough", "rude",
+    "slow", "sloppy", "stuck", "unacceptable", "uncomfortable", "unhappy",
+    "unreliable", "unusable", "useless", "waste", "weak", "wrong")
 
 
 def _lexicon(spark: SparkSession, words, sentiment: str) -> DataFrame:
