@@ -306,8 +306,10 @@ def generate_table(spark: SparkSession, name: str, sf: float = 1.0,
     if name == "inventory":
         n = sizes["inventory"]
         return ranged(n).select(
-            (F.pmod(F.col("id"), F.lit(59)) + DAY0 + SK_OFFSET)
-            .alias("inv_date_sk"),  # Jan–Feb 2001
+            # Jan–Jun 2001: covers q23's Jan-Feb window AND q22's default
+            # ±30d band around 2001-05-08
+            (F.pmod(F.col("id"), F.lit(160)) + DAY0 + SK_OFFSET)
+            .alias("inv_date_sk"),
             _item_sk("invi", min(40, n_item)).alias("inv_item_sk"),
             (F.pmod(F.col("id"), F.lit(3)) + 1).alias("inv_warehouse_sk"),
             F.when(_u("hv") < 0.2,

@@ -424,6 +424,75 @@ def q27(spark: SparkSession, tables: Tables, *, item_sk=10002) -> DataFrame:
     )
 
 
+def q27_bert(spark: SparkSession, tables: Tables, *, item_sk=10002,
+             model_name="dslim/bert-base-NER",
+             batch_size=32) -> DataFrame:
+    """q27 variant using a HuggingFace token-classification NER model
+    (reference q27_bert_utils.py: wordpiece-tokenize review sentences,
+    run BERT NER in fixed-size batches, stitch B-ORG/I-ORG spans back to
+    surface text). Same output schema as q27.
+
+    transformers/torch are not in this container: the model path is
+    behind an import guard and the fallback is the same deterministic
+    capitalized-run heuristic q27 uses, so the query stays runnable and
+    the Spark-side plumbing (sentence frame → Arrow-batched streaming
+    mapInPandas → per-batch inference → span rows) is real and tested.
+    The reference never verifies q27 output (utils.py:648-650)."""
+    reviews = tables("product_reviews",
+                     ["pr_review_sk", "pr_item_sk", "pr_review_content"],
+                     broadcast=False).filter(F.col("pr_item_sk") == item_sk)
+    from gpu_bdb_spark.operators.text import sentences as split_sentences
+
+    sent = split_sentences(
+        reviews.select("pr_review_sk", F.col("pr_review_content").alias("c")),
+        "c", "pr_review_sk")
+
+    def ner_batches(batches):
+        """Self-contained (ships by value): loads the HF pipeline once per
+        worker if available, else applies the heuristic per batch."""
+        import re
+
+        import pandas as _pd
+
+        nlp = None
+        try:  # pragma: no cover - transformers unavailable here
+            from transformers import pipeline as _pipeline
+
+            nlp = _pipeline("token-classification", model=model_name,
+                            aggregation_strategy="simple")
+        except Exception:
+            pass
+        pat = re.compile(r"[A-Z][a-zA-Z0-9]+(?: [A-Z][a-zA-Z0-9]+)+")
+        for pdf in batches:
+            out = []
+            if nlp is not None:  # pragma: no cover
+                texts = pdf["sentence"].tolist()
+                for lo in range(0, len(texts), batch_size):
+                    chunk = texts[lo:lo + batch_size]
+                    keys = pdf["pr_review_sk"].iloc[lo:lo + batch_size]
+                    for rk, s, ents in zip(keys, chunk, nlp(chunk)):
+                        for ent in ents:
+                            if ent["entity_group"] == "ORG":
+                                out.append((rk, ent["word"], s))
+            else:
+                for rk, s in zip(pdf["pr_review_sk"], pdf["sentence"]):
+                    for m in pat.finditer(s):
+                        out.append((rk, m.group(0), s))
+            yield _pd.DataFrame(
+                out, columns=["pr_review_sk", "company_name", "sentence"])
+
+    extracted = sent.select("pr_review_sk", "sentence").mapInPandas(
+        ner_batches, "pr_review_sk long, company_name string, sentence string")
+    return (
+        extracted.select(
+            "pr_review_sk",
+            F.lit(item_sk).cast("long").alias("pr_item_sk"),
+            "company_name", "sentence")
+        .distinct()
+        .orderBy("pr_review_sk", "company_name")
+    )
+
+
 @register_q(28)
 def q28(spark: SparkSession, tables: Tables, *, features_only=False):
     """Naive Bayes sentiment classifier over review text (reference

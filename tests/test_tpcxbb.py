@@ -129,3 +129,15 @@ def test_pair_counts_variants_agree(spark, tables):
     b = {(r.item_sk_1, r.item_sk_2, r.cnt) for r in pair_counts_compact(
         ss, "ss_ticket_number", "ss_item_sk", "item_sk").collect()}
     assert a == b and a
+
+
+def test_q27_bert_variant_matches_q27_fallback(spark, tables):
+    """The BERT-variant NER (reference q27_bert_utils.py shape) without
+    transformers installed applies the same heuristic as q27 through the
+    streaming mapInPandas plumbing — outputs must agree exactly."""
+    from gpu_bdb_spark.queries.tpcxbb.q20_q30 import q27_bert
+
+    base = tpcxbb_query(27)(spark, tables).collect()
+    bert = q27_bert(spark, tables).collect()
+    assert sorted(map(tuple, bert)) == sorted(map(tuple, base))
+    assert len(bert) > 0
