@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gpu_bdb_spark.io import read_table
-from gpu_bdb_spark.operators.similarity import brute_force_topk, lsh_topk
+from gpu_bdb_spark.operators.similarity import (brute_force_topk, ivf_topk,
+                                                lsh_topk)
 from gpu_bdb_spark.queries.registry import register
 
 ANN_BRUTE_ORACLE = """
@@ -54,6 +55,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     q = e.filter(F.col("vec_id") % 10 == 0)
     return brute_force_topk(q, e, k=5).select("query_id", "neighbor_id", "rank")
+
+
+@register("ann_ivf_topk", tags=("similarity", "ann", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3 for every 100th vector: seeded k-means
+    coarse quantizer, 3-of-8 probed lists, grouped-matmul scoring. No
+    oracle — k-means centroids are engine-internal float state; recall on
+    clustered data is asserted in tests/test_similarity.py; the driver
+    records a rows-only check."""
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(q, e, k=3, n_lists=8, n_probe=3, seed=42).select(
+        "query_id", "neighbor_id", "rank")
 
 
 @register("ann_lsh_topk", tags=("similarity", "ann", "lsh"), bench=True)

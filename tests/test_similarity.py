@@ -47,3 +47,50 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     # 1-(1-0.605^4)^8 ≈ 0.68. Clustered real-world data does far better.
     assert recall >= 0.5, f"recall {recall:.3f} unexpectedly low"
     assert all(q != n for q, n in approx)
+
+
+def _clustered(spark, n_centers=8, per_center=120, dim=32, seed=11):
+    """Deterministic clustered corpus: centers on coordinate axes, points
+    = center + small noise — the shape real embedding corpora have."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_centers, dim)) * 3.0
+    rows = []
+    for c in range(n_centers):
+        noise = rng.standard_normal((per_center, dim)) * 0.3
+        for i, v in enumerate(centers[c] + noise):
+            rows.append((c * per_center + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    from gpu_bdb_spark.operators.similarity import ivf_topk
+
+    corpus = _clustered(spark)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(queries, corpus, k=5).collect()}
+    approx_rows = ivf_topk(queries, corpus, k=5, n_lists=8, n_probe=2,
+                           seed=7).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    recall = len(approx & exact) / len(exact)
+    # neighbors live in the query's own cluster; probing 2 of 8 lists
+    # must recover nearly all of them
+    assert recall >= 0.9, f"IVF recall {recall:.3f}"
+    assert all(q != n for q, n in approx)
+    # ranks are 1..k per query, exact ordering inside probed lists
+    per_q: dict[int, list[int]] = {}
+    for r in sorted(approx_rows, key=lambda r: (r.query_id, r.rank)):
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(ranks == list(range(1, len(ranks) + 1))
+               for ranks in per_q.values())
+
+
+def test_ivf_runs_on_real_embeddings(spark, sf_dir):
+    from gpu_bdb_spark.operators.similarity import ivf_topk
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    got = ivf_topk(q, e, k=3, n_lists=8, n_probe=3).collect()
+    assert len(got) > 0
+    assert all(r.rank <= 3 for r in got)
