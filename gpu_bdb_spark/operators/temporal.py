@@ -1,0 +1,301 @@
+"""Temporal relational operators Spark lacks as built-ins: as-of join,
+interval (range) join, and multi-granularity time-bucket rollup
+("hypertable" continuous-aggregate style).
+
+These extend the engine beyond the reference's own surface (the brief's
+custom-operator tier); each is a composition of native DataFrame ops —
+no Python seam — with an explicitly chosen shuffle layout:
+
+* `asof_join`      — union + running `last(ignorenulls)` window: ONE
+                     shuffle on the `by` keys, no join at all. The
+                     sort-merge formulation (join + filter + row_number)
+                     shuffles both sides AND carries the full pair
+                     blow-up; the union trick never materializes pairs.
+* `range_join`     — point-in-interval join. Scale path explodes each
+                     interval into fixed-width buckets and equi-joins on
+                     (keys, bucket): a shuffle hash join instead of the
+                     BroadcastNestedLoopJoin Spark plans for a raw
+                     inequality condition. Broadcast path kept for small
+                     interval sets.
+* `hypertable_rollup` — count/exact-decimal-sum aggregates at several
+                     time granularities. Hierarchical mode re-aggregates
+                     each coarser level from the previous one (hour →
+                     day → week), so the raw table is scanned once and
+                     every later shuffle moves only already-aggregated
+                     rows — the continuous-aggregate layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.functions import dec, micros
+
+
+def _as_ordinal(df: DataFrame, col: str) -> Column:
+    """Ordering/arithmetic ordinal for a time-ish column: integer epoch
+    micros for timestamps, the raw value for numerics."""
+    if dict(df.dtypes)[col].startswith("timestamp"):
+        return micros(col)
+    return F.col(col)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    value_cols: tuple[str, ...] = ("value",),
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    suffix: str = "_asof",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: for each left row attach `value_cols` from the
+    nearest right row at-or-before (`backward`) / at-or-after (`forward`)
+    the left row's `on` time, within the same `by` keys.
+
+    Mechanics: tag both inputs, union them, and take a running
+    `last(_, ignorenulls=True)` over a window ordered by
+    (`on`, is_left) — right rows at the same instant sort before left
+    rows, so the match is inclusive. `forward` flips the sort. One
+    shuffle (hash on `by`), one sort, zero joins; left rows with no
+    match keep NULLs (left-join semantics). With `tolerance_s`, matches
+    further than that many seconds away are nulled out.
+
+    Determinism: right rows must be unique per (`by`, `on`) — or pass
+    `right_tiebreak`, an ascending right column appended to the window
+    order so the greatest tiebreak value wins.
+
+    Scale: cost is the sort of |L|+|R| within each key — the same
+    shuffle a groupBy on `by` would do. No pair blow-up; skewed `by`
+    keys behave exactly like a skewed window (AQE-splittable).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    matched = [f"{c}{suffix}" for c in value_cols]
+    clash = set(matched) & set(left.columns)
+    if clash:
+        raise ValueError(f"suffixed columns collide with left: {clash}")
+    on_matched = f"{on}{suffix}"
+
+    lpay = [c for c in left.columns]
+    l_side = left.select(
+        *lpay,
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(m)
+          for c, m in zip(value_cols, matched)],
+        F.lit(None).cast(dict(right.dtypes)[on]).alias(on_matched),
+        F.lit(None).cast(
+            dict(right.dtypes)[right_tiebreak]).alias("_tb")
+        if right_tiebreak else F.lit(None).cast("long").alias("_tb"),
+    )
+    r_side = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          if c not in by and c != on else F.col(c)
+          for c in lpay],
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(m) for c, m in zip(value_cols, matched)],
+        F.col(on).alias(on_matched),
+        F.col(right_tiebreak).alias("_tb")
+        if right_tiebreak else F.lit(None).cast("long").alias("_tb"),
+    )
+    u = l_side.unionByName(r_side)
+
+    ordinal = _as_ordinal(left, on)
+    order = (
+        [ordinal.asc(), F.col("_is_left").asc(), F.col("_tb").asc_nulls_first()]
+        if direction == "backward"
+        else [ordinal.desc(), F.col("_is_left").asc(), F.col("_tb").asc_nulls_first()]
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = u.select(
+        *lpay,
+        "_is_left",
+        *[F.last(m, ignorenulls=True).over(w).alias(m) for m in matched],
+        F.last(on_matched, ignorenulls=True).over(w).alias(on_matched),
+    ).filter(F.col("_is_left") == 1).drop("_is_left")
+
+    if tolerance_s is not None:
+        lo = _as_ordinal(picked, on)
+        ro = (
+            micros(on_matched)
+            if dict(right.dtypes)[on].startswith("timestamp")
+            else F.col(on_matched)
+        )
+        tol = (
+            F.lit(int(tolerance_s * 1_000_000))
+            if dict(left.dtypes)[on].startswith("timestamp")
+            else F.lit(tolerance_s)
+        )
+        ok = (
+            (ro >= lo - tol) if direction == "backward" else (ro <= lo + tol)
+        )
+        picked = picked.select(
+            *lpay,
+            *[F.when(ok, F.col(m)).alias(m) for m in matched],
+            F.when(ok, F.col(on_matched)).alias(on_matched),
+        )
+    return picked
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: tuple[str, ...] = (),
+    strategy: str = "bucket",
+    bucket_width_s: int = 3600,
+) -> DataFrame:
+    """Join each point row to every interval row with
+    `start <= point < end` (half-open), matching `by` keys.
+
+    strategy="bucket" (the scale path): each interval is exploded into
+    the fixed-width time buckets it covers; points compute their single
+    bucket; the join is an equi shuffle-hash join on (`by`, bucket)
+    followed by the exact predicate. Interval rows duplicate
+    ×ceil(length/width) — pick `bucket_width_s` at or above the typical
+    interval length so the blow-up is ≤2×. This turns what Spark would
+    plan as a BroadcastNestedLoopJoin (or worse, a cartesian) into a
+    partitioned equi-join that scales with data size, not pairs.
+
+    strategy="broadcast": plain broadcast join with the range predicate —
+    right when the interval set is dimension-sized.
+
+    Output: every (point ⨯ matching interval) row, point columns first.
+    Column-name collisions between the two inputs must be resolved by the
+    caller (standard join hygiene).
+    """
+    p_ord = _as_ordinal(points, point_col)
+    s_ord = _as_ordinal(intervals, start_col)
+    e_ord = _as_ordinal(intervals, end_col)
+    live = intervals.filter(e_ord > s_ord)
+
+    if strategy == "broadcast":
+        cond = [points[c] == live[c] for c in by]
+        joined = points.join(
+            F.broadcast(live),
+            cond + [(p_ord >= s_ord) & (p_ord < e_ord)]
+            if by else (p_ord >= s_ord) & (p_ord < e_ord),
+        )
+        drop = [live[c] for c in by]
+        for c in drop:
+            joined = joined.drop(c)
+        return joined
+    if strategy != "bucket":
+        raise ValueError(f"unknown strategy: {strategy}")
+
+    width = int(bucket_width_s) * (
+        1_000_000 if dict(points.dtypes)[point_col].startswith("timestamp")
+        else 1
+    )
+    p = points.withColumn("_bkt", F.floor(p_ord / width))
+    iv = live.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(F.floor(s_ord / width), F.floor((e_ord - 1) / width))
+        ),
+    )
+    joined = (
+        p.join(iv, [*by, "_bkt"])
+        .filter((p_ord >= s_ord) & (p_ord < e_ord))
+        .drop("_bkt")
+    )
+    return joined
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    widths_s: tuple[int, ...] = (3600, 86400, 604800),
+    dims: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    hierarchical: bool = True,
+) -> DataFrame:
+    """Multi-granularity time-bucket rollup: for every width in
+    `widths_s`, COUNT(*) and exact-decimal SUM(value) per
+    (bucket, dims) — the hypertable / continuous-aggregate pattern.
+
+    hierarchical=True requires each width to divide the next (e.g. hour →
+    day → week, all epoch-aligned): the finest level aggregates the raw
+    table once; every coarser level re-aggregates the PREVIOUS level's
+    (count, decimal-sum) partials — exact for these aggregates. At scale
+    that's one scan of the fact table and progressively tiny shuffles,
+    versus `hierarchical=False`'s explode-×G-then-aggregate (one shuffle
+    but G× map output; kept as the general path for non-reaggregatable
+    stats).
+
+    Output: (gran_s, bucket_ts, *dims, n_events, value_sum) with the
+    repo's exactness discipline (decimal sum surfaced as round(double,2)).
+    """
+    us = micros(ts_col) if dict(df.dtypes)[ts_col].startswith(
+        "timestamp") else F.col(ts_col)
+
+    def bucket(col: Column, width_us) -> Column:
+        return col - F.pmod(col, width_us)
+
+    if not hierarchical:
+        g = df.withColumn(
+            "gran_s",
+            F.explode(F.array(*[F.lit(int(w)).cast("long")
+                                for w in widths_s])),
+        )
+        gus = F.col("gran_s") * F.lit(1_000_000)
+        return (
+            g.withColumn("_b", bucket(us, gus))
+            .groupBy("gran_s", "_b", *dims)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(dec(value_col)).cast("double"), 2)
+                .alias("value_sum"),
+            )
+            .select(
+                "gran_s",
+                F.timestamp_micros(F.col("_b")).alias("bucket_ts"),
+                *dims, "n_events", "value_sum",
+            )
+        )
+
+    widths = sorted(int(w) for w in widths_s)
+    for a, b in zip(widths, widths[1:]):
+        if b % a != 0:
+            raise ValueError(
+                f"hierarchical rollup needs nested widths: {a} ∤ {b}")
+    levels: list[DataFrame] = []
+    base = (
+        df.groupBy(bucket(us, F.lit(widths[0] * 1_000_000)).alias("_b"),
+                   *dims)
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(dec(value_col)).alias("_s"))
+        .persist()
+    )
+    levels.append(base)
+    for w in widths[1:]:
+        prev = levels[-1]
+        nxt = (
+            prev.groupBy(
+                bucket(F.col("_b"), F.lit(w * 1_000_000)).alias("_b"), *dims)
+            .agg(F.sum("_n").alias("_n"), F.sum("_s").alias("_s"))
+            .persist()
+        )
+        levels.append(nxt)
+    tagged = [
+        lvl.select(
+            F.lit(w).cast("long").alias("gran_s"),
+            F.timestamp_micros(F.col("_b")).alias("bucket_ts"),
+            *dims,
+            F.col("_n").alias("n_events"),
+            F.round(F.col("_s").cast("double"), 2).alias("value_sum"),
+        )
+        for w, lvl in zip(widths, levels)
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out

@@ -30,6 +30,7 @@ _QUERY_MODULES = (
     "gpu_bdb_spark.queries.similarity_ops",
     "gpu_bdb_spark.queries.ml_ops",
     "gpu_bdb_spark.queries.custom_ops",
+    "gpu_bdb_spark.queries.temporal_ops",
 )
 
 

@@ -1,0 +1,135 @@
+"""Driver-contract entries for the temporal operators (as-of join,
+bucketed range join, hypertable rollup) over the `events` table, each
+with an exact DuckDB oracle — the as-of oracle uses DuckDB's native
+ASOF JOIN, so the operator is checked against an independent reference
+implementation of the semantics, not a restatement of our own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.functions import micros
+from gpu_bdb_spark.io import read_table
+from gpu_bdb_spark.operators.temporal import (asof_join, hypertable_rollup,
+                                              range_join)
+from gpu_bdb_spark.queries.registry import register
+
+#: Right side unique per (user_id, ts) — max(value) collapses (hypothetical)
+#: duplicate instants identically in both engines, keeping ASOF ties
+#: well-defined.
+ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts, MAX(value) AS v
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT p.event_id,
+       p.user_id,
+       ROUND(v.v, 6) AS value_asof,
+       ROUND((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0, 6) AS lag_s
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@register("asof_join_last_view", oracle=ASOF_ORACLE,
+          tags=("temporal", "asof", "join"))
+def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the value of the same
+    user's latest view at-or-before it (NULL when none). Implemented as a
+    tagged union + running last() window — one shuffle, no join — and
+    oracled against DuckDB's native ASOF JOIN."""
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "user_id", "ts", "event_type", "value"],
+                   hint_broadcast=False)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts").agg(F.max("value").alias("v"))
+    )
+    j = asof_join(purchases, views, on="ts", by=("user_id",),
+                  value_cols=("v",), direction="backward", suffix="_asof")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("v_asof"), 6).alias("value_asof"),
+        F.round((micros("ts") - micros("ts_asof")) / F.lit(1_000_000.0), 6)
+        .alias("lag_s"),
+    )
+
+
+RANGE_JOIN_ORACLE = """
+WITH anchors AS (
+  SELECT event_id AS anchor_id, user_id, ts AS start_ts,
+         ts + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.anchor_id, a.user_id,
+       COUNT(*) AS n_in_window,
+       CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types
+FROM events e JOIN anchors a
+  ON e.user_id = a.user_id
+ AND e.ts >= a.start_ts AND e.ts < a.end_ts
+GROUP BY 1, 2
+"""
+
+
+@register("range_join_windows", oracle=RANGE_JOIN_ORACLE,
+          tags=("temporal", "range-join"))
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join, bucketed strategy: every purchase opens a 2-hour
+    window; count the same user's events (and distinct types) inside it.
+    Intervals explode into 2-hour buckets → equi shuffle join on
+    (user_id, bucket) + exact predicate — no nested-loop join at any
+    scale."""
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "user_id", "ts", "event_type"],
+                   hint_broadcast=False)
+    anchors = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.timestamp_micros(micros("ts")
+                            + F.lit(7_200_000_000).cast("long")))
+        .alias("end_ts"),
+    )
+    points = e.select("user_id", "ts", "event_type")
+    j = range_join(points, anchors, point_col="ts", start_col="start_ts",
+                   end_col="end_ts", by=("user_id",), strategy="bucket",
+                   bucket_width_s=7200)
+    return j.groupBy("anchor_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+HYPERTABLE_ORACLE = """
+WITH g AS (SELECT CAST(unnest([3600, 86400, 604800]) AS BIGINT) AS gran_s),
+e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events)
+SELECT g.gran_s,
+       make_timestamp(us - us % (g.gran_s * 1000000)) AS bucket_ts,
+       e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE), 2)
+         AS value_sum
+FROM e CROSS JOIN g
+GROUP BY 1, 2, 3
+"""
+
+
+@register("hypertable_rollup_events", oracle=HYPERTABLE_ORACLE,
+          tags=("temporal", "rollup", "hypertable"))
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/week event rollup, hierarchical mode: raw events are
+    aggregated once at hour grain; day re-aggregates hours, week
+    re-aggregates days (exact for count + decimal sum). One fact-table
+    scan, shrinking shuffles."""
+    e = read_table(spark, sf_dir, "events", ["ts", "event_type", "value"],
+                   hint_broadcast=False)
+    return hypertable_rollup(e, "ts", (3600, 86400, 604800),
+                             ("event_type",), "value", hierarchical=True)

@@ -1,0 +1,157 @@
+"""Temporal operator semantics + plan-shape tests: as-of join (backward /
+forward / tolerance / tiebreak, zero-join plan), bucketed range join
+(bucket ≡ broadcast, intervals spanning buckets), hypertable rollup
+(hierarchical ≡ explode, level re-aggregation exactness). The driver-facing
+entries are additionally hash-checked vs DuckDB oracles (temporal_ops.py —
+the as-of oracle is DuckDB's native ASOF JOIN)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.operators.temporal import (asof_join, hypertable_rollup,
+                                              range_join)
+from gpu_bdb_spark.plans import formatted_plan
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, "t1"), (1, 205, "t2"), (2, 150, "t3"), (3, 50, "t4")],
+        "sym long, ts long, trade_id string")
+    quotes = spark.createDataFrame(
+        [(1, 90, 10.0), (1, 100, 11.0), (1, 200, 12.0),
+         (2, 149, 20.0), (2, 151, 21.0)],
+        "sym long, ts long, px double")
+    return trades, quotes
+
+
+def test_asof_backward(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    got = {r.trade_id: (r.px_asof, r.ts_asof)
+           for r in asof_join(trades, quotes, on="ts", by=("sym",),
+                              value_cols=("px",)).collect()}
+    assert got == {
+        "t1": (11.0, 100),   # inclusive: quote AT the trade instant
+        "t2": (12.0, 200),
+        "t3": (20.0, 149),   # 151 is in the future
+        "t4": (None, None),  # sym 3 has no quotes — left-join NULL
+    }
+
+
+def test_asof_forward_and_tolerance(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    fwd = {r.trade_id: r.px_asof
+           for r in asof_join(trades, quotes, on="ts", by=("sym",),
+                              value_cols=("px",),
+                              direction="forward").collect()}
+    assert fwd == {"t1": 11.0, "t2": None, "t3": 21.0, "t4": None}
+    tol = {r.trade_id: r.px_asof
+           for r in asof_join(trades, quotes, on="ts", by=("sym",),
+                              value_cols=("px",),
+                              tolerance_s=4).collect()}
+    # t2's nearest backward quote is 5 ticks away -> nulled by tolerance 4
+    assert tol == {"t1": 11.0, "t2": None, "t3": 20.0, "t4": None}
+
+
+def test_asof_right_tiebreak_deterministic(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0, 1), (1, 10, 7.0, 2), (1, 10, 6.0, 0)],
+        "k long, ts long, px double, seq long")
+    got = asof_join(left, right, on="ts", by=("k",), value_cols=("px",),
+                    right_tiebreak="seq").collect()
+    assert got[0].px_asof == 7.0  # greatest tiebreak wins
+
+
+def test_asof_plan_single_shuffle_no_join(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    plan = formatted_plan(
+        asof_join(trades, quotes, on="ts", by=("sym",), value_cols=("px",)))
+    assert "Join" not in plan, plan
+    # union + one hash partitioning on the by key (local test frames add a
+    # parallelize exchange; count only hashpartitioning exchanges)
+    assert len(re.findall(r"hashpartitioning\(sym", plan)) == 1, plan
+
+
+@pytest.fixture(scope="module")
+def points_intervals(spark):
+    points = spark.createDataFrame(
+        [(1, 5, "a"), (1, 55, "b"), (1, 250, "c"), (2, 55, "d")],
+        "k long, ts long, pid string")
+    # iv1 spans buckets 0..2 at width 100; iv2 is sub-bucket; iv3 empty
+    intervals = spark.createDataFrame(
+        [(1, 0, 260, "iv1"), (1, 50, 60, "iv2"), (2, 60, 60, "iv3")],
+        "k long, s long, e long, iid string")
+    return points, intervals
+
+
+def test_range_join_bucket_matches_broadcast(spark, points_intervals):
+    points, intervals = points_intervals
+    expect = {("a", "iv1"), ("b", "iv1"), ("c", "iv1"), ("b", "iv2")}
+    for strategy in ("bucket", "broadcast"):
+        got = {(r.pid, r.iid)
+               for r in range_join(points, intervals, "ts", "s", "e",
+                                   by=("k",), strategy=strategy,
+                                   bucket_width_s=100).collect()}
+        assert got == expect, strategy
+
+
+def test_range_join_half_open_and_multibucket(spark):
+    points = spark.createDataFrame(
+        [(0, "at_start"), (99, "inside"), (100, "at_end")],
+        "ts long, pid string")
+    intervals = spark.createDataFrame([(0, 100, "iv")], "s long, e long, iid string")
+    got = {r.pid for r in range_join(points, intervals, "ts", "s", "e",
+                                     strategy="bucket",
+                                     bucket_width_s=7).collect()}
+    assert got == {"at_start", "inside"}  # end exclusive
+
+
+def test_range_join_bucket_plan_is_equi_join(spark, points_intervals):
+    points, intervals = points_intervals
+    plan = formatted_plan(
+        range_join(points, intervals, "ts", "s", "e", by=("k",),
+                   strategy="bucket", bucket_width_s=100))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+@pytest.fixture(scope="module")
+def hourly_events(spark):
+    # two days of events, 3 per hour boundary region, two types
+    rows = []
+    for h in range(0, 40):
+        for i, typ in enumerate(("x", "y", "x")):
+            rows.append((h * 3600 + i * 600, typ, float(h) + i * 0.25))
+    return spark.createDataFrame(rows, "ts_s long, event_type string, value double")
+
+
+def test_rollup_hierarchical_matches_explode(spark, hourly_events):
+    df = hourly_events.select(
+        F.timestamp_micros(F.col("ts_s") * F.lit(1_000_000)).alias("ts"),
+        "event_type", "value")
+    widths = (3600, 86400)
+    key = lambda r: (r.gran_s, r.bucket_ts, r.event_type)  # noqa: E731
+    hier = {key(r): (r.n_events, r.value_sum)
+            for r in hypertable_rollup(df, "ts", widths,
+                                       hierarchical=True).collect()}
+    flat = {key(r): (r.n_events, r.value_sum)
+            for r in hypertable_rollup(df, "ts", widths,
+                                       hierarchical=False).collect()}
+    assert hier == flat
+    # day grain partitions all 120 events across 2 day-buckets x 2 types
+    day = [(k, v) for k, v in hier.items() if k[0] == 86400]
+    assert len(day) == 4
+    assert sum(v[0] for _, v in day) == 120
+
+
+def test_rollup_rejects_non_nested_widths(spark, hourly_events):
+    df = hourly_events.select(
+        F.timestamp_micros(F.col("ts_s") * F.lit(1_000_000)).alias("ts"),
+        "event_type", "value")
+    with pytest.raises(ValueError, match="nested"):
+        hypertable_rollup(df, "ts", (3600, 5000), hierarchical=True)
