@@ -51,6 +51,7 @@ def asof_join(
     tolerance_s: float | None = None,
     suffix: str = "_asof",
     right_tiebreak: str | None = None,
+    chunk_s: int | None = None,
 ) -> DataFrame:
     """Left as-of join: for each left row attach `value_cols` from the
     nearest right row at-or-before (`backward`) / at-or-after (`forward`)
@@ -66,11 +67,20 @@ def asof_join(
 
     Determinism: right rows must be unique per (`by`, `on`) — or pass
     `right_tiebreak`, an ascending right column appended to the window
-    order so the greatest tiebreak value wins.
+    order so the greatest tiebreak value wins. `on` must be non-null on
+    both sides.
 
     Scale: cost is the sort of |L|+|R| within each key — the same
-    shuffle a groupBy on `by` would do. No pair blow-up; skewed `by`
-    keys behave exactly like a skewed window (AQE-splittable).
+    shuffle a groupBy on `by` would do; no pair blow-up. A HOT `by` key
+    serializes inside one window partition (AQE cannot split a window),
+    so for skewed keys pass `chunk_s`: the window then runs within
+    (`by`, time-chunk) — hot keys spread across chunks/partitions — and
+    a second pass over the per-chunk TAILS (one row per (key, chunk)
+    that has right rows: its latest match) rolls matches across chunk
+    boundaries via the same union-window trick on that tiny frame,
+    then a co-partitioned join + coalesce patches left rows whose chunk
+    had no earlier in-chunk match. Exactly equivalent to the unchunked
+    result (asserted in tests/test_temporal.py).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -104,22 +114,74 @@ def asof_join(
     u = l_side.unionByName(r_side)
 
     ordinal = _as_ordinal(left, on)
+    backward = direction == "backward"
     order = (
         [ordinal.asc(), F.col("_is_left").asc(), F.col("_tb").asc_nulls_first()]
-        if direction == "backward"
+        if backward
         else [ordinal.desc(), F.col("_is_left").asc(), F.col("_tb").asc_nulls_first()]
     )
+    part: list[str] = list(by)
+    if chunk_s is not None:
+        width = int(chunk_s) * (
+            1_000_000 if dict(left.dtypes)[on].startswith("timestamp") else 1)
+        u = u.withColumn("_chunk", F.floor(ordinal / F.lit(width)))
+        part = [*by, "_chunk"]
     w = (
-        Window.partitionBy(*by)
+        Window.partitionBy(*part)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     picked = u.select(
         *lpay,
+        *(["_chunk"] if chunk_s is not None else []),
         "_is_left",
         *[F.last(m, ignorenulls=True).over(w).alias(m) for m in matched],
         F.last(on_matched, ignorenulls=True).over(w).alias(on_matched),
     ).filter(F.col("_is_left") == 1).drop("_is_left")
+
+    if chunk_s is not None:
+        # Per-chunk tails: the single best right row of each (by, chunk) —
+        # its running match IS the chunk's final match state. Shifted one
+        # chunk toward the reader, rolled across chunks with a recursive
+        # (unchunked) as-of on the tiny tails frame, then patched into
+        # left rows whose own chunk had no in-chunk match.
+        tail_order = (
+            [ordinal.desc(), F.col("_tb").desc_nulls_last()]
+            if backward
+            else [ordinal.asc(), F.col("_tb").asc_nulls_first()]
+        )
+        tw = Window.partitionBy(*part).orderBy(*tail_order)
+        tails = (
+            u.filter(F.col("_is_left") == 0)
+            .withColumn("_rn", F.row_number().over(tw))
+            .filter(F.col("_rn") == 1)
+            .select(
+                *by,
+                (F.col("_chunk") + (1 if backward else -1)).alias("_chunk"),
+                *matched, on_matched,
+            )
+        )
+        left_chunks = picked.select(*by, "_chunk").distinct()
+        carry = asof_join(
+            left_chunks,
+            tails,
+            on="_chunk",
+            by=by,
+            value_cols=(*matched, on_matched),
+            direction=direction,
+            suffix="_carry",
+        )
+        carry_of = {m: f"{m}_carry" for m in [*matched, on_matched]}
+        picked = (
+            picked.join(carry, [*by, "_chunk"], "left")
+            .select(
+                *lpay,
+                *[F.coalesce(F.col(m), F.col(carry_of[m])).alias(m)
+                  for m in matched],
+                F.coalesce(F.col(on_matched), F.col(carry_of[on_matched]))
+                .alias(on_matched),
+            )
+        )
 
     if tolerance_s is not None:
         lo = _as_ordinal(picked, on)

@@ -67,6 +67,36 @@ def test_asof_right_tiebreak_deterministic(spark):
     assert got[0].px_asof == 7.0  # greatest tiebreak wins
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_chunked_equals_unchunked(spark, direction):
+    import random
+
+    rng = random.Random(9)
+    left = spark.createDataFrame(
+        [(rng.randrange(3), rng.randrange(1000), i) for i in range(300)],
+        "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(rng.randrange(3), t, float(t)) for t in
+         rng.sample(range(1000), 120)],
+        "k long, ts long, px double")
+    kw = dict(on="ts", by=("k",), value_cols=("px",), direction=direction)
+    plain = {(r.k, r.ts, r.lid): (r.px_asof, r.ts_asof)
+             for r in asof_join(left, right, **kw).collect()}
+    # chunk width 50 -> ~20 chunks; plenty of cross-chunk carries
+    chunked = {(r.k, r.ts, r.lid): (r.px_asof, r.ts_asof)
+               for r in asof_join(left, right, chunk_s=50, **kw).collect()}
+    assert chunked == plain
+
+
+def test_asof_chunked_tolerance(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    tol = {r.trade_id: r.px_asof
+           for r in asof_join(trades, quotes, on="ts", by=("sym",),
+                              value_cols=("px",), tolerance_s=4,
+                              chunk_s=30).collect()}
+    assert tol == {"t1": 11.0, "t2": None, "t3": 20.0, "t4": None}
+
+
 def test_asof_plan_single_shuffle_no_join(spark, trades_quotes):
     trades, quotes = trades_quotes
     plan = formatted_plan(
