@@ -146,3 +146,40 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+FUNNEL_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id,
+       epoch_us(p.ts) AS p_us,
+       epoch_us(v.ts) AS v_us
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
+@register("funnel_join_batch", oracle=FUNNEL_JOIN_ORACLE,
+          tags=("streaming", "stream-stream-join", "funnel"))
+def funnel_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked stream-stream funnel join
+    (streaming/ops.py:streaming_view_purchase_join) applied in BATCH
+    mode — one definition serves both; the stream side is
+    batch-equivalence-tested in tests/test_streaming.py and the batch
+    side hash-verified here."""
+    from gpu_bdb_spark.streaming import streaming_view_purchase_join
+
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "user_id", "ts", "event_type"],
+                   hint_broadcast=False)
+    views = e.filter(F.col("event_type") == "view")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    j = streaming_view_purchase_join(views, purchases, lookback="1 hour")
+    return j.select(
+        "purchase_id", "view_id", "user_id",
+        F.unix_micros("p_ts").alias("p_us"),
+        F.unix_micros("v_ts").alias("v_us"),
+    )

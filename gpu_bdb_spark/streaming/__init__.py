@@ -9,12 +9,18 @@ session windows reproducing bdb_tools/sessionization.py semantics on a feed.
 
 from gpu_bdb_spark.streaming.ops import (
     session_window_stats,
+    stream_static_enrich,
+    streaming_dedup,
     streaming_event_counts,
     streaming_sessionize,
+    streaming_view_purchase_join,
 )
 
 __all__ = [
     "session_window_stats",
+    "stream_static_enrich",
+    "streaming_dedup",
     "streaming_event_counts",
     "streaming_sessionize",
+    "streaming_view_purchase_join",
 ]

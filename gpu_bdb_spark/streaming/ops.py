@@ -71,6 +71,81 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once dedup on a live feed: keep the first row per `keys`.
+
+    Streaming input → `dropDuplicatesWithinWatermark`: state holds one
+    entry per key only until the watermark passes it, so state is
+    bounded by (keys arriving within one watermark), not by the whole
+    history — the only dedup that survives an unbounded stream. Batch
+    input → plain `dropDuplicates` (the full-history equivalent the
+    batch-equivalence tests compare against).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(list(keys))
+    return events.dropDuplicates(list(keys))
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast) dimension — no streaming state at all, the standard way
+    to attach slowly-changing attributes to a feed. The dim is re-read
+    per micro-batch, so updates to it are picked up live."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def streaming_view_purchase_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream join: every purchase pairs with the same
+    user's views in the preceding `lookback`.
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, so each side's state buffer is capped at
+    watermark+lookback — the canonical funnel join that runs forever.
+    Batch inputs take the identical plan minus state (the equivalence
+    oracle). Output: one row per (purchase, view) pair.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+    ).select(
+        "purchase_id", "view_id",
+        F.col("p_user").alias("user_id"),
+        "p_ts", "v_ts",
+    )
+
+
 def session_window_stats(sessions: DataFrame) -> DataFrame:
     """Per-user rollup of `streaming_sessionize` output (a second, keyed
     aggregation — in streaming this runs in the same query as a chained

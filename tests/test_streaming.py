@@ -117,3 +117,87 @@ def _run_to_memory_update(spark, df, name):
     out = spark.table(name).toPandas()
     q.stop()
     return out
+
+
+def _run_to_memory_append(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).toPandas()
+    q.stop()
+    return out
+
+
+@pytest.fixture(scope="module")
+def dup_events_stream(spark, sf_dir, tmp_path_factory):
+    """The events file exposed TWICE: every event_id arrives duplicated."""
+    from gpu_bdb_spark.streaming import streaming_dedup  # noqa: F401
+
+    stream_dir = tmp_path_factory.mktemp("dup_events")
+    for i in range(2):
+        (stream_dir / f"copy{i}.parquet").symlink_to(
+            table_path(sf_dir, "events"))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(table_path(sf_dir, "events")).schema)
+        .parquet(str(stream_dir))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, dup_events_stream):
+    from gpu_bdb_spark.streaming import streaming_dedup
+
+    batch = read_table(spark, sf_dir, "events")
+    got = _run_to_memory_append(
+        spark, streaming_dedup(dup_events_stream), "dedup_stream")
+    # exactly the batch key set, each key exactly once
+    assert got["event_id"].is_unique
+    expect_ids = set(
+        r.event_id
+        for r in streaming_dedup(batch).select("event_id").collect())
+    assert set(got["event_id"]) == expect_ids
+
+
+def test_stream_static_enrich(spark, sf_dir, events_stream):
+    from gpu_bdb_spark.streaming import stream_static_enrich
+
+    batch, stream = events_stream
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("segment",
+                    F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    got = _run_to_memory_append(
+        spark, stream_static_enrich(stream, dim), "enriched")
+    expect = stream_static_enrich(batch, dim).toPandas()
+    assert len(got) == len(expect)
+    assert (
+        got.groupby("segment").size().sort_index()
+        == expect.groupby("segment").size().sort_index()
+    ).all()
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream):
+    from gpu_bdb_spark.streaming import streaming_view_purchase_join
+
+    batch, stream = events_stream
+    s_views = stream.filter(F.col("event_type") == "view")
+    s_purch = stream.filter(F.col("event_type") == "purchase")
+    got = _run_to_memory_append(
+        spark, streaming_view_purchase_join(s_views, s_purch), "ss_join")
+    b_views = batch.filter(F.col("event_type") == "view")
+    b_purch = batch.filter(F.col("event_type") == "purchase")
+    expect = streaming_view_purchase_join(b_views, b_purch).toPandas()
+    key = ["purchase_id", "view_id"]
+    assert len(got) == len(expect) > 0
+    assert set(map(tuple, got[key].values)) == set(
+        map(tuple, expect[key].values))
