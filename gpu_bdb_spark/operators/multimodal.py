@@ -111,3 +111,137 @@ def decode_image(
             yield _pd.DataFrame(out, columns=columns)
 
     return media_df.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
+
+
+#: Output schema of sample_frames: one row per sampled frame (1→N shape).
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media_df: DataFrame,
+    n_frames: int = 4,
+    interval_ms: int = 1000,
+    fake: bool = False,
+) -> DataFrame:
+    """Sample `n_frames` frames per video item — the 1→N multimodal shape
+    (one input row fans out to several output rows inside the same Arrow
+    batch, no explode/shuffle).
+
+    Real deployments decode with ffmpeg/pyav per batch; neither is in
+    this container, so `fake=True` runs a deterministic content-hash
+    frame synthesizer through the identical plumbing (streamed
+    Iterator[pd.DataFrame] batches, binary frame payloads out). Frame
+    rows inherit the input partitioning — downstream per-frame feature
+    extraction runs without any shuffle.
+    """
+    columns = [f.name for f in FRAME_SCHEMA.fields]
+
+    def frame_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _fake(data: bytes, idx: int) -> bytes:
+            return _hashlib.sha256(data + idx.to_bytes(4, "little")).digest()
+
+        def _real(data: bytes, idx: int) -> bytes:
+            raise NotImplementedError(
+                "video codecs not available in this environment; "
+                "call sample_frames(..., fake=True) for the deterministic "
+                "test synthesizer"
+            )
+
+        grab = _fake if fake else _real
+        for pdf in batches:
+            out = []
+            for item_id, media in zip(pdf["item_id"], pdf["media"]):
+                data = bytes(media["data"]) if media["data"] is not None else b""
+                for i in range(n_frames):
+                    out.append(
+                        (item_id, i, i * interval_ms, grab(data, i)))
+            yield _pd.DataFrame(out, columns=columns)
+
+    return media_df.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+#: Output schema of resize_image: same media struct back, new dims in meta.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField(
+            "media",
+            T.StructType(
+                [
+                    T.StructField("data", T.BinaryType()),
+                    T.StructField("media_type", T.StringType()),
+                    T.StructField("meta", T.MapType(T.StringType(),
+                                                    T.StringType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_image(
+    media_df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize every image to (target_w, target_h), media-struct in →
+    media-struct out, so resize composes with attach_media / decode_image
+    / write-back without schema surgery.
+
+    `fake=True` substitutes a deterministic payload transform (content
+    hash tiled to a size proportional to the target area) for the PIL
+    call that is not in this container; meta records the new dims either
+    way.
+    """
+    columns = [f.name for f in RESIZED_SCHEMA.fields]
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _fake(data: bytes) -> bytes:
+            digest = _hashlib.sha256(data).digest()
+            reps = max(1, (target_w * target_h) // (len(digest) * 64))
+            return digest * reps
+
+        def _real(data: bytes) -> bytes:
+            raise NotImplementedError(
+                "image codecs not available in this environment; "
+                "call resize_image(..., fake=True) for the deterministic "
+                "test transform"
+            )
+
+        resize = _fake if fake else _real
+        for pdf in batches:
+            out = []
+            for item_id, media in zip(pdf["item_id"], pdf["media"]):
+                data = bytes(media["data"]) if media["data"] is not None else b""
+                new = resize(data)
+                meta = dict(media["meta"] or {})
+                meta.update({"width": str(target_w),
+                             "height": str(target_h),
+                             "resized_from_len": str(len(data))})
+                out.append(
+                    (item_id,
+                     {"data": new, "media_type": media["media_type"],
+                      "meta": meta}))
+            yield _pd.DataFrame(out, columns=columns)
+
+    return media_df.mapInPandas(resize_batches, RESIZED_SCHEMA)

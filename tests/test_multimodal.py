@@ -44,3 +44,42 @@ def test_real_decode_is_clearly_stubbed(media):
         decode_image(media, fake=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError)
+
+
+def test_sample_frames_fans_out_deterministically(spark, media):
+    from gpu_bdb_spark.operators.multimodal import sample_frames
+
+    a = sample_frames(media, n_frames=3, interval_ms=500, fake=True).collect()
+    b = sample_frames(media, n_frames=3, interval_ms=500, fake=True).collect()
+    n_items = media.count()
+    assert len(a) == n_items * 3
+    per_item = {}
+    for r in a:
+        per_item.setdefault(r.item_id, []).append((r.frame_idx, r.ts_ms))
+    assert all(sorted(v) == [(0, 0), (1, 500), (2, 1000)]
+               for v in per_item.values())
+    assert {(r.item_id, r.frame_idx): bytes(r.frame) for r in a} == \
+           {(r.item_id, r.frame_idx): bytes(r.frame) for r in b}
+
+
+def test_sample_frames_real_is_stubbed(media):
+    import pytest as _pytest
+
+    from gpu_bdb_spark.operators.multimodal import sample_frames
+
+    with _pytest.raises(Exception, match="NotImplementedError|codecs"):
+        sample_frames(media, fake=False).collect()
+
+
+def test_resize_image_roundtrips_media_struct(spark, media):
+    from gpu_bdb_spark.operators.multimodal import resize_image
+
+    out = resize_image(media, target_w=64, target_h=32, fake=True)
+    # media-struct in == media-struct out: resize composes with itself
+    again = resize_image(out, target_w=16, target_h=16, fake=True).collect()
+    rows = out.collect()
+    assert len(rows) == media.count() == len(again)
+    for r in rows:
+        assert r.media.meta["width"] == "64"
+        assert r.media.meta["height"] == "32"
+        assert len(bytes(r.media.data)) > 0
