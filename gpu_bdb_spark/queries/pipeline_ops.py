@@ -1,0 +1,111 @@
+"""End-to-end training-data curation pipeline as ONE composed query:
+exact dedup → token/quality stats → language filter → quality floor →
+deterministic train/val split.
+
+The point (beyond each operator's own entry): the stages compose into a
+single Catalyst plan — dedup's min-id-per-fingerprint is the only wide
+stage; token stats, language ID, scoring, and the split are narrow
+column expressions fused into the scan — so "run the whole curation
+pass" costs one shuffle over the corpus, not one job per stage. The
+whole pipeline is hash-verified against a single DuckDB SQL statement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.io import read_table
+from gpu_bdb_spark.operators.text import (fingerprint, language_id,
+                                          token_stats)
+from gpu_bdb_spark.queries.registry import register
+from gpu_bdb_spark.queries.text_ops import _BEST, _LANG_COUNTS, _PRED_CASES, _SW
+
+CURATION_ORACLE = rf"""
+WITH fp AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                                '', 'g'),
+                                 ' +', ' ', 'g'))) AS fp
+  FROM documents
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+kept AS (SELECT f.doc_id, f.text FROM fp f JOIN keep k ON f.doc_id = k.doc_id),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM kept
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+              AS BIGINT) AS total_token_len,
+         CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS BIGINT)
+           AS stopword_cnt,
+         {_LANG_COUNTS}
+  FROM t
+  WHERE len(toks) >= 5
+),
+scored AS (
+  SELECT doc_id,
+    CASE WHEN {_BEST} = 0 THEN 'und'
+      {_PRED_CASES}
+      ELSE 'und' END AS pred_lang,
+    n_tokens,
+    (CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 0.4 ELSE 0.0 END
+     + CASE WHEN CAST(stopword_cnt AS DOUBLE) / n_tokens
+              BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END
+     + CASE WHEN CAST(total_token_len AS DOUBLE) / n_tokens
+              BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) AS quality_score
+  FROM s
+)
+SELECT doc_id, pred_lang, n_tokens, quality_score,
+       CASE WHEN doc_id % 20 = 0 THEN 'val' ELSE 'train' END AS split
+FROM scored
+WHERE quality_score >= 0.7 AND pred_lang = 'en'
+"""
+
+
+@register("curation_pipeline", oracle=CURATION_ORACLE,
+          tags=("pipeline", "dedup", "quality", "lang-id", "split"))
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pass over `documents`: exact dedup (min doc_id
+    per content fingerprint), n_tokens ≥ 5, English-prediction +
+    quality ≥ 0.7 gates, then a deterministic 95/5 train/val split on
+    doc_id (dense synthetic ids; a production pipeline hashes first —
+    the split column is what downstream samplers key on either way).
+    One wide stage total: a window-min over the content fingerprint
+    keeps the lowest doc_id per duplicate group WITHOUT a keeper join
+    (a keeper-id set is corpus-sized — never broadcastable); every
+    later stage is a narrow column expression fused after that single
+    exchange."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    fp = d.select("doc_id", "text", fingerprint(F.col("text")).alias("fp"))
+    w = Window.partitionBy("fp")
+    kept = (
+        fp.withColumn("_keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .drop("_keeper", "fp")
+    )
+    s = token_stats(kept, "text").filter(F.col("n_tokens") >= 5)
+    sw_ratio = F.col("stopword_cnt").cast("double") / F.col("n_tokens")
+    avg_len = F.col("total_token_len").cast("double") / F.col("n_tokens")
+    quality = (
+        F.when(F.col("n_tokens").between(20, 500), 0.4).otherwise(0.0)
+        + F.when(sw_ratio.between(0.01, 0.5), 0.3).otherwise(0.0)
+        + F.when(avg_len.between(3.0, 8.0), 0.3).otherwise(0.0)
+    )
+    scored = s.select(
+        "doc_id",
+        language_id(F.col("tokens")).alias("pred_lang"),
+        "n_tokens",
+        quality.alias("quality_score"),
+        F.when(F.col("doc_id") % 20 == 0, "val").otherwise("train")
+        .alias("split"),
+    )
+    return scored.filter(
+        (F.col("quality_score") >= 0.7) & (F.col("pred_lang") == "en"))

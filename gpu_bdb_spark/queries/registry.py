@@ -31,6 +31,7 @@ _QUERY_MODULES = (
     "gpu_bdb_spark.queries.ml_ops",
     "gpu_bdb_spark.queries.custom_ops",
     "gpu_bdb_spark.queries.temporal_ops",
+    "gpu_bdb_spark.queries.pipeline_ops",
 )
 
 

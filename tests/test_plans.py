@@ -87,3 +87,15 @@ def test_bucketed_join_skips_exchange(spark, sf_dir, tmp_path_factory):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_curation_pipeline_single_shuffle(spark, sf_dir):
+    """The composed curation pass (dedup -> stats -> filters -> split)
+    must cost exactly one exchange: the fingerprint window. A keeper
+    join would add a corpus-sized build side; regression here means the
+    pipeline stopped fusing."""
+    import re
+
+    plan = formatted_plan(all_specs()["curation_pipeline"].fn(spark, sf_dir))
+    assert len(re.findall(r"hashpartitioning\(fp", plan)) == 1, plan
+    assert "Join" not in plan, plan
