@@ -247,3 +247,58 @@ def simhash64(
     )
     sim = reduce(lambda x, y: x + y, terms)
     return per_doc.select("id", sim.alias("simhash"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id1: str = "id_1",
+    id2: str = "id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation; cluster_id = the
+    smallest doc id in the component (so "keep cluster_id, drop the
+    rest" is the dedup decision).
+
+    Each iteration is one distributed join + min-aggregate over the
+    symmetrized edge list; labels converge in ≤ graph-diameter rounds
+    (near-dup graphs are unions of small cliques — diameter is tiny) and
+    the loop exits on a converged (zero-change) round. The driver only
+    orchestrates; per-iteration data never leaves the cluster. At 100 TB
+    this is the standard large-graph CC layout (alternating large-star /
+    small-star would cut rounds further; unnecessary at clique-like
+    diameters).
+
+    Returns (id, cluster_id) for every id that appears in `pairs`.
+    """
+    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("cluster_id", F.col("id")).persist()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnsRenamed({"id": "b", "cluster_id": "nbr"}), "b"
+        ).select(F.col("a").alias("id"), F.col("nbr").alias("cluster_id"))
+        new_labels = (
+            labels.union(prop)
+            .groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "_old"), "id")
+            .filter(F.col("cluster_id") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds")
+    edges.unpersist()
+    return labels

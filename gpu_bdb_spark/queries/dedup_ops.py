@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from gpu_bdb_spark.io import read_table
 from gpu_bdb_spark.operators.dedup import (
+    duplicate_clusters,
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -161,3 +162,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .select("id_1", "id_2", F.round("cosine", 4).alias("cosine"))
     )
+
+
+DEDUP_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t
+),
+sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+       FROM idx),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_1, id_2 FROM inter
+  JOIN sizes s1 ON id_1 = s1.doc_id JOIN sizes s2 ON id_2 = s2.doc_id
+  WHERE CAST(n_inter AS DOUBLE)
+        / CAST(s1.sz + s2.sz - n_inter AS DOUBLE) >= 0.6
+),
+edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+          UNION ALL SELECT id_2, id_1 FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@register("dedup_clusters", oracle=DEDUP_CLUSTERS_ORACLE,
+          tags=("dedup", "clusters", "connected-components"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs (exact bigram Jaccard ≥ 0.6) resolved into
+    duplicate clusters by distributed min-label propagation — an
+    ITERATIVE graph algorithm with an exact hash oracle: DuckDB computes
+    the same components via a recursive transitive-closure CTE. The
+    cluster_id (min doc_id per component) is the keeper; everything else
+    in the cluster is droppable."""
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
+    return duplicate_clusters(pairs)

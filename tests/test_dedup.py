@@ -55,3 +55,19 @@ def test_exact_duplicate_keeper_is_min_id(spark, sf_dir):
                      F.count(F.lit(1)).alias("n_groups")).collect()[0]
     assert agg.total == n_docs
     assert agg.n_groups <= n_docs
+
+
+def test_duplicate_clusters_on_chain_and_clique(spark):
+    """A 5-chain (needs several propagation rounds) + a triangle + an
+    isolated pair resolve to min-id components."""
+    from gpu_bdb_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),        # chain
+         (10, 11), (11, 12), (10, 12),          # triangle
+         (20, 21)],                             # pair
+        "id_1 long, id_2 long")
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
