@@ -183,6 +183,24 @@ def ivf_topk(
     (clustered) embedding corpora; recall on clustered data is asserted
     in tests/test_similarity.py.
     """
+    centroids = _fit_centroids(corpus, n_lists, vec_col, seed, max_iter)
+    corpus_lists = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        F.element_at(_nearest_lists(centroids, 1)(F.col(vec_col)), 1)
+        .alias("lst"))
+    query_lists = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.explode(_nearest_lists(centroids, n_probe)(F.col(vec_col)))
+        .alias("lst"))
+    return _score_lists(corpus_lists, query_lists, k)
+
+
+def _fit_centroids(
+    corpus: DataFrame, n_lists: int, vec_col: str, seed: int, max_iter: int
+) -> "np.ndarray":
+    """Seeded k-means coarse quantizer; returns the n_lists×dim matrix."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -191,37 +209,35 @@ def ivf_topk(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("features"))
     model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return np.vstack([np.asarray(c) for c in model.clusterCenters()])
 
-    def make_assigner(n_nearest: int):
-        """Self-contained pandas_udf: ids of the n_nearest centroids by
-        L2 distance (ties by centroid id — argsort is stable)."""
-        C = centroids  # closure ships the matrix by value
 
-        from pyspark.sql.functions import pandas_udf
+def _nearest_lists(centroids: "np.ndarray", n_nearest: int):
+    """Self-contained pandas_udf: ids of the n_nearest centroids by L2
+    distance (ties by centroid id — argsort is stable)."""
+    C = centroids  # closure ships the matrix by value
 
-        @pandas_udf("array<int>")
-        def nearest(vecs: pd.Series) -> pd.Series:
-            import numpy as np
-            import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-            V = np.vstack(vecs.to_numpy()).astype(np.float64)
-            # ||v-c||² = ||v||² - 2v·c + ||c||²; ||v||² constant per row
-            d = -2.0 * (V @ C.T) + (C * C).sum(axis=1)
-            idx = np.argsort(d, axis=1, kind="stable")[:, :n_nearest]
-            return pd.Series(list(idx.astype("int32")))
+    @pandas_udf("array<int>")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd
 
-        return nearest
+        V = np.vstack(vecs.to_numpy()).astype(np.float64)
+        # ||v-c||² = ||v||² - 2v·c + ||c||²; ||v||² constant per row
+        d = -2.0 * (V @ C.T) + (C * C).sum(axis=1)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_nearest]
+        return pd.Series(list(idx.astype("int32")))
 
-    corpus_lists = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_emb"),
-        F.element_at(make_assigner(1)(F.col(vec_col)), 1).alias("lst"))
-    query_lists = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_emb"),
-        F.explode(make_assigner(n_probe)(F.col(vec_col))).alias("lst"))
+    return nearest
 
+
+def _score_lists(
+    corpus_lists: DataFrame, query_lists: DataFrame, k: int
+) -> DataFrame:
+    """Per-list cogrouped matmul scoring + global top-k merge (shared by
+    the inline and persisted-index IVF paths)."""
     scored = corpus_lists.groupBy("lst").cogroup(
         query_lists.groupBy("lst")).applyInPandas(
         _make_scorer(k, "cogroup"), _SCORE_SCHEMA)
@@ -233,6 +249,58 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    table_name: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+    num_buckets: int | None = None,
+) -> "np.ndarray":
+    """Persist an IVF index: corpus vectors assigned to their coarse
+    list, written as a table BUCKETED BY the list id. The assignment
+    shuffle is paid once at build time; every later `ivf_search_index`
+    cogroups straight off the bucketed files with NO exchange on the
+    corpus side (plan-asserted in tests). Returns the centroid matrix
+    (the tiny driver-side model state the searcher needs)."""
+    from gpu_bdb_spark.sources import write_bucketed
+
+    centroids = _fit_centroids(corpus, n_lists, vec_col, seed, max_iter)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        F.element_at(_nearest_lists(centroids, 1)(F.col(vec_col)), 1)
+        .alias("lst"))
+    write_bucketed(assigned, table_name, ["lst"],
+                   num_buckets or n_lists, sort_cols=["lst"])
+    return centroids
+
+
+def ivf_search_index(
+    spark,
+    table_name: str,
+    centroids: "np.ndarray",
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a persisted IVF index (`ivf_build_index`):
+    only the (tiny) query batch shuffles — corpus buckets are read
+    co-located. This is the repeated-query-batch serving path; the
+    centroid matrix rides along driver-side (n_lists×dim floats)."""
+    corpus_lists = spark.table(table_name)
+    query_lists = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.explode(_nearest_lists(centroids, n_probe)(F.col(vec_col)))
+        .alias("lst"))
+    return _score_lists(corpus_lists, query_lists, k)
 
 
 def _bucket_expr(vec_col: str, planes: "np.ndarray") -> Column:

@@ -94,3 +94,31 @@ def test_ivf_runs_on_real_embeddings(spark, sf_dir):
     got = ivf_topk(q, e, k=3, n_lists=8, n_probe=3).collect()
     assert len(got) > 0
     assert all(r.rank <= 3 for r in got)
+
+
+def test_ivf_persisted_index_matches_inline_and_skips_shuffle(spark):
+    from gpu_bdb_spark.operators.similarity import (ivf_build_index,
+                                                    ivf_search_index,
+                                                    ivf_topk)
+    from gpu_bdb_spark.plans import formatted_plan
+
+    corpus = _clustered(spark, seed=13)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    try:
+        centroids = ivf_build_index(corpus, "ivf_idx_t", n_lists=8, seed=7)
+        got = ivf_search_index(spark, "ivf_idx_t", centroids, queries,
+                               k=5, n_probe=2)
+        # explain BEFORE executing: post-execution AQE explain re-lists
+        # materialized stage subtrees and double-counts exchanges
+        plan = formatted_plan(got)
+        # bucketed corpus read is exchange-free: only the query batch and
+        # the final top-k window repartition
+        assert "Bucketed: true" in plan, plan
+        import re
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+        inline = ivf_topk(queries, corpus, k=5, n_lists=8, n_probe=2, seed=7)
+        a = {(r.query_id, r.neighbor_id, r.rank) for r in got.collect()}
+        b = {(r.query_id, r.neighbor_id, r.rank) for r in inline.collect()}
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_idx_t")
