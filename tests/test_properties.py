@@ -118,3 +118,52 @@ def test_salted_collect_set_matches_set(spark, vals):
     got = salted_collect_set(df, "k", "v", n_salts=3).collect()
     assert len(got) == 1
     assert sorted(got[0]["values"]) == sorted(set(vals))
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(1, 3),      # key
+                  st.integers(0, 1000),   # ts
+                  st.integers(0, 10**6)), # row id
+        min_size=1, max_size=25, unique_by=lambda e: e[2]),
+    right=st.lists(
+        st.tuples(st.integers(1, 3),      # key
+                  st.integers(0, 1000)),  # ts (unique per key below)
+        min_size=0, max_size=25, unique_by=lambda e: (e[0], e[1])),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 0, 10, 100]),
+    chunk=st.sampled_from([None, 100]),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(
+        spark, left, right, direction, tolerance, chunk):
+    """asof_join vs pandas.merge_asof — an independent implementation of
+    the same semantics (numeric `on`, per-key, inclusive match)."""
+    import pandas as pd
+
+    from gpu_bdb_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(left, "k long, ts long, lid long")
+    rdf = spark.createDataFrame(
+        [(k, t, float(k * 10000 + t)) for k, t in right],
+        "k long, ts long, px double")
+    got = {r.lid: r.px_asof
+           for r in asof_join(ldf, rdf, on="ts", by=("k",),
+                              value_cols=("px",), direction=direction,
+                              tolerance_s=tolerance,
+                              chunk_s=chunk).collect()}
+
+    lp = (pd.DataFrame(left, columns=["k", "ts", "lid"])
+          .astype({"k": "int64", "ts": "int64", "lid": "int64"})
+          .sort_values("ts"))
+    rp = (pd.DataFrame(
+        [(k, t, float(k * 10000 + t)) for k, t in right],
+        columns=["k", "ts", "px"])
+        .astype({"k": "int64", "ts": "int64", "px": "float64"})
+        .sort_values("ts"))
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction,
+        tolerance=tolerance, allow_exact_matches=True)
+    expect = {int(r.lid): (None if pd.isna(r.px) else float(r.px))
+              for r in merged.itertuples()}
+    assert got == expect
