@@ -154,3 +154,35 @@ def session_window_stats(sessions: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+def asof_enrich_batches(
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    value_cols: tuple[str, ...] = ("value",),
+    sink=None,
+):
+    """foreachBatch body: as-of enrich each micro-batch against a STATIC
+    reference frame (slowly-changing quotes/prices/configs).
+
+    Row independence makes this exact: an as-of match depends only on
+    the left row and the static right side, so per-micro-batch
+    evaluation equals the batch result over the full stream
+    (batch≡stream tested). `sink(df, batch_id)` receives the enriched
+    micro-batch; use as
+    `stream.writeStream.foreachBatch(asof_enrich_batches(right, ...,
+    sink=...))`. For a *streaming* right side use
+    `streaming_view_purchase_join`-style watermarked joins instead —
+    an as-of against late-arriving right rows needs state this
+    deliberately avoids.
+    """
+    from gpu_bdb_spark.operators.temporal import asof_join
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = asof_join(batch_df, right, on=on, by=by,
+                             value_cols=value_cols)
+        if sink is not None:
+            sink(enriched, batch_id)
+
+    return process

@@ -201,3 +201,36 @@ def test_stream_stream_join_matches_batch(spark, events_stream):
     assert len(got) == len(expect) > 0
     assert set(map(tuple, got[key].values)) == set(
         map(tuple, expect[key].values))
+
+
+def test_asof_enrich_foreachbatch_matches_batch(spark, events_stream):
+    from gpu_bdb_spark.operators.temporal import asof_join
+    from gpu_bdb_spark.streaming import asof_enrich_batches
+
+    batch, stream = events_stream
+    quotes = (
+        batch.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts").agg(F.max("value").alias("v"))
+    )
+    collected = []
+    sink = lambda df, bid: collected.extend(  # noqa: E731
+        df.select("event_id", "v_asof").collect())
+    q = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .writeStream.foreachBatch(
+            asof_enrich_batches(quotes, value_cols=("v",), sink=sink))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    expect = {
+        r.event_id: r.v_asof
+        for r in asof_join(
+            batch.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"),
+            quotes, value_cols=("v",)).collect()
+    }
+    got = {r.event_id: r.v_asof for r in collected}
+    assert got == expect and len(got) > 0
