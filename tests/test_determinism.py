@@ -1,0 +1,37 @@
+"""Cross-partitioning determinism: the same query at different
+`spark.sql.shuffle.partitions` must produce identical results — catches
+order-dependent aggregation, nondeterministic tie-breaks, and
+partition-count leakage. (Datagen has its own golden check; this covers
+the round-2 operator entries end-to-end.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from gpu_bdb_spark.queries.registry import all_specs
+
+from .conftest import assert_frames_match
+
+QUERIES = [
+    "asof_join_last_view",
+    "range_join_windows",
+    "hypertable_rollup_events",
+    "funnel_join_batch",
+    "curation_pipeline",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_independent_of_shuffle_partitions(name, spark, sf_dir):
+    spec = all_specs()[name]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = spec.fn(spark, sf_dir).toPandas()
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = spec.fn(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert_frames_match(a, b, name=name)
