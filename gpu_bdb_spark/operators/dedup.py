@@ -302,3 +302,56 @@ def duplicate_clusters(
             f"label propagation did not converge in {max_iter} rounds")
     edges.unpersist()
     return labels
+
+
+def simhash_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """Near-duplicate pairs from 64-bit SimHash fingerprints: all pairs
+    with hamming distance ≤ `max_hamming`.
+
+    Pigeonhole candidate generation: the 64 bits split into
+    `max_hamming + 1` equal blocks — any pair within the distance budget
+    must agree EXACTLY on at least one block — so candidates come from
+    equi-joins on (block_id, block_value), never an all-pairs scan, and
+    the exact popcount( a XOR b ) check runs only on bucket collisions.
+    All codegen'd integer ops (shift/mask/xor/bit_count), one shuffle on
+    the block buckets — the same layout as the MinHash band join, tuned
+    for the boilerplate-screen tier.
+    """
+    n_blocks = max_hamming + 1
+    if 64 % n_blocks != 0:
+        # uneven split is fine for correctness (any agreement block
+        # works); use shifted spans of ceil width
+        pass
+    width = -(-64 // n_blocks)  # ceil
+    mask = (1 << width) - 1
+    blocks = F.array(*[
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.shiftrightunsigned(F.col(sim_col), b * width)
+            .bitwiseAND(F.lit(mask)).alias("val"),
+        )
+        for b in range(n_blocks)
+    ])
+    buckets = fingerprints.select(
+        F.col(id_col).alias("id"), F.col(sim_col).alias("sh"),
+        F.explode(blocks).alias("bb"),
+    ).select("id", "sh", F.col("bb.blk").alias("blk"),
+             F.col("bb.val").alias("val"))
+    left = buckets.select("blk", "val", F.col("id").alias("id_1"),
+                          F.col("sh").alias("sh_1"))
+    right = buckets.select("blk", "val", F.col("id").alias("id_2"),
+                           F.col("sh").alias("sh_2"))
+    return (
+        left.join(right, ["blk", "val"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2",
+                F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2")))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -21,6 +21,7 @@ from gpu_bdb_spark.operators.dedup import (
     minhash_lsh_pairs,
     shingle_sets,
     simhash64,
+    simhash_pairs,
 )
 from gpu_bdb_spark.queries.registry import register
 
@@ -211,3 +212,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
     return duplicate_clusters(pairs)
+
+
+@register("dedup_simhash_pairs", tags=("dedup", "simhash", "hamming"))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 via pigeonhole block join
+    (any qualifying pair agrees exactly on ≥1 of 4 16-bit blocks — no
+    all-pairs scan). No oracle (xxhash64-internal); losslessness vs the
+    exhaustive popcount is unit-tested in tests/test_dedup.py."""
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return simhash_pairs(simhash64(d, "text", "doc_id"), max_hamming=3)

@@ -71,3 +71,31 @@ def test_duplicate_clusters_on_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_simhash_pairs_finds_planted_near_dups(spark):
+    """Docs sharing most tokens land within the hamming budget; random
+    docs don't. Exhaustive popcount over all pairs is the ground truth."""
+    from itertools import combinations
+
+    from gpu_bdb_spark.operators.dedup import simhash64, simhash_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(0, base), (1, base + " extra"),           # near-dup pair
+            (2, base.replace("alpha", "ALPHA2")),      # near-dup of 0
+            (3, "totally different words entirely unrelated content here"),
+            (4, "yet another unrelated document with other tokens")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = simhash64(docs, "text", "doc_id")
+    sims = {r.id: r.simhash for r in fp.collect()}
+    exhaustive = {
+        (a, b)
+        for a, b in combinations(sorted(sims), 2)
+        if bin((sims[a] ^ sims[b]) & (2**64 - 1)).count("1") <= 6
+    }
+    got = {(r.id_1, r.id_2)
+           for r in simhash_pairs(fp, max_hamming=6).collect()}
+    assert got == exhaustive          # pigeonhole generation is lossless
+    assert (0, 1) in got and (0, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)
