@@ -1,0 +1,49 @@
+"""The driver builds its OWN SparkSession with arbitrary confs; every
+registered query must still match its oracle because the registry wrapper
+applies `ensure_runtime_conf` at call time. This simulates the worst
+realistic session — non-UTC time zone + ANSI mode on — against the
+timestamp-heaviest entries and asserts the oracles still match.
+(The manual probe in .claude/skills/verify/SKILL.md, pinned as a test.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from gpu_bdb_spark.queries.registry import all_specs
+
+from .conftest import assert_frames_match
+
+QUERIES = [
+    "asof_join_last_view",
+    "range_join_windows",
+    "hypertable_rollup_events",
+    "sessionize_events",
+    "date_buckets",
+    "session_window_batch",
+]
+
+HOSTILE = {
+    "spark.sql.session.timeZone": "America/New_York",
+    "spark.sql.ansi.enabled": "true",
+}
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_survives_hostile_session_confs(name, spark, sf_dir, duck):
+    spec = all_specs()[name]
+    saved = {k: spark.conf.get(k) for k in HOSTILE}
+    try:
+        for k, v in HOSTILE.items():
+            spark.conf.set(k, v)
+        got = spec.fn(spark, sf_dir).toPandas()
+        # the wrapper must have reset the runtime confs for the query...
+        expect = duck.execute(spec.oracle).df()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    # ...and the post-call session state doesn't matter for the compare
+    for df in (got, expect):
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime64"):
+                df[c] = df[c].astype("datetime64[us]")
+    assert_frames_match(got, expect, name=name)
