@@ -1,0 +1,65 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+`df.sample`/`sampleBy` draw from a per-partition RNG: results change with
+partitioning, retries, and engine — useless for reproducible dataset
+releases. The operators here decide membership from a content hash of a
+stable key (first 8 hex chars of md5, compared lexicographically against
+a per-stratum threshold), so a sample is:
+
+* deterministic — same rows on every run, any partitioning, any engine
+  (md5 hex is portable; the driver hash-oracles it against DuckDB);
+* consistent — raising a fraction strictly grows the sample (thresholds
+  are prefixes of the same ordering), enabling nested train subsets;
+* cheap — a narrow projection+filter, no shuffle, no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hex granularity: thresholds quantize fractions to 1/16^8 ≈ 6e-10.
+_HEX_DIGITS = 8
+
+
+def _threshold(fraction: float) -> str:
+    """8-hex-digit threshold; comparisons are LEXICOGRAPHIC, so the
+    width must equal the slot width exactly. fraction=1.0 returns 'g'
+    (sorts above every hex string) to avoid a 9-digit literal."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction out of [0,1]: {fraction}")
+    n = int(round(fraction * 16 ** _HEX_DIGITS))
+    if n >= 16 ** _HEX_DIGITS:
+        return "g"
+    return format(n, f"0{_HEX_DIGITS}x")
+
+
+def _hash_slot(key: Column) -> Column:
+    """First 8 hex chars of md5(key-as-string) — uniform in [0, 16^8)."""
+    return F.substring(F.md5(key.cast("string").cast("binary")), 1,
+                       _HEX_DIGITS)
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~`fraction` of rows, chosen by content hash of `key_col`."""
+    return df.filter(_hash_slot(F.col(key_col)) < F.lit(_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum → its own fraction,
+    unlisted strata get `default_fraction`. The per-row decision is a
+    when-chain over literal thresholds — no join, no shuffle, fully
+    pushdown-friendly."""
+    thresh = F.lit(_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == value,
+                        F.lit(_threshold(frac))).otherwise(thresh)
+    return df.filter(_hash_slot(F.col(key_col)) < thresh)

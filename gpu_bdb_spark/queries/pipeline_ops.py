@@ -109,3 +109,27 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.filter(
         (F.col("quality_score") >= 0.7) & (F.col("pred_lang") == "en"))
+
+
+STRATIFIED_SAMPLE_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '80000000'
+                WHEN 'fr' THEN '40000000'
+                ELSE '1999999a' END
+"""
+
+
+@register("stratified_sample_docs", oracle=STRATIFIED_SAMPLE_ORACLE,
+          tags=("pipeline", "sampling", "stratified"))
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of documents (en 50%, fr 25%,
+    rest 10%) by content hash of doc_id — reproducible across runs,
+    partitionings, and engines (exact DuckDB hash oracle), no RNG."""
+    from gpu_bdb_spark.operators.sampling import stratified_sample
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "lang"],
+                   hint_broadcast=False)
+    return stratified_sample(d, "lang", {"en": 0.5, "fr": 0.25},
+                             key_col="doc_id", default_fraction=0.1)

@@ -167,3 +167,20 @@ def test_asof_join_matches_pandas_merge_asof(
     expect = {int(r.lid): (None if pd.isna(r.px) else float(r.px))
               for r in merged.itertuples()}
     assert got == expect
+
+
+def test_deterministic_sample_nested_and_rate(spark):
+    """Raising the fraction strictly grows the sample (nested subsets);
+    observed rates are within binomial noise of the targets."""
+    from gpu_bdb_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    small = {r.doc_id for r in deterministic_sample(df, 0.1).collect()}
+    big = {r.doc_id for r in deterministic_sample(df, 0.5).collect()}
+    assert small <= big
+    assert abs(len(small) / 20_000 - 0.1) < 0.01
+    assert abs(len(big) / 20_000 - 0.5) < 0.015
+    assert len({r.doc_id for r in deterministic_sample(df, 1.0).collect()}) \
+        == 20_000
+    assert len({r.doc_id for r in deterministic_sample(df, 0.0).collect()}) \
+        == 0
