@@ -1,0 +1,67 @@
+"""Sequence packing for LLM pretraining pipelines: group variable-length
+documents into fixed-capacity training sequences.
+
+True bin packing is sequential; the distributed form used at corpus
+scale fixes a deterministic order and packs independently inside hash
+buckets: docs land in `n_buckets` buckets by id, each bucket is packed
+next-fit in id order (new pack when the running token total would
+overflow), and buckets never talk to each other — embarrassingly
+parallel, deterministic on any partitioning, and within a capacity of
+optimal per bucket for typical length distributions. The per-bucket
+sequential scan is an Arrow-batched applyInPandas seam (the one place
+Python is the point: a running-state loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    capacity: int = 2048,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign every document a (bucket, pack) slot; `bucket` =
+    id % n_buckets, `pack` = next-fit pack index within the bucket in
+    ascending id order. A doc longer than `capacity` gets a pack of its
+    own (next-fit semantics: a new pack opens only when the current one
+    is non-empty and would overflow).
+
+    Scale: one shuffle on the bucket id; per-bucket state is two
+    integers. Raise n_buckets with the corpus so buckets stay
+    executor-sized; packing quality is unaffected by bucket count for
+    iid lengths.
+    """
+    schema = "doc_id long, bucket int, pack int, n_tokens long"
+
+    def pack_bucket(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values("doc_id")
+        cum = 0
+        pack = 0
+        packs = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if cum > 0 and cum + t > capacity:
+                pack += 1
+                cum = 0
+            cum += t
+            packs.append(pack)
+        return _pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "bucket": pdf["bucket"].astype("int32"),
+            "pack": _pd.Series(packs, index=pdf.index, dtype="int32"),
+            "n_tokens": pdf["n_tokens"].astype("int64"),
+        })
+
+    prepared = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    return prepared.groupBy("bucket").applyInPandas(pack_bucket, schema)

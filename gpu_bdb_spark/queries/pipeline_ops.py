@@ -133,3 +133,49 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     return stratified_sample(d, "lang", {"en": 0.5, "fr": 0.25},
                              key_col="doc_id", default_fraction=0.1)
+
+
+PACK_ORACLE = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM t
+),
+packed(bucket, rn, doc_id, n_tokens, cum, pack) AS (
+  SELECT bucket, rn, doc_id, n_tokens, n_tokens, 0
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+    CASE WHEN p.cum > 0 AND p.cum + o.n_tokens > 400
+         THEN o.n_tokens ELSE p.cum + o.n_tokens END,
+    CASE WHEN p.cum > 0 AND p.cum + o.n_tokens > 400
+         THEN p.pack + 1 ELSE p.pack END
+  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT doc_id, bucket, CAST(pack AS INT) AS pack, n_tokens FROM packed
+"""
+
+
+@register("pack_sequences_docs", oracle=PACK_ORACLE,
+          tags=("pipeline", "packing", "pretraining"))
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing of documents into 400-token training
+    slots inside 8 id-hash buckets — the distributed, deterministic form
+    of pretraining sequence packing. The sequential per-bucket scan is
+    an applyInPandas seam; DuckDB reproduces it exactly with a recursive
+    CTE (the oracle)."""
+    from gpu_bdb_spark.operators.packing import pack_sequences
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    from gpu_bdb_spark.functions import tokenize
+
+    with_tokens = d.select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens"))
+    return pack_sequences(with_tokens, "n_tokens", "doc_id",
+                          capacity=400, n_buckets=8)
