@@ -161,6 +161,52 @@ SELECT doc_id, bucket, CAST(pack AS INT) AS pack, n_tokens FROM packed
 """
 
 
+DECONTAMINATE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+  FROM t, unnest(generate_series(1, len(ws) - 3)) r(i)
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM dg GROUP BY 1
+),
+ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM dg JOIN ev USING (gram) GROUP BY 1
+)
+SELECT s.doc_id, s.n_grams,
+       COALESCE(h.n_hit, 0) AS n_contaminated,
+       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+             / CAST(s.n_grams AS DOUBLE), 6) AS contamination_ratio,
+       CAST(COALESCE(h.n_hit, 0) > 0 AS INT) AS is_contaminated
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+WHERE s.doc_id % 17 <> 0
+"""
+
+
+@register("decontaminate", oracle=DECONTAMINATE_ORACLE,
+          tags=("pipeline", "contamination", "ngram"))
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-training-doc count of distinct word
+    4-grams shared with the eval slice (doc_id % 17 == 0 stands in for a
+    held-out benchmark set). Eval grams broadcast (benchmark suites are
+    dimension-sized); the corpus is scanned once — explode → broadcast
+    join → partial-aggregated reduce on doc_id is the only shuffle."""
+    from gpu_bdb_spark.operators.contamination import ngram_contamination
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    eval_df = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    return ngram_contamination(corpus, eval_df, "text", "doc_id", n=4)
+
+
 @register("pack_sequences_docs", oracle=PACK_ORACLE,
           tags=("pipeline", "packing", "pretraining"))
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

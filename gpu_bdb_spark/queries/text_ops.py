@@ -262,3 +262,86 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias(
             "n_distinct_bpe_tokens"),
     )
+
+
+REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram
+  FROM t, unnest(generate_series(1, len(ws) - 1)) r(i)
+),
+per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+         AS dup_frac,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+         AS top_frac
+FROM per_gram
+GROUP BY doc_id
+"""
+
+
+@register("repetition_stats", oracle=REPETITION_ORACLE,
+          tags=("text", "quality", "repetition"))
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-bigram
+    fraction and most-frequent-bigram fraction per doc. Explode + two
+    hash aggregates (both map-side partial) — the codegen'd shape; a
+    per-doc value_counts inside an array HOF would run interpreted."""
+    from gpu_bdb_spark.operators.contamination import repetition_stats
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return repetition_stats(d, "text", "doc_id", n=2)
+
+
+# Chained exactly like operators/contamination.pii_scrub: each rule counts
+# on the PREVIOUS rule's output, then replaces. Only 'number' fires on
+# customer names; email/phone exercise the machinery with zero matches.
+PII_SCRUB_ORACLE = r"""
+WITH s0 AS (SELECT c_custkey, c_name FROM customer),
+s1 AS (
+  SELECT c_custkey,
+    CAST(len(regexp_extract_all(c_name,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      AS n_email,
+    regexp_replace(c_name,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+      AS t
+  FROM s0
+),
+s2 AS (
+  SELECT c_custkey, n_email,
+    CAST(len(regexp_extract_all(t, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+      AS BIGINT) AS n_phone,
+    regexp_replace(t, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '[PHONE]', 'g')
+      AS t
+  FROM s1
+)
+SELECT c_custkey, n_email, n_phone,
+  CAST(len(regexp_extract_all(t, '[0-9]{3,}')) AS BIGINT) AS n_number,
+  regexp_replace(t, '[0-9]{3,}', '[NUMBER]', 'g') AS c_name_scrubbed
+FROM s2
+"""
+
+
+@register("pii_scrub", oracle=PII_SCRUB_ORACLE, tags=("text", "pii"))
+def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based PII redaction over customer names: email / phone /
+    long-number patterns replaced with typed placeholders, per-rule match
+    counts kept for audit. Pure regexp column expressions — fused into
+    the scan, zero shuffles; patterns restricted to the Java∩RE2 common
+    regex syntax so DuckDB reproduces them byte-for-byte."""
+    from gpu_bdb_spark.operators.contamination import pii_scrub
+
+    d = read_table(spark, sf_dir, "customer", ["c_custkey", "c_name"],
+                   hint_broadcast=False)
+    return pii_scrub(d, "c_name").drop("c_name")
