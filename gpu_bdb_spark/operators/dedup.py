@@ -282,10 +282,13 @@ def duplicate_clusters(
         prop = edges.join(
             labels.withColumnsRenamed({"id": "b", "cluster_id": "nbr"}), "b"
         ).select(F.col("a").alias("id"), F.col("nbr").alias("cluster_id"))
+        # localCheckpoint, not persist: each round's logical plan nests
+        # the previous one — without cutting lineage, ANALYSIS time (not
+        # execution) grows superlinearly with rounds
         new_labels = (
             labels.union(prop)
             .groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(
@@ -301,6 +304,108 @@ def duplicate_clusters(
         raise RuntimeError(
             f"label propagation did not converge in {max_iter} rounds")
     edges.unpersist()
+    return labels
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    id1: str = "id_1",
+    id2: str = "id_2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round alternative to `duplicate_clusters`'
+    min-label propagation, which needs O(diameter) rounds.
+
+    Near-dup graphs are usually clique-like (tiny diameter), where label
+    propagation is cheaper per round; star contraction is the variant to
+    reach for when components can be CHAINS (e.g. transitive near-dup
+    at a loose threshold, sessionized link graphs): a 1000-long path
+    converges in ~7 rounds instead of 1000.
+
+    Each round: symmetrize → large-star (every node points its larger
+    neighbors at its neighborhood minimum) → small-star (every node and
+    its smaller neighbors re-point at the minimum of that down-set) —
+    two window-min shuffles over the current edge list, all codegen'd
+    column ops, driver only orchestrates. Fixed point = star forest;
+    convergence is a set-equality check between consecutive rounds.
+
+    Returns (id, cluster_id) for every id in `pairs`, cluster_id = the
+    component minimum — same contract (and same oracle) as
+    `duplicate_clusters`.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .persist()
+    )
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+                    ).distinct().persist()
+
+    def signature(df: DataFrame) -> tuple:
+        """(count, hash-sum) set signature — one narrow aggregate. Equal
+        sets (both distinct) always produce equal signatures, so an
+        UNCHANGED signature is the only case worth the exact check."""
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    prev_sig: tuple | None = None
+    for _ in range(max_iter):
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        # large-star: within each a-neighborhood, larger neighbors point
+        # at m = min(neighborhood ∪ {a}); output edges all have b < a
+        m = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
+        ls = (
+            sym.withColumn("_m", m)
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+            .distinct()
+        )
+        # small-star over the oriented (b < a) output: a and its smaller
+        # neighbors all re-point at the down-set minimum
+        m2 = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
+        with_m = ls.withColumn("_m", m2)
+        # localCheckpoint (not persist): iterative plans nest — analysis
+        # cost grows round over round unless the lineage is CUT. At
+        # cluster scale prefer a reliable checkpoint dir for fault
+        # tolerance; the truncation requirement is the same.
+        new_edges = (
+            with_m.select(F.col("b").alias("a"), F.col("_m").alias("b"))
+            .union(with_m.select("a", F.col("_m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = signature(new_edges)
+        same = sig == prev_sig and new_edges.subtract(edges).count() == 0
+        prev_sig = sig
+        edges.unpersist()
+        edges = new_edges
+        if same:
+            break
+    else:
+        nodes.unpersist()
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds")
+    labels = (
+        nodes.join(edges.withColumnsRenamed({"a": "id", "b": "_root"}),
+                   "id", "left")
+        .select("id", F.coalesce("_root", "id").alias("cluster_id"))
+    )
+    nodes.unpersist()
     return labels
 
 

@@ -215,6 +215,7 @@ def range_join(
     by: tuple[str, ...] = (),
     strategy: str = "bucket",
     bucket_width_s: int = 3600,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Join each point row to every interval row with
     `start <= point < end` (half-open), matching `by` keys.
@@ -230,6 +231,14 @@ def range_join(
 
     strategy="broadcast": plain broadcast join with the range predicate —
     right when the interval set is dimension-sized.
+
+    strategy="salted": the bucket layout plus point-side salting for HOT
+    (`by`, bucket) cells (one user × many concurrent intervals — e.g. an
+    on-call schedule overlap, a promo window storm): points spread over
+    `n_salts` deterministic sub-keys, intervals replicate ×n_salts, so no
+    single reducer sees a hot cell's full |points|×|intervals| workload.
+    Cost: interval-side shuffle volume ×n_salts — use only when a cell
+    actually dominates (AQE's skew split handles moderate cases first).
 
     Output: every (point ⨯ matching interval) row, point columns first.
     Column-name collisions between the two inputs must be resolved by the
@@ -251,7 +260,7 @@ def range_join(
         for c in drop:
             joined = joined.drop(c)
         return joined
-    if strategy != "bucket":
+    if strategy not in ("bucket", "salted"):
         raise ValueError(f"unknown strategy: {strategy}")
 
     width = int(bucket_width_s) * (
@@ -265,10 +274,20 @@ def range_join(
             F.sequence(F.floor(s_ord / width), F.floor((e_ord - 1) / width))
         ),
     )
+    keys = [*by, "_bkt"]
+    if strategy == "salted":
+        p = p.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in points.columns]),
+                   F.lit(n_salts)).cast("int"),
+        )
+        iv = iv.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+        keys.append("_salt")
     joined = (
-        p.join(iv, [*by, "_bkt"])
+        p.join(iv, keys)
         .filter((p_ord >= s_ord) & (p_ord < e_ord))
-        .drop("_bkt")
+        .drop("_bkt", "_salt")
     )
     return joined
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from gpu_bdb_spark.io import read_table
 from gpu_bdb_spark.operators.dedup import (
     duplicate_clusters,
+    duplicate_clusters_star,
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -223,3 +224,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     return simhash_pairs(simhash64(d, "text", "doc_id"), max_hamming=3)
+
+
+@register("dedup_clusters_star", oracle=DEDUP_CLUSTERS_ORACLE,
+          tags=("dedup", "clusters", "connected-components", "star"))
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster contract as `dedup_clusters` computed by
+    alternating large-star/small-star contraction — O(log n) rounds
+    instead of O(diameter), the variant for chain-shaped components.
+    Verified against the identical recursive-CTE oracle; equivalence to
+    min-label propagation is also property-tested on random graphs
+    (tests/test_dedup.py)."""
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
+    return duplicate_clusters_star(pairs)

@@ -186,3 +186,37 @@ def asof_enrich_batches(
             sink(enriched, batch_id)
 
     return process
+
+
+def ivf_serve_batches(
+    spark,
+    table_name: str,
+    centroids,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sink=None,
+):
+    """foreachBatch body: ANN-serve each micro-batch of query vectors
+    against a PERSISTED IVF index (`similarity.ivf_build_index`) — the
+    online-serving half of the index split: the expensive k-means +
+    bucketed write is paid once offline; each micro-batch pays only the
+    tiny query-side shuffle (the corpus side reads co-located bucketed
+    files, plan-asserted in the batch tests).
+
+    Exact batch≡stream equivalence holds because each query row's top-k
+    depends only on that row and the static index — same row-independence
+    argument as `asof_enrich_batches`. `sink(df, batch_id)` receives
+    (query_id, neighbor_id, rank, cosine) per micro-batch.
+    """
+    from gpu_bdb_spark.operators.similarity import ivf_search_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        res = ivf_search_index(spark, table_name, centroids, batch_df,
+                               k=k, n_probe=n_probe, id_col=id_col,
+                               vec_col=vec_col)
+        if sink is not None:
+            sink(res, batch_id)
+
+    return process

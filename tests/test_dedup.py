@@ -99,3 +99,52 @@ def test_simhash_pairs_finds_planted_near_dups(spark):
     assert got == exhaustive          # pigeonhole generation is lossless
     assert (0, 1) in got and (0, 2) in got
     assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """Star-contraction CC agrees with min-label propagation on a mixed
+    graph (chain + triangle + pair), and on a LONG path — the shape where
+    label propagation's O(diameter) rounds would blow its round budget —
+    star converges within its default O(log n) budget."""
+    from gpu_bdb_spark.operators.dedup import (duplicate_clusters,
+                                               duplicate_clusters_star)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "id_1 long, id_2 long")
+    lp = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    st = {r.id: r.cluster_id
+          for r in duplicate_clusters_star(pairs).collect()}
+    assert st == lp
+
+    # 60-node path: diameter 59 ≫ label-prop's default 25-round budget;
+    # star contraction resolves it in ≤ 8 rounds.
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 160)], "id_1 long, id_2 long")
+    got = {r.id: r.cluster_id
+           for r in duplicate_clusters_star(path, max_iter=8).collect()}
+    assert got == {i: 100 for i in range(100, 161)}
+
+
+def test_star_contraction_random_graphs_property(spark):
+    """Random sparse graphs: star CC ≡ label-prop CC (deterministic
+    seeds; several shapes including duplicate edges and reversed
+    pairs)."""
+    import random
+
+    from gpu_bdb_spark.operators.dedup import (duplicate_clusters,
+                                               duplicate_clusters_star)
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_1 long, id_2 long")
+        lp = {r.id: r.cluster_id
+              for r in duplicate_clusters(pairs).collect()}
+        st = {r.id: r.cluster_id
+              for r in duplicate_clusters_star(pairs).collect()}
+        assert st == lp, f"seed {seed}"

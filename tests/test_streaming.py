@@ -234,3 +234,52 @@ def test_asof_enrich_foreachbatch_matches_batch(spark, events_stream):
     }
     got = {r.event_id: r.v_asof for r in collected}
     assert got == expect and len(got) > 0
+
+
+def test_ivf_serve_foreachbatch_matches_batch_search(
+        spark, sf_dir, tmp_path_factory):
+    """Streaming ANN serving: micro-batches of query vectors searched
+    against the persisted IVF index produce exactly the batch search's
+    (query_id, neighbor_id, rank) — row independence makes foreachBatch
+    exact, not approximate."""
+    from gpu_bdb_spark.io import table_path
+    from gpu_bdb_spark.operators.similarity import (ivf_build_index,
+                                                    ivf_search_index)
+    from gpu_bdb_spark.streaming import ivf_serve_batches
+
+    corpus = read_table(spark, sf_dir, "embeddings",
+                        ["vec_id", "embedding"], hint_broadcast=False)
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    stream_dir = tmp_path_factory.mktemp("emb_stream")
+    (stream_dir / "embeddings.parquet").symlink_to(
+        table_path(sf_dir, "embeddings"))
+    qstream = (
+        spark.readStream.schema(
+            spark.read.parquet(table_path(sf_dir, "embeddings")).schema)
+        .parquet(str(stream_dir))
+        .filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+    )
+    collected = []
+    sink = lambda df, bid: collected.extend(  # noqa: E731
+        (r.query_id, r.neighbor_id, r.rank) for r in df.collect())
+    try:
+        centroids = ivf_build_index(corpus, "ivf_serve_t", n_lists=8,
+                                    seed=11)
+        q = (
+            qstream.writeStream.foreachBatch(
+                ivf_serve_batches(spark, "ivf_serve_t", centroids,
+                                  k=5, n_probe=2, sink=sink))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        expect = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_search_index(spark, "ivf_serve_t", centroids,
+                                      queries, k=5, n_probe=2).collect()
+        }
+        assert set(collected) == expect and len(collected) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_serve_t")

@@ -185,3 +185,32 @@ def test_rollup_rejects_non_nested_widths(spark, hourly_events):
         "event_type", "value")
     with pytest.raises(ValueError, match="nested"):
         hypertable_rollup(df, "ts", (3600, 5000), hierarchical=True)
+
+
+def test_range_join_salted_matches_bucket(spark, points_intervals):
+    """Salted strategy (hot-cell skew spread) is output-equivalent to the
+    plain bucket strategy, including a deliberately hot cell: one key ×
+    many points × many overlapping intervals."""
+    points, intervals = points_intervals
+    expect = {("a", "iv1"), ("b", "iv1"), ("c", "iv1"), ("b", "iv2")}
+    got = {(r.pid, r.iid)
+           for r in range_join(points, intervals, "ts", "s", "e",
+                               by=("k",), strategy="salted",
+                               bucket_width_s=100, n_salts=4).collect()}
+    assert got == expect
+
+    hot_points = spark.createDataFrame(
+        [(1, t, f"p{t}") for t in range(0, 200, 5)],
+        "k long, ts long, pid string")
+    hot_intervals = spark.createDataFrame(
+        [(1, s, s + 50, f"iv{s}") for s in range(0, 150, 10)],
+        "k long, s long, e long, iid string")
+    base = {(r.pid, r.iid)
+            for r in range_join(hot_points, hot_intervals, "ts", "s", "e",
+                                by=("k",), strategy="bucket",
+                                bucket_width_s=60).collect()}
+    salted = {(r.pid, r.iid)
+              for r in range_join(hot_points, hot_intervals, "ts", "s", "e",
+                                  by=("k",), strategy="salted",
+                                  bucket_width_s=60, n_salts=5).collect()}
+    assert salted == base and len(base) > 100
