@@ -63,3 +63,73 @@ def slope_intercept(sums: DataFrame, round_to: int = 6) -> DataFrame:
     return sums.withColumn("slope", F.round(slope, round_to)).withColumn(
         "intercept", F.round(intercept, round_to)
     )
+
+
+#: dtype → profiling class for `column_profile`
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "double", "float",
+            "decimal")
+
+
+def column_profile(df: DataFrame) -> DataFrame:
+    """Per-column data-quality profile of a table: row count, null count,
+    exact distinct count, plus min/max/avg for numeric columns and
+    lexicographic min/max for strings — the dataset-card / preflight
+    stats pass of a training pipeline.
+
+    ONE scan, ONE global aggregate (all stats partial-aggregated
+    map-side; the multi-countDistinct expands the input ×n_cols before
+    the reduce — inherent to exact distincts, same trade as agg_stats),
+    then an explode of a literal struct array unpivots the single result
+    row into (col_name, …) rows. No per-column rescans.
+
+    avg_num uses the decimal-sum ÷ count → double → round(6) discipline
+    so the value is partition-order independent and cross-engine exact.
+    """
+    total = F.count(F.lit(1)).alias("_n")
+    aggs, fields = [total], []
+    for name, dtype in df.dtypes:
+        base = dtype.split("(")[0]
+        aggs.append(F.count(name).alias(f"{name}__nn"))
+        aggs.append(F.countDistinct(name).alias(f"{name}__nd"))
+        is_num = base in _NUMERIC
+        if is_num:
+            aggs.append(F.min(F.col(name).cast("double"))
+                        .alias(f"{name}__mn"))
+            aggs.append(F.max(F.col(name).cast("double"))
+                        .alias(f"{name}__mx"))
+            aggs.append(F.sum(F.col(name).cast("decimal(38,6)"))
+                        .alias(f"{name}__sm"))
+        elif base == "string":
+            aggs.append(F.min(name).alias(f"{name}__mns"))
+            aggs.append(F.max(name).alias(f"{name}__mxs"))
+        fields.append((name, is_num, base == "string"))
+    one = df.agg(*aggs)
+
+    def null_d() -> Column:
+        return F.lit(None).cast("double")
+
+    def null_s() -> Column:
+        return F.lit(None).cast("string")
+
+    structs = []
+    for name, is_num, is_str in fields:
+        structs.append(F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("_n").cast("long").alias("n_rows"),
+            (F.col("_n") - F.col(f"{name}__nn")).cast("long")
+            .alias("n_nulls"),
+            F.col(f"{name}__nd").cast("long").alias("n_distinct"),
+            (F.col(f"{name}__mn") if is_num else null_d())
+            .alias("min_num"),
+            (F.col(f"{name}__mx") if is_num else null_d())
+            .alias("max_num"),
+            (F.round(F.col(f"{name}__sm").cast("double")
+                     / F.col(f"{name}__nn").cast("double"), 6)
+             if is_num else null_d()).alias("avg_num"),
+            (F.col(f"{name}__mns") if is_str else null_s())
+            .alias("min_str"),
+            (F.col(f"{name}__mxs") if is_str else null_s())
+            .alias("max_str"),
+        ))
+    return one.select(
+        F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -219,3 +219,103 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
         F.count("value").alias("n"),
     )
+
+
+PROFILE_ORACLE = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(COUNT(o_orderkey) AS BIGINT) AS nn_k,
+    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_k,
+    CAST(MIN(o_orderkey) AS DOUBLE) AS mn_k,
+    CAST(MAX(o_orderkey) AS DOUBLE) AS mx_k,
+    ROUND(CAST(SUM(CAST(o_orderkey AS DECIMAL(38,6))) AS DOUBLE)
+          / CAST(COUNT(o_orderkey) AS DOUBLE), 6) AS av_k,
+    CAST(COUNT(o_custkey) AS BIGINT) AS nn_c,
+    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_c,
+    CAST(MIN(o_custkey) AS DOUBLE) AS mn_c,
+    CAST(MAX(o_custkey) AS DOUBLE) AS mx_c,
+    ROUND(CAST(SUM(CAST(o_custkey AS DECIMAL(38,6))) AS DOUBLE)
+          / CAST(COUNT(o_custkey) AS DOUBLE), 6) AS av_c,
+    CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_s,
+    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_s,
+    MIN(o_orderstatus) AS mns_s, MAX(o_orderstatus) AS mxs_s,
+    CAST(COUNT(o_totalprice) AS BIGINT) AS nn_p,
+    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_p,
+    CAST(MIN(o_totalprice) AS DOUBLE) AS mn_p,
+    CAST(MAX(o_totalprice) AS DOUBLE) AS mx_p,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+          / CAST(COUNT(o_totalprice) AS DOUBLE), 6) AS av_p,
+    CAST(COUNT(o_orderdate) AS BIGINT) AS nn_d,
+    CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_d,
+    CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_y,
+    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_y,
+    MIN(o_orderpriority) AS mns_y, MAX(o_orderpriority) AS mxs_y
+  FROM orders
+)
+SELECT 'o_orderkey' AS col_name, n AS n_rows, n - nn_k AS n_nulls,
+       nd_k AS n_distinct, mn_k AS min_num, mx_k AS max_num,
+       av_k AS avg_num, CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str FROM s
+UNION ALL
+SELECT 'o_custkey', n, n - nn_c, nd_c, mn_c, mx_c, av_c, NULL, NULL FROM s
+UNION ALL
+SELECT 'o_orderstatus', n, n - nn_s, nd_s, NULL, NULL, NULL,
+       mns_s, mxs_s FROM s
+UNION ALL
+SELECT 'o_totalprice', n, n - nn_p, nd_p, mn_p, mx_p, av_p,
+       NULL, NULL FROM s
+UNION ALL
+SELECT 'o_orderdate', n, n - nn_d, nd_d, NULL, NULL, NULL,
+       NULL, NULL FROM s
+UNION ALL
+SELECT 'o_orderpriority', n, n - nn_y, nd_y, NULL, NULL, NULL,
+       mns_y, mxs_y FROM s
+"""
+
+
+@register("profile_orders", oracle=PROFILE_ORACLE,
+          tags=("profiling", "stats"))
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile of `orders` (nulls / exact distincts / min-max-avg
+    per column): one scan, one global aggregate, unpivoted via an
+    exploded struct array — the dataset-card stats pass. Timestamps get
+    null/distinct counts only (numeric formatting of timestamps is
+    engine-specific; epoch-based stats belong to the temporal ops)."""
+    from gpu_bdb_spark.operators.stats import column_profile
+
+    d = read_table(
+        spark, sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+        hint_broadcast=False)
+    return column_profile(d)
+
+
+HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bin,
+       CAST(FLOOR(l_extendedprice / 10000) AS DOUBLE) * 10000 AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE),
+             2) AS price_sum
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+@register("histogram_prices", oracle=HISTOGRAM_ORACLE,
+          tags=("profiling", "histogram"))
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of lineitem extended price (10k bins):
+    single hash aggregate with map-side partials; the per-bin exact
+    decimal sum doubles as a distribution-drift fingerprint."""
+    d = read_table(spark, sf_dir, "lineitem", ["l_extendedprice"],
+                   hint_broadcast=False)
+    b = F.floor(F.col("l_extendedprice") / 10000)
+    return d.groupBy(
+        b.cast("long").alias("bin"),
+        (b.cast("double") * 10000).alias("bin_lo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec("l_extendedprice")).cast("double"), 2)
+        .alias("price_sum"),
+    )

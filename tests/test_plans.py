@@ -99,3 +99,35 @@ def test_curation_pipeline_single_shuffle(spark, sf_dir):
     plan = formatted_plan(all_specs()["curation_pipeline"].fn(spark, sf_dir))
     assert len(re.findall(r"hashpartitioning\(fp", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-gram side must broadcast (benchmark sets are tiny); the
+    corpus-side per-doc count must partial-aggregate."""
+    plan = formatted_plan(all_specs()["decontaminate"].fn(spark, sf_dir))
+    assert has_broadcast_join(plan), plan
+    assert has_partial_aggregate(plan), plan
+
+
+def test_pii_scrub_is_exchange_free(spark, sf_dir):
+    """Redaction is scan-shaped: regexp expressions fused into the file
+    scan, zero exchanges."""
+    import re
+
+    plan = formatted_plan(all_specs()["pii_scrub"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
+def test_profile_orders_single_scan(spark, sf_dir):
+    """Column profiling reads the table ONCE (one parquet scan in the
+    plan), whatever the column count — no per-column rescans."""
+    plan = formatted_plan(all_specs()["profile_orders"].fn(spark, sf_dir))
+    assert len(scan_read_schemas(plan)) == 1, plan
+
+
+def test_histogram_partial_aggregates(spark, sf_dir):
+    plan = formatted_plan(all_specs()["histogram_prices"].fn(spark, sf_dir))
+    assert has_partial_aggregate(plan), plan
+    schemas = scan_read_schemas(plan)
+    assert schemas and "l_extendedprice" in schemas[0], plan
+    assert "l_orderkey" not in schemas[0], plan

@@ -859,3 +859,58 @@ def test_ml_feature_frames_vs_duckdb_oracle(n, spark, ducked):
     assert pseudo_equal(got, expected), (
         f"q{n} features: {len(got)} vs {len(expected)} rows\n"
         f"{got.head()}\n{expected.head()}")
+
+
+#: q22 templated by (pivot_date, price band) — the sweep asserts the
+#: PARAMETER surface (reference queries take CLI params; one fixed oracle
+#: would leave param plumbing untested).
+Q22_SWEEP_SQL = """
+WITH dd AS (
+  SELECT d_date_sk,
+         date_diff('day', DATE '1970-01-01', CAST(d_date AS DATE)) AS d_days
+  FROM date_dim
+),
+pvt AS (SELECT date_diff('day', DATE '1970-01-01', DATE '{pivot}') AS p)
+SELECT w.w_warehouse_name, i.i_item_id,
+  CAST(SUM(CASE WHEN dd.d_days < pvt.p THEN inv.inv_quantity_on_hand
+           ELSE 0 END) AS BIGINT) AS inv_before,
+  CAST(SUM(CASE WHEN dd.d_days >= pvt.p THEN inv.inv_quantity_on_hand
+           ELSE 0 END) AS BIGINT) AS inv_after
+FROM inventory inv
+JOIN dd ON inv.inv_date_sk = dd.d_date_sk
+CROSS JOIN pvt
+JOIN item i ON inv.inv_item_sk = i.i_item_sk
+ AND i.i_current_price BETWEEN {lo} AND {hi}
+JOIN warehouse w ON inv.inv_warehouse_sk = w.w_warehouse_sk
+WHERE dd.d_days BETWEEN pvt.p - 30 AND pvt.p + 30
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN dd.d_days < pvt.p THEN inv.inv_quantity_on_hand
+           ELSE 0 END) > 0
+   AND CAST(SUM(CASE WHEN dd.d_days >= pvt.p THEN inv.inv_quantity_on_hand
+            ELSE 0 END) AS DOUBLE)
+       / SUM(CASE WHEN dd.d_days < pvt.p THEN inv.inv_quantity_on_hand
+             ELSE 0 END) BETWEEN 2.0/3.0 AND 3.0/2.0
+ORDER BY 1, 2 LIMIT 100
+"""
+
+#: pivots inside the fixture's inventory window (Jan–Feb 2001) with
+#: distinct price bands; the driver-testdata datagen separately covers
+#: the q22 DEFAULT window (test_datagen.py)
+Q22_SWEEP = [
+    ("2001-02-01", 0.90, 1.20),
+    ("2001-01-28", 0.98, 1.50),
+    ("2001-02-05", 1.00, 2.50),
+]
+
+
+@pytest.mark.parametrize("pivot,lo,hi", Q22_SWEEP)
+def test_q22_param_sweep_vs_oracle(pivot, lo, hi, spark, ducked):
+    tables, con = ducked
+    got = tpcxbb_query(22)(
+        spark, tables, pivot_date=pivot, price_min=lo, price_max=hi
+    ).toPandas()
+    expected = con.execute(
+        Q22_SWEEP_SQL.format(pivot=pivot, lo=lo, hi=hi)).df()
+    assert len(expected) > 0, f"vacuous sweep point {pivot} [{lo},{hi}]"
+    assert pseudo_equal(got, expected), (
+        f"q22@{pivot}[{lo},{hi}]: {len(got)} vs {len(expected)} rows")
