@@ -20,6 +20,12 @@ QUERIES = [
     "curation_pipeline",
     "dedup_clusters",
     "dedup_minhash_lsh",
+    # round-3 entries
+    "dedup_clusters_star",
+    "decontaminate",
+    "repetition_stats",
+    "profile_orders",
+    "histogram_prices",
 ]
 
 

@@ -20,6 +20,11 @@ QUERIES = [
     "sessionize_events",
     "date_buckets",
     "session_window_batch",
+    # round-3: star CC's set-signature sum overflowed long under ANSI
+    # until cast to decimal — keep these pinned under a hostile session
+    "dedup_clusters_star",
+    "decontaminate",
+    "profile_orders",
 ]
 
 HOSTILE = {
