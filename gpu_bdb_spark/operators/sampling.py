@@ -63,3 +63,54 @@ def stratified_sample(
         thresh = F.when(F.col(strata_col) == value,
                         F.lit(_threshold(frac))).otherwise(thresh)
     return df.filter(_hash_slot(F.col(key_col)) < thresh)
+
+
+def _hash_num(key: Column) -> Column:
+    """Numeric value of the 8-hex md5 slot — uniform in [0, 16^8), for
+    threshold comparisons computed IN-PLAN (cross-engine: DuckDB
+    `CAST(concat('0x', substr(md5(..),1,8)) AS BIGINT)` agrees)."""
+    return F.conv(_hash_slot(key), 16, 10).cast("long")
+
+
+def domain_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Resample to a target DOMAIN MIXTURE (the pretraining epoch-
+    composition op): downsample each stratum so the output's proportions
+    follow `weights`, at the largest size achievable WITHOUT upsampling
+    — total T = min_s(n_s / w_s); stratum s keeps fraction
+    w_s·T / n_s of its rows, decided by content hash (deterministic,
+    partitioning- and engine-independent). Strata absent from `weights`
+    are dropped; weights need not sum to 1 (only ratios matter).
+
+    Fully in-plan: per-stratum counts (tiny aggregate) → scalar min →
+    per-stratum fraction frame, broadcast-joined back; membership is a
+    numeric hash-threshold filter with FLOOR (tie-free — no rounding-
+    mode divergence between engines). No driver collect, no RNG.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    w = F.create_map(*[
+        F.lit(x) for kv in sorted(weights.items()) for x in kv])
+    counts = (
+        df.filter(F.col(strata_col).isin(*weights))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", w[F.col(strata_col)])
+    )
+    total = counts.agg(
+        F.min(F.col("_n") / F.col("_w")).alias("_t"))
+    fracs = counts.crossJoin(F.broadcast(total)).select(
+        strata_col,
+        F.least(F.col("_w") * F.col("_t") / F.col("_n"), F.lit(1.0))
+        .alias("_frac"),
+    )
+    return (
+        df.join(F.broadcast(fracs), strata_col)
+        .filter(_hash_num(F.col(key_col))
+                < F.floor(F.col("_frac") * F.lit(float(16 ** _HEX_DIGITS))))
+        .drop("_frac")
+    )

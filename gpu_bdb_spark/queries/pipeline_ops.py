@@ -225,3 +225,40 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens"))
     return pack_sequences(with_tokens, "n_tokens", "doc_id",
                           capacity=400, n_buckets=8)
+
+
+# Mirrors operators/sampling.domain_mix exactly: T = min(n/w); frac =
+# least(w*T/n, 1); membership = hash_num < floor(frac * 16^8). All-double
+# arithmetic in the same operation order → bit-identical thresholds.
+DOMAIN_MIX_ORACLE = """
+WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+counts AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n, ANY_VALUE(w.wt) AS wt
+  FROM documents d JOIN w USING (source) GROUP BY d.source
+),
+t AS (SELECT MIN(n / wt) AS total FROM counts),
+fracs AS (
+  SELECT source, LEAST(wt * t.total / n, 1.0) AS frac FROM counts, t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN fracs f USING (source)
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT)
+      < FLOOR(f.frac * 4294967296.0)
+"""
+
+
+@register("domain_mix_sample", oracle=DOMAIN_MIX_ORACLE,
+          tags=("pipeline", "sampling", "mixing"))
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining domain mixing: resample documents to a 50/30/20
+    src0/src1/src2 mixture at the largest size reachable without
+    upsampling. Entirely in-plan (counts → scalar min → broadcast
+    fraction join → hash-threshold filter); deterministic across runs,
+    partitionings, and engines."""
+    from gpu_bdb_spark.operators.sampling import domain_mix
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "source"],
+                   hint_broadcast=False)
+    return domain_mix(d, "source", {"src0": 0.5, "src1": 0.3,
+                                    "src2": 0.2}).select("doc_id", "source")

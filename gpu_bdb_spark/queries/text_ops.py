@@ -345,3 +345,42 @@ def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "customer", ["c_custkey", "c_name"],
                    hint_broadcast=False)
     return pii_scrub(d, "c_name").drop("c_name")
+
+
+VOCAB_ORACLE = r"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT)
+         AS token_id,
+       word, n
+FROM c
+ORDER BY token_id
+LIMIT 200
+"""
+
+
+@register("build_vocab", oracle=VOCAB_ORACLE, tags=("text", "vocab"))
+def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (top-200 words → token ids) — the
+    tokenizer-fitting pass. Count shuffle is map-side partial; the
+    global order is a distributed TakeOrderedAndProject cut to k rows,
+    and the row_number assignment runs on that k-row (dimension-sized)
+    result — no full-corpus global sort. Ties break by word
+    (deterministic cross-engine)."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents", ["text"],
+                   hint_broadcast=False)
+    counts = (
+        d.select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(200)
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("token_id"),
+        "word", "n")

@@ -9,6 +9,7 @@ session windows reproducing bdb_tools/sessionization.py semantics on a feed.
 
 from gpu_bdb_spark.streaming.ops import (
     asof_enrich_batches,
+    decontaminate_batches,
     ivf_serve_batches,
     session_window_stats,
     stream_static_enrich,
@@ -20,6 +21,7 @@ from gpu_bdb_spark.streaming.ops import (
 
 __all__ = [
     "asof_enrich_batches",
+    "decontaminate_batches",
     "ivf_serve_batches",
     "session_window_stats",
     "stream_static_enrich",

@@ -220,3 +220,34 @@ def ivf_serve_batches(
             sink(res, batch_id)
 
     return process
+
+
+def decontaminate_batches(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    sink=None,
+):
+    """foreachBatch body: benchmark-decontaminate each micro-batch of
+    documents against a STATIC eval set (the ingest-time hygiene gate —
+    score documents for eval overlap as they arrive, before they ever
+    land in the training corpus).
+
+    Reuses the batch operator verbatim: a doc's overlap counts depend
+    only on that doc and the static eval grams (broadcast inside the
+    per-batch plan), so batch≡stream holds exactly — same
+    row-independence argument as `asof_enrich_batches` /
+    `ivf_serve_batches`. `sink(df, batch_id)` receives
+    (doc_id, n_grams, n_contaminated, contamination_ratio,
+    is_contaminated).
+    """
+    from gpu_bdb_spark.operators.contamination import ngram_contamination
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        res = ngram_contamination(batch_df, eval_df, text_col=text_col,
+                                  id_col=id_col, n=n)
+        if sink is not None:
+            sink(res, batch_id)
+
+    return process

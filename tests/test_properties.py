@@ -184,3 +184,46 @@ def test_deterministic_sample_nested_and_rate(spark):
         == 20_000
     assert len({r.doc_id for r in deterministic_sample(df, 0.0).collect()}) \
         == 0
+
+
+def test_domain_mix_hits_target_proportions(spark):
+    """domain_mix resamples to the requested mixture within hash-
+    sampling noise, never upsamples, and the binding stratum (smallest
+    n/w) is kept whole."""
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.sampling import domain_mix
+
+    # 10k 'web', 3k 'book', 2k 'code' → weights 0.6/0.3/0.1:
+    # T = min(10000/.6, 3000/.3, 2000/.1) = 10000 (books bind)
+    df = spark.range(15_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10_000, "web")
+        .when(F.col("id") < 13_000, "book")
+        .otherwise("code").alias("source"),
+    )
+    out = domain_mix(df, "source", {"web": 0.6, "book": 0.3, "code": 0.1})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["book"] == 3_000  # binding stratum kept whole
+    assert abs(got["web"] - 6_000) < 200   # 0.6 * 10000
+    assert abs(got["code"] - 1_000) < 100  # 0.1 * 10000
+    # repeatable: same rows both runs
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in out.collect()}
+    assert a == b
+
+
+def test_domain_mix_drops_unlisted_strata(spark):
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.sampling import domain_mix
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keep").otherwise("drop")
+        .alias("source"))
+    out = domain_mix(df, "source", {"keep": 1.0})
+    rows = out.collect()
+    assert {r["source"] for r in rows} == {"keep"}
+    assert len(rows) == 50  # single stratum at weight 1 → kept whole

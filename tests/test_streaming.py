@@ -283,3 +283,44 @@ def test_ivf_serve_foreachbatch_matches_batch_search(
         assert set(collected) == expect and len(collected) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_serve_t")
+
+
+def test_decontaminate_foreachbatch_matches_batch(
+        spark, sf_dir, tmp_path_factory):
+    """Streaming ingest-time decontamination produces exactly the batch
+    operator's per-doc overlap stats."""
+    from gpu_bdb_spark.io import table_path
+    from gpu_bdb_spark.operators.contamination import ngram_contamination
+    from gpu_bdb_spark.streaming import decontaminate_batches
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                      hint_broadcast=False)
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    stream_dir = tmp_path_factory.mktemp("docs_stream")
+    (stream_dir / "documents.parquet").symlink_to(
+        table_path(sf_dir, "documents"))
+    dstream = (
+        spark.readStream.schema(
+            spark.read.parquet(table_path(sf_dir, "documents")).schema)
+        .parquet(str(stream_dir))
+        .filter(F.col("doc_id") % 17 != 0)
+        .select("doc_id", "text")
+    )
+    collected = []
+    sink = lambda df, bid: collected.extend(  # noqa: E731
+        (r.doc_id, r.n_grams, r.n_contaminated, r.is_contaminated)
+        for r in df.collect())
+    q = (
+        dstream.writeStream.foreachBatch(
+            decontaminate_batches(eval_df, sink=sink))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    expect = {
+        (r.doc_id, r.n_grams, r.n_contaminated, r.is_contaminated)
+        for r in ngram_contamination(corpus, eval_df).collect()
+    }
+    assert set(collected) == expect and len(collected) > 0
