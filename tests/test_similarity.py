@@ -122,3 +122,34 @@ def test_ivf_persisted_index_matches_inline_and_skips_shuffle(spark):
         assert a == b
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_idx_t")
+
+
+def test_bucket_udf_bit_identical_to_hof_expression(spark, sf_dir):
+    """The vectorized bucket UDF must reproduce the r1/r2
+    aggregate(zip_with) column expression BIT-FOR-BIT (same planes, same
+    left-to-right float64 accumulation order), so candidate sets and
+    recall are unchanged by the compile-cost rewrite."""
+    from functools import reduce
+
+    from gpu_bdb_spark.operators.similarity import hyperplane_buckets
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((12, 64))
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bits = []
+    for i, row in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(F.zip_with(v, plane, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot >= 0, F.lit(1 << i).cast("long"))
+                    .otherwise(F.lit(0).cast("long")))
+    old = {(r.vec_id, r.bucket) for r in e.select(
+        "vec_id", reduce(lambda a, b: a + b, bits).alias("bucket")
+    ).collect()}
+    new = {(r.vec_id, r.bucket) for r in
+           hyperplane_buckets(e, "embedding", dim=64, n_planes=12,
+                              seed=42).select("vec_id", "bucket").collect()}
+    assert new == old
