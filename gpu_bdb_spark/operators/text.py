@@ -125,3 +125,63 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (portable across engines — DuckDB md5 produces the same hex)."""
     return F.md5(normalize_text(text))
+
+
+def frequency_vocab(df: DataFrame, text_col: str = "text",
+                    size: int = 200) -> DataFrame:
+    """Frequency-ranked vocabulary (word, token_id, n): top-`size` words
+    by count, ids 1..size by (count desc, word asc). The count shuffle is
+    map-side partial; the global order is a TakeOrderedAndProject cut to
+    `size` rows, and row_number runs on that dimension-sized result — no
+    full-corpus sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.functions import tokenize
+
+    counts = (
+        df.select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(size)
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("token_id"), "word", "n")
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Tokenizer-apply pass: encode each document as its in-order
+    token-id sequence against `vocab` (word, token_id), out-of-vocabulary
+    words mapped to `unk_id`. Returns (id, token_ids array<long>,
+    n_tokens, n_oov). Documents with zero tokens are absent (explode
+    semantics — matches the SQL oracle's unnest).
+
+    Scale: the vocabulary is dimension-sized → broadcast hash join on
+    word, so the only shuffle is the per-doc reassembly carrying
+    (id, pos, token_id) — O(total tokens), the inherent payload of an
+    order-preserving encode. Position rides the shuffle so the sequence
+    is exact under any partitioning (collect_list alone is unordered)."""
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.functions import tokenize
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(text_col)).alias("pos", "word"))
+    enc = words.join(F.broadcast(vocab.select("word", "token_id")),
+                     "word", "left").select(
+        id_col, "pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("long")
+        .alias("tid"))
+    return enc.groupBy(id_col).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s.tid).alias("token_ids"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == unk_id, 1).otherwise(0)).cast("long")
+        .alias("n_oov"))

@@ -371,16 +371,65 @@ def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the row_number assignment runs on that k-row (dimension-sized)
     result — no full-corpus global sort. Ties break by word
     (deterministic cross-engine)."""
-    from pyspark.sql import Window
+    from gpu_bdb_spark.operators.text import frequency_vocab
 
     d = read_table(spark, sf_dir, "documents", ["text"],
                    hint_broadcast=False)
-    counts = (
-        d.select(F.explode(tokenize("text")).alias("word"))
-        .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-    )
-    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(200)
-    w = Window.orderBy(F.desc("n"), F.asc("word"))
-    return top.select(
-        F.row_number().over(w).cast("long").alias("token_id"),
-        "word", "n")
+    return frequency_vocab(d, "text", 200)
+
+
+ENCODE_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+c AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY 1),
+v AS (
+  SELECT word,
+         CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT)
+           AS token_id
+  FROM c ORDER BY n DESC, word LIMIT 200
+),
+w AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                 AS ws
+        FROM documents)
+),
+e AS (
+  SELECT w.doc_id, w.pos, COALESCE(v.token_id, 0) AS tid
+  FROM w LEFT JOIN v USING (word)
+)
+SELECT doc_id,
+       array_to_string(list(tid ORDER BY pos), ',') AS token_ids,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM e GROUP BY doc_id
+"""
+
+
+@register("encode_documents", oracle=ENCODE_ORACLE,
+          tags=("text", "vocab", "tokenize"))
+def encode_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-apply pass: every document encoded as its in-order
+    token-id sequence against the corpus top-200 vocabulary (OOV → 0),
+    plus token/OOV counts — the fit→encode pipeline a pretraining corpus
+    runs at ingest. Vocabulary is broadcast (dimension-sized); the one
+    real shuffle is the per-doc reassembly carrying (doc_id, pos, id).
+    The id sequence is serialized to a comma string so the cross-engine
+    hash compare is well-defined (same pattern as array_agg_parts)."""
+    from gpu_bdb_spark.operators.text import (encode_documents,
+                                              frequency_vocab)
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    vocab = frequency_vocab(d, "text", 200)
+    enc = encode_documents(d, vocab, "text", "doc_id", unk_id=0)
+    return enc.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("token_ids",
+                                     lambda t: t.cast("string")))
+        .alias("token_ids"),
+        "n_tokens", "n_oov")

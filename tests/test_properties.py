@@ -227,3 +227,25 @@ def test_domain_mix_drops_unlisted_strata(spark):
     rows = out.collect()
     assert {r["source"] for r in rows} == {"keep"}
     assert len(rows) == 50  # single stratum at weight 1 → kept whole
+
+
+def test_encode_documents_order_and_oov(spark):
+    """Token-id sequences preserve document word order under any
+    partitioning; OOV maps to unk_id; vocab ids rank by (count desc,
+    word asc)."""
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.text import (encode_documents,
+                                              frequency_vocab)
+
+    df = spark.createDataFrame(
+        [(1, "b a b c"), (2, "c b x y z b")], ["doc_id", "text"])
+    vocab = frequency_vocab(df, "text", 2)
+    # counts: b=4, c=2, a=1, x=y=z=1 → vocab = b:1, c:2
+    assert {(r.word, r.token_id) for r in vocab.collect()} \
+        == {("b", 1), ("c", 2)}
+    for d in (df, df.repartition(7, "text")):
+        got = {r.doc_id: (list(r.token_ids), r.n_tokens, r.n_oov)
+               for r in encode_documents(d, vocab).collect()}
+        assert got == {1: ([1, 0, 1, 2], 4, 1),
+                       2: ([2, 1, 0, 0, 0, 1], 6, 3)}
