@@ -54,7 +54,10 @@ def davg(col: str | Column, alias: str | None = None) -> Column:
 def micros(col: str | Column) -> Column:
     """Epoch microseconds of a timestamp (exact integer; DuckDB: epoch_us)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.unix_micros(c)
+    # cast is a no-op for TIMESTAMP and folds TIMESTAMP_NTZ (Spark 4 parquet
+    # inference) to an instant under the forced-UTC session tz — identical
+    # wall-clock epoch to DuckDB's naive read of the same parquet.
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def revenue(price: str = "l_extendedprice", discount: str = "l_discount") -> Column:

@@ -36,6 +36,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize driver-generated timestamp encodings to plain TIMESTAMP.
+
+    The driver's parquet has shipped two encodings across rounds:
+    TIMESTAMP(NANOS) (rejected by the vectorized reader; surfaced as
+    epoch-nanos BIGINT via spark.sql.legacy.parquet.nanosAsLong) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ by
+    Spark 4's inferTimestampNTZ). Both are folded to TIMESTAMP here so every
+    downstream epoch computation (unix_micros under forced-UTC session tz)
+    sees one type. NTZ→TIMESTAMP under UTC keeps the wall-clock value, which
+    is exactly how the DuckDB oracles read the same file.
+    """
+    for field, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(field, F.col(field).cast("timestamp"))
+        elif field == "ts" and dtype == "bigint":
+            # epoch-nanos long → truncate to micros with integer division,
+            # matching DuckDB's nanos→micros truncation.
+            df = df.withColumn(field, F.timestamp_micros(F.expr(f"{field} div 1000")))
+    return df
+
+
 def read_table(
     spark: SparkSession,
     sf_dir: str,
@@ -50,12 +72,7 @@ def read_table(
     (readers.py:108-127) but is optional: Catalyst prunes the parquet scan
     to the referenced columns regardless; passing it just documents intent.
     """
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as epoch-nanos long (see session.TUNED_CONF);
-        # truncate to micros with integer division, matching DuckDB's
-        # nanos→micros truncation.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = _normalize_timestamps(spark.read.parquet(table_path(sf_dir, name)))
     if columns:
         df = df.select(*columns)
     if hint_broadcast or (hint_broadcast is None and name in BROADCAST_TABLES):
@@ -67,7 +84,9 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register each table as a temp view for spark.sql queries
     (reference dask-sql entry point: c.create_table, q01_utils.py:43-46)."""
     for name in names:
-        spark.read.parquet(table_path(sf_dir, name)).createOrReplaceTempView(name)
+        _normalize_timestamps(
+            spark.read.parquet(table_path(sf_dir, name))
+        ).createOrReplaceTempView(name)
 
 
 def write_result(df: DataFrame, output_dir: str, file_format: str = "parquet") -> None:

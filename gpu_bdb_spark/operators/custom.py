@@ -28,7 +28,7 @@ def median_gap_per_user(
     interpolation for even counts, matching DuckDB/NumPy `median`.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gaps = (
         events.select(F.col(user_col).alias("user_id"),
                       (us - F.lag(us).over(w)).alias("gap_us"))

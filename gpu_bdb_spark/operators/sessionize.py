@@ -44,7 +44,7 @@ def sessionize(
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(user_col).orderBy(*order)
-    us = F.unix_micros(F.col(ts_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev_us = F.lag(us).over(w)
     new_session = F.when(
         prev_us.isNull() | ((us - prev_us) > timeout_s * 1_000_000), 1
@@ -67,7 +67,7 @@ def session_stats(
     session_col: str = "session_seq",
 ) -> DataFrame:
     """Per-session duration/event-count rollup over `sessionize` output."""
-    us = F.unix_micros(F.col(ts_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     return sessions.groupBy(user_col, session_col).agg(
         F.count(F.lit(1)).alias("n_events"),
         ((F.max(us) - F.min(us)) / F.lit(1_000_000.0)).alias("duration_s"),
@@ -94,7 +94,7 @@ def last_n_before(
         .orderBy(F.col(ts_col).asc())
         .rowsBetween(-n, -1)
     )
-    us = F.unix_micros(F.col(ts_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     collected = F.collect_list(F.struct(us.alias("ts_us"), payload.alias("payload"))).over(w)
     out = df.withColumn("prev_events", collected)
     if within_s is not None:

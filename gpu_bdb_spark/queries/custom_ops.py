@@ -141,8 +141,8 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
-            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end").cast("timestamp")).alias("session_end_us"),
             "n_events",
         )
     )
@@ -180,6 +180,6 @@ def funnel_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = streaming_view_purchase_join(views, purchases, lookback="1 hour")
     return j.select(
         "purchase_id", "view_id", "user_id",
-        F.unix_micros("p_ts").alias("p_us"),
-        F.unix_micros("v_ts").alias("v_us"),
+        F.unix_micros(F.col("p_ts").cast("timestamp")).alias("p_us"),
+        F.unix_micros(F.col("v_ts").cast("timestamp")).alias("v_us"),
     )

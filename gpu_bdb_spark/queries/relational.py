@@ -345,9 +345,9 @@ def view_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events", ["user_id", "event_type", "ts"],
                    hint_broadcast=False)
     v = e.filter(F.col("event_type") == "view").select(
-        F.col("user_id"), F.unix_micros("ts").alias("v_us"))
+        F.col("user_id"), F.unix_micros(F.col("ts").cast("timestamp")).alias("v_us"))
     p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("p_us"))
+        F.col("user_id").alias("p_user"), F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"))
     return (
         v.join(
             p,

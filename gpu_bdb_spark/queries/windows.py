@@ -154,7 +154,7 @@ def lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id",
                                              "event_type"], hint_broadcast=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gaps = e.select(
         "user_id",
         (us - F.lag(us).over(w)).alias("gap_us"),
@@ -274,7 +274,7 @@ def last_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .rowsBetween(-5, -1)
     )
-    us = F.unix_micros("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev = F.collect_list(
         F.struct(us.alias("us"), F.col("event_id").alias("view_id"),
                  F.col("event_type").alias("prev_type"))

@@ -18,6 +18,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Fold TIMESTAMP_NTZ (Spark 4 parquet inference of the driver's
+    non-UTC-adjusted micros) to TIMESTAMP so the column qualifies as a
+    streaming event-time; no-op for an already-instant column."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def streaming_event_counts(
     events: DataFrame,
     window: str = "10 minutes",
@@ -27,6 +36,7 @@ def streaming_event_counts(
     """Tumbling (or sliding) windowed counts per event_type with a
     watermark for state cleanup. Output: window_start, window_end,
     event_type, n_events, n_users."""
+    events = _event_time(events)
     w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
@@ -58,7 +68,7 @@ def streaming_sessionize(
     their end. Output: one row per (user, session) with start/end/count.
     """
     return (
-        events.filter(F.col("user_id").isNotNull())
+        _event_time(events).filter(F.col("user_id").isNotNull())
         .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -86,6 +96,7 @@ def streaming_dedup(
     input → plain `dropDuplicates` (the full-history equivalent the
     batch-equivalence tests compare against).
     """
+    events = _event_time(events, ts_col)
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark) \
             .dropDuplicatesWithinWatermark(list(keys))
@@ -120,6 +131,8 @@ def streaming_view_purchase_join(
     Batch inputs take the identical plan minus state (the equivalence
     oracle). Output: one row per (purchase, view) pair.
     """
+    views = _event_time(views)
+    purchases = _event_time(purchases)
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("v_ts"),
