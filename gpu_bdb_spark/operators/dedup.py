@@ -249,11 +249,34 @@ def simhash64(
     return per_doc.select("id", sim.alias("simhash"))
 
 
+def _lineage_cut(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Cut an iterative plan's lineage once per round.
+
+    localCheckpoint (default) materializes to executor block storage —
+    cheap, but the result dies with an executor, so a lost node at round
+    k of a 100 TB run means restarting from round 0. With
+    `checkpoint_dir` set (an HDFS/S3 path on a real cluster), rounds
+    write a RELIABLE checkpoint instead: re-readable after executor
+    loss, at the price of one distributed write per round. Same lineage
+    truncation either way — analysis cost stays O(1) per round instead
+    of nesting (measured 1.6→41.5 s/round without cutting, SCALE.md).
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    # setCheckpointDir appends a per-context UUID subdir; set once and
+    # keep it (first configured dir wins for the context's lifetime).
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id1: str = "id_1",
     id2: str = "id_2",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
     components by iterative min-label propagation; cluster_id = the
@@ -285,10 +308,10 @@ def duplicate_clusters(
         # localCheckpoint, not persist: each round's logical plan nests
         # the previous one — without cutting lineage, ANALYSIS time (not
         # execution) grows superlinearly with rounds
-        new_labels = (
+        new_labels = _lineage_cut(
             labels.union(prop)
-            .groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            .groupBy("id").agg(F.min("cluster_id").alias("cluster_id")),
+            checkpoint_dir,
         )
         changed = (
             new_labels.join(
@@ -312,6 +335,7 @@ def duplicate_clusters_star(
     id1: str = "id_1",
     id2: str = "id_2",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -378,16 +402,16 @@ def duplicate_clusters_star(
         # neighbors all re-point at the down-set minimum
         m2 = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
         with_m = ls.withColumn("_m", m2)
-        # localCheckpoint (not persist): iterative plans nest — analysis
-        # cost grows round over round unless the lineage is CUT. At
-        # cluster scale prefer a reliable checkpoint dir for fault
-        # tolerance; the truncation requirement is the same.
-        new_edges = (
+        # lineage cut per round (see _lineage_cut): iterative plans nest —
+        # analysis cost grows round over round unless truncated; pass
+        # checkpoint_dir for a reliable (fault-tolerant) cut at cluster
+        # scale.
+        new_edges = _lineage_cut(
             with_m.select(F.col("b").alias("a"), F.col("_m").alias("b"))
             .union(with_m.select("a", F.col("_m").alias("b")))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            checkpoint_dir,
         )
         sig = signature(new_edges)
         same = sig == prev_sig and new_edges.subtract(edges).count() == 0
@@ -414,6 +438,8 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "id",
     sim_col: str = "simhash",
+    strategy: str = "plain",
+    n_chunks: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs from 64-bit SimHash fingerprints: all pairs
     with hamming distance ≤ `max_hamming`.
@@ -426,7 +452,22 @@ def simhash_pairs(
     All codegen'd integer ops (shift/mask/xor/bit_count), one shuffle on
     the block buckets — the same layout as the MinHash band join, tuned
     for the boilerplate-screen tier.
+
+    strategy="chunked": web-scale corpora have PATHOLOGICAL buckets — the
+    all-zero fingerprint of near-empty docs, boilerplate-dominated blocks
+    — where one (blk, val) key holds millions of ids and the within-bucket
+    pairing serializes on one reducer. Chunking salts the LEFT side into
+    `n_chunks` deterministic chunks (pmod over a hash of the id) and
+    replicates the RIGHT side once per chunk, so a hot bucket's pair
+    generation spreads across `n_chunks` tasks. The output is identical
+    to strategy="plain" (each (id_1, id_2) pair meets in exactly one
+    chunk: id_1's); the cost is an n_chunks× replication of the right
+    bucket rows — the classic salted-join trade, worth it only when hot
+    buckets dominate. AQE skew-join cannot save the plain layout here
+    because a single KEY cannot be split without the salt.
     """
+    if strategy not in ("plain", "chunked"):
+        raise ValueError(f"unknown strategy: {strategy}")
     n_blocks = max_hamming + 1
     if 64 % n_blocks != 0:
         # uneven split is fine for correctness (any agreement block
@@ -451,8 +492,19 @@ def simhash_pairs(
                           F.col("sh").alias("sh_1"))
     right = buckets.select("blk", "val", F.col("id").alias("id_2"),
                            F.col("sh").alias("sh_2"))
+    join_keys = ["blk", "val"]
+    if strategy == "chunked":
+        left = left.withColumn(
+            "_chunk", F.pmod(F.xxhash64("id_1"), F.lit(n_chunks)))
+        right = right.join(
+            F.broadcast(
+                right.sparkSession.range(n_chunks)
+                .select(F.col("id").alias("_chunk"))),
+            how="cross",
+        )
+        join_keys = ["blk", "val", "_chunk"]
     return (
-        left.join(right, ["blk", "val"])
+        left.join(right, join_keys)
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2",
                 F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2")))

@@ -148,3 +148,52 @@ def test_star_contraction_random_graphs_property(spark):
         st = {r.id: r.cluster_id
               for r in duplicate_clusters_star(pairs).collect()}
         assert st == lp, f"seed {seed}"
+
+
+def test_simhash_pairs_chunked_equals_plain(spark):
+    """strategy="chunked" (hot-bucket spread) must return exactly the
+    plain variant's pairs — including on a pathological bucket: many
+    docs with the IDENTICAL fingerprint (one (blk, val) key holds them
+    all), the case chunking exists for."""
+    from gpu_bdb_spark.operators.dedup import simhash64, simhash_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(i, base) for i in range(12)]              # one hot bucket
+    rows += [(100, base + " extra"), (101, "unrelated other tokens"),
+             (102, "yet more different words entirely")]
+    fp = simhash64(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "text", "doc_id")
+    plain = {(r.id_1, r.id_2, r.hamming)
+             for r in simhash_pairs(fp, max_hamming=6).collect()}
+    chunked = {(r.id_1, r.id_2, r.hamming)
+               for r in simhash_pairs(
+                   fp, max_hamming=6, strategy="chunked", n_chunks=5
+               ).collect()}
+    assert chunked == plain
+    assert len(plain) >= 66           # the hot bucket's 12*11/2 pairs
+
+
+def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the per-round lineage cut to a reliable
+    checkpoint: results identical, checkpoint files actually written."""
+    import os
+
+    from gpu_bdb_spark.operators.dedup import (duplicate_clusters,
+                                               duplicate_clusters_star)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (11, 12)],
+        "id_1 long, id_2 long")
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+              20: 20, 21: 20}
+    ckpt = str(tmp_path / "ckpt")
+    lp = {r.id: r.cluster_id
+          for r in duplicate_clusters(pairs, checkpoint_dir=ckpt).collect()}
+    st = {r.id: r.cluster_id
+          for r in duplicate_clusters_star(
+              pairs, checkpoint_dir=ckpt).collect()}
+    assert lp == expect and st == expect
+    wrote = any(files for _, _, files in os.walk(ckpt))
+    assert wrote, "reliable checkpoint produced no files"
