@@ -114,3 +114,42 @@ def domain_mix(
                 < F.floor(F.col("_frac") * F.lit(float(16 ** _HEX_DIGITS))))
         .drop("_frac")
     )
+
+
+def shard_assignments(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export.
+
+    Training runs read the corpus as N shard files in a fixed order; the
+    shuffle must be reproducible (same shard, same position on every
+    run/engine) and must NOT be a global sort — at 100 TB a total order
+    is one giant range exchange. Instead: shard = content-hash(key) mod
+    n_shards (one hash-partition shuffle), position = rank of the hash
+    within the shard (per-shard local sort, n_shards-way parallel). The
+    hash ordering IS the shuffle — adjacent source rows scatter across
+    shards and positions.
+
+    Downstream `df.repartition(n_shards, "shard")` + per-partition write
+    gives one file per shard with rows in `position` order. Real exports
+    use n_shards ≫ cores, so per-shard ranking parallelizes; the skew
+    bound is n_keys/n_shards ± hash variance.
+
+    Returns (key, shard, position) — exact-oracle-able cross-engine
+    (md5-derived hash, rank ties broken by key).
+    """
+    from pyspark.sql import Window
+
+    h = _hash_num(F.col(key_col))
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        df.select(
+            F.col(key_col),
+            h.alias("_h"),
+            F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        )
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )

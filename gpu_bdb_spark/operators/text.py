@@ -185,3 +185,109 @@ def encode_documents(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum(F.when(F.col("tid") == unk_id, 1).otherwise(0)).cast("long")
         .alias("n_oov"))
+
+
+def term_scores_tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k keywords per document by TF-IDF (keyword extraction /
+    salient-term indexing for corpus exploration).
+
+    ONE text scan feeds everything: tf = per-(doc, term) count (hash
+    aggregate, map-side partial), doc_freq = a count window over the
+    term partition of the ALREADY-REDUCED pairs (pairs are unique per
+    (doc, term), so the per-term row count IS the distinct-doc count —
+    no second scan, no self-join, no countDistinct Expand). N = the
+    corpus row count, a metadata-only parquet count broadcast back as a
+    scalar frame. Three exchanges total: (doc, term) for tf, term for
+    doc_freq, doc for the ranking — each over data already reduced by
+    the previous stage. idf = ln(N/doc_freq) in double; the score is
+    rounded to 6 decimals at the edge and the top-k ranking orders by
+    the ROUNDED score (term as tie-break) so rank is reproducible
+    cross-engine; Spark plans the rank as WindowGroupLimit (partial
+    top-k before the doc exchange).
+
+    Returns (id, term, tf, doc_freq, tfidf, rank), rank ≤ k per doc.
+    """
+    from pyspark.sql import Window
+
+    from gpu_bdb_spark.functions import r6
+
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    with_df = pairs.withColumn(
+        "doc_freq",
+        F.count(F.lit(1)).over(Window.partitionBy("term")))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (
+        with_df.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col), "term", "tf", "doc_freq",
+            r6(F.col("tf") * F.log(F.col("_n") / F.col("doc_freq")),
+               "tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Document fingerprints by winnowing (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03;
+    window-min selection): hash every word k-gram, slide a window of `w`
+    consecutive hashes, keep each window's minimum — any shared run of
+    ≥ w+k-1 tokens between two documents is GUARANTEED to share a
+    fingerprint, at ~2/(w+1) the density of full k-gram shingling.
+
+    Fingerprint pairs (equi-join on the fingerprint value, like the
+    MinHash band join) find copied PASSAGES — local plagiarism /
+    boilerplate reuse — which whole-document MinHash misses when the rest
+    of the documents differ.
+
+    Pure column ops: ngrams (chained zip_with) → posexplode → portable
+    md5-derived 32-bit hash → running window-min (one exchange on doc id)
+    → distinct. Docs with fewer than k+w-1 tokens (no full window) yield
+    no fingerprints. Returns (id, fingerprint) distinct.
+    """
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col),
+        ngrams(tokenize(F.lower(F.col(text_col))), k).alias("grams"),
+    ).select(
+        F.col(id_col),
+        F.size("grams").alias("_m"),
+        F.posexplode("grams").alias("pos", "gram"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    win = (
+        Window.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.select(
+            F.col(id_col), "_m", "pos",
+            F.min(h).over(win).alias("fingerprint"),
+        )
+        .filter(F.col("pos") <= F.col("_m") - w)
+        .select(id_col, "fingerprint")
+        .distinct()
+    )

@@ -262,3 +262,33 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     return domain_mix(d, "source", {"src0": 0.5, "src1": 0.3,
                                     "src2": 0.2}).select("doc_id", "source")
+
+
+SHARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(concat('0x',
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 16 AS INT) AS shard,
+       CAST(row_number()
+            OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT)
+       AS position
+FROM t
+"""
+
+
+@register("shard_export", oracle=SHARD_ORACLE,
+          tags=("pipeline", "sharding", "shuffle"))
+def shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard/position assignment for
+    training-data export (16 shards): shard = content-hash mod 16 (one
+    hash-partition shuffle), position = hash rank within the shard —
+    reproducible across runs/partitionings/engines, and never a global
+    sort (per-shard ranking parallelizes n_shards-way)."""
+    from gpu_bdb_spark.operators.sampling import shard_assignments
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id"],
+                   hint_broadcast=False)
+    return shard_assignments(d, "doc_id", n_shards=16)

@@ -433,3 +433,85 @@ def encode_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      lambda t: t.cast("string")))
         .alias("token_ids"),
         "n_tokens", "n_oov")
+
+
+TFIDF_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM w GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS _n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         ROUND(tf.tf * ln(n._n / dfreq.doc_freq), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, doc_freq, tfidf, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number()
+           OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+"""
+
+
+@register("tfidf_keywords", oracle=TFIDF_ORACLE,
+          tags=("text", "tfidf", "keywords"))
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by TF-IDF — one text scan: tf by hash
+    aggregate, doc_freq by a count window over the reduced pairs (no
+    second scan, no countDistinct Expand), N as a metadata-only count
+    broadcast as a scalar frame; ranking orders by the ROUND(…,6) score
+    so rank is engine-reproducible."""
+    from gpu_bdb_spark.operators.text import term_scores_tfidf
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return term_scores_tfidf(d, "text", "doc_id", k=3)
+
+
+WINNOW_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, len(ws) - 2 AS m,
+         CAST(concat('0x',
+              substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 8))
+              AS BIGINT) AS h
+  FROM t, unnest(generate_series(1, len(ws) - 2)) r(i)
+),
+wm AS (
+  SELECT doc_id, pos, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp AS fingerprint FROM wm WHERE pos <= m - 3
+"""
+
+
+@register("winnow_fingerprints", oracle=WINNOW_ORACLE,
+          tags=("text", "winnowing", "fingerprint"))
+def winnow_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (SIGMOD'03 window-min selection) over word
+    3-grams with window 4: every shared token run of ≥ 6 tokens between
+    documents is guaranteed a shared fingerprint — the passage-level
+    reuse detector that whole-doc MinHash misses. Pure column ops; one
+    exchange on doc_id for the running window-min."""
+    from gpu_bdb_spark.operators.text import winnow_fingerprints
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return winnow_fingerprints(d, "text", "doc_id", k=3, w=4)

@@ -26,6 +26,10 @@ QUERIES = [
     "repetition_stats",
     "profile_orders",
     "histogram_prices",
+    # round-4 entries
+    "shard_export",
+    "tfidf_keywords",
+    "winnow_fingerprints",
 ]
 
 

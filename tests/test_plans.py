@@ -131,3 +131,32 @@ def test_histogram_partial_aggregates(spark, sf_dir):
     schemas = scan_read_schemas(plan)
     assert schemas and "l_extendedprice" in schemas[0], plan
     assert "l_orderkey" not in schemas[0], plan
+
+
+def test_tfidf_single_text_scan_three_exchanges(spark, sf_dir):
+    """tfidf_keywords: tf/doc_freq/rank = exactly three hash exchanges
+    over progressively reduced data; the text column is scanned ONCE (the
+    corpus-size leg is a zero-column metadata count), and the per-doc
+    top-k runs as WindowGroupLimit (partial top-k before the exchange)."""
+    plan = formatted_plan(all_specs()["tfidf_keywords"].fn(spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning") == 3, plan
+    text_scans = [s for s in scan_read_schemas(plan) if "text" in s]
+    assert len(text_scans) == 1, f"text scanned {len(text_scans)}x"
+    assert "WindowGroupLimit" in plan
+
+
+def test_winnow_fingerprints_single_exchange(spark, sf_dir):
+    """winnow_fingerprints: the running window-min AND the distinct both
+    run under ONE doc_id exchange (partitioning by doc_id satisfies the
+    (doc_id, fingerprint) aggregate's clustering)."""
+    plan = formatted_plan(
+        all_specs()["winnow_fingerprints"].fn(spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_shard_export_single_exchange_no_global_sort(spark, sf_dir):
+    """shard_export: one hash exchange on the shard key; NO range
+    exchange (a global sort would serialize the 100 TB export)."""
+    plan = formatted_plan(all_specs()["shard_export"].fn(spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan

@@ -249,3 +249,61 @@ def test_encode_documents_order_and_oov(spark):
                for r in encode_documents(d, vocab).collect()}
         assert got == {1: ([1, 0, 1, 2], 4, 1),
                        2: ([2, 1, 0, 0, 0, 1], 6, 3)}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    shared=st.integers(min_value=6, max_value=12),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_winnowing_guarantee_shared_run_shares_fingerprint(
+        spark, shared, seed):
+    """The winnowing guarantee (SIGMOD'03): any two docs sharing a token
+    run of length ≥ w+k-1 (= 6 for k=3, w=4) MUST share at least one
+    fingerprint, regardless of the surrounding text. Unrelated docs with
+    no 6-token overlap share none (hash collisions aside — deterministic
+    seeds keep this stable)."""
+    import random
+
+    from gpu_bdb_spark.operators.text import winnow_fingerprints
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(200)]
+    run = " ".join(rng.choices(vocab, k=shared))
+    pre_a = " ".join(rng.choices(vocab, k=rng.randint(0, 8)))
+    post_b = " ".join(rng.choices(vocab, k=rng.randint(0, 8)))
+    other = " ".join(f"x{i}" for i in range(20))   # disjoint vocabulary
+    docs = spark.createDataFrame(
+        [(0, f"{pre_a} {run}".strip()),
+         (1, f"{run} {post_b}".strip()),
+         (2, other)],
+        "doc_id long, text string")
+    fp = winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc.get(0, set()) & by_doc.get(1, set()), \
+        "docs sharing a ≥6-token run must share a fingerprint"
+    assert not (by_doc.get(2, set()) & (by_doc.get(0, set())
+                                        | by_doc.get(1, set())))
+
+
+def test_shard_assignments_contract(spark):
+    """Shards partition the keys; positions are 1..shard_size dense and
+    follow the hash order; assignment is independent of input order."""
+    from gpu_bdb_spark.operators.sampling import shard_assignments
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = shard_assignments(df, "doc_id", n_shards=7).collect()
+    assert len(out) == 500 and len({r.doc_id for r in out}) == 500
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 7
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    rev = shard_assignments(
+        df.orderBy(F.desc("doc_id")).repartition(3), "doc_id", n_shards=7)
+    assert {(r.doc_id, r.shard, r.position) for r in rev.collect()} \
+        == {(r.doc_id, r.shard, r.position) for r in out}
