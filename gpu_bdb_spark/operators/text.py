@@ -291,3 +291,34 @@ def winnow_fingerprints(
         .select(id_col, "fingerprint")
         .distinct()
     )
+
+
+def winnow_reuse_pairs(
+    fingerprints: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Passage-reuse candidate pairs from winnowing fingerprints: doc
+    pairs sharing ≥ `min_shared` fingerprints, with the shared count as
+    the evidence score.
+
+    Posting-list self-join on the fingerprint value (the winnowing
+    analogue of the MinHash band join): quadratic only within one
+    fingerprint's posting list, so ubiquitous-boilerplate fingerprints
+    are the skew risk — cap them upstream (drop fingerprints whose
+    document frequency exceeds a stop-fingerprint threshold, exactly
+    like stopword removal) or reuse the chunked-join layout from
+    `simhash_pairs` when a hot fingerprint must be kept.
+    """
+    left = fingerprints.select(
+        F.col(fp_col).alias("fp"), F.col(id_col).alias("id_1"))
+    right = fingerprints.select(
+        F.col(fp_col).alias("fp"), F.col(id_col).alias("id_2"))
+    return (
+        left.join(right, "fp")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

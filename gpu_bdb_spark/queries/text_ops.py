@@ -515,3 +515,47 @@ def winnow_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     return winnow_fingerprints(d, "text", "doc_id", k=3, w=4)
+
+
+WINNOW_PAIRS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, len(ws) - 2 AS m,
+         CAST(concat('0x',
+              substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 8))
+              AS BIGINT) AS h
+  FROM t, unnest(generate_series(1, len(ws) - 2)) r(i)
+),
+wm AS (
+  SELECT doc_id, pos, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+),
+f AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= m - 3)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("winnow_reuse_pairs", oracle=WINNOW_PAIRS_ORACLE,
+          tags=("text", "winnowing", "near-dup"))
+def winnow_reuse_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-reuse pairs: documents sharing ≥2 winnowing fingerprints,
+    scored by the shared-fingerprint count — detects copied passages
+    between otherwise-different documents (the case whole-document
+    MinHash misses). Posting-list self-join on the fingerprint value."""
+    from gpu_bdb_spark.operators.text import (winnow_fingerprints,
+                                              winnow_reuse_pairs)
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return winnow_reuse_pairs(
+        winnow_fingerprints(d, "text", "doc_id", k=3, w=4), min_shared=2)

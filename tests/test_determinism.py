@@ -30,6 +30,7 @@ QUERIES = [
     "shard_export",
     "tfidf_keywords",
     "winnow_fingerprints",
+    "winnow_reuse_pairs",
 ]
 
 
