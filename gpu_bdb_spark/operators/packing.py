@@ -65,3 +65,57 @@ def pack_sequences(
         F.col(token_col).cast("long").alias("n_tokens"),
     )
     return prepared.groupBy("bucket").applyInPandas(pack_bucket, schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into fixed-size token chunks (the standard
+    pretraining chunking step: long docs become training-length windows,
+    optionally overlapping via `stride` < chunk_tokens for context
+    continuity).
+
+    Chunk starts are a per-doc arithmetic sequence (0, stride, 2·stride
+    …), so the whole op is explode + slice + array_join — pure codegen'd
+    column work, no shuffle AT ALL (each output row derives from one
+    input row; Spark keeps it map-side). The final (possibly short)
+    chunk is kept iff it contains at least one new token past the
+    previous chunk — docs shorter than chunk_tokens yield exactly one
+    chunk with all their tokens.
+
+    Returns (id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    from gpu_bdb_spark.functions import tokenize
+
+    s = stride or chunk_tokens
+    if not 1 <= s <= chunk_tokens:
+        raise ValueError(f"stride must be in [1, chunk_tokens], got {s}")
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(s)).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * s, F.lit(s))
+    out = (
+        df.select(F.col(id_col), tokenize(F.lower(F.col(text_col)))
+                  .alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(
+            F.col(id_col),
+            F.size("_toks").alias("_n"),
+            F.col("_toks"),
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+        )
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start"))
+        .cast("long").alias("n_chunk_tokens"),
+    )

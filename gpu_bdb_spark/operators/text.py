@@ -322,3 +322,60 @@ def winnow_reuse_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own unigram language model — the classic perplexity-style quality
+    filter (CCNet-shape, with the unigram LM standing in for KenLM):
+    gibberish and boilerplate-extreme documents land in the distribution
+    tails.
+
+    avg_nll(d) = ln(T) − (Σ_w tf_dw · ln(c_w)) / n_d   where c_w is the
+    corpus count of word w and T the corpus token total (every token
+    scores −ln(c_w/T); the doc average telescopes to the form above).
+
+    ONE text scan: (doc, word) tf hash-aggregate → corpus counts as a
+    sum window over the word partition → per-doc reduce, PERSISTED
+    (narrow: id + two numbers) because the corpus total T re-aggregates
+    it — without the persist, Spark's branch recompute would scan the
+    text twice (exchange reuse does not fire across the differing
+    post-aggregate branches; verified on the plan). Per-term
+    contributions are quantized to 1e-9 and summed as DECIMAL so the
+    accumulation is exact and order-independent (cross-engine +
+    cross-partitioning); the result is rounded at the edge per the
+    functions-module discipline.
+
+    Returns (id, n_tokens, avg_nll).
+    """
+    from pyspark.sql import Window
+
+    from gpu_bdb_spark.functions import r6
+
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokenize(F.lower(F.col(text_col)))).alias("word"),
+        )
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    with_c = pairs.withColumn(
+        "c", F.sum("tf").over(Window.partitionBy("word")))
+    per_doc = with_c.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.round(F.col("tf") * F.log(F.col("c").cast("double")), 9)
+              .cast("decimal(28,9)")).alias("_s"),
+    ).persist()
+    total = per_doc.agg(F.sum("n_tokens").cast("double").alias("_t"))
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        r6(F.log(F.col("_t"))
+           - F.col("_s").cast("double") / F.col("n_tokens"),
+           "avg_nll"),
+    )

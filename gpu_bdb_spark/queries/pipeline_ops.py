@@ -292,3 +292,40 @@ def shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id"],
                    hint_broadcast=False)
     return shard_assignments(d, "doc_id", n_shards=16)
+
+
+CHUNK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+n AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+c AS (
+  SELECT doc_id, ws, n,
+         1 + CAST(ceil(greatest(n - 64, 0) / 32.0) AS INT) AS n_chunks
+  FROM n
+),
+e AS (
+  SELECT doc_id, ws, n, i AS chunk_idx, i * 32 AS strt
+  FROM c, unnest(generate_series(0, n_chunks - 1)) r(i)
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(ws[strt + 1:strt + 64], ' ') AS chunk_text,
+       CAST(least(64, n - strt) AS BIGINT) AS n_chunk_tokens
+FROM e
+"""
+
+
+@register("chunk_documents", oracle=CHUNK_ORACLE,
+          tags=("pipeline", "chunking"))
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window training chunks (64 tokens, stride 32 = 50% overlap):
+    long documents become training-length windows; the whole op is
+    explode + slice + array_join — map-side only, zero shuffles (the
+    chunk starts are a per-doc arithmetic sequence)."""
+    from gpu_bdb_spark.operators.packing import chunk_documents
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return chunk_documents(d, "text", "doc_id", chunk_tokens=64, stride=32)

@@ -559,3 +559,46 @@ def winnow_reuse_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     return winnow_reuse_pairs(
         winnow_fingerprints(d, "text", "doc_id", k=3, w=4), min_shared=2)
+
+
+UNIGRAM_NLL_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM w GROUP BY doc_id, word
+),
+c AS (
+  SELECT doc_id, word, tf,
+         CAST(SUM(tf) OVER (PARTITION BY word) AS BIGINT) AS c
+  FROM tf
+),
+d AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         SUM(CAST(round(tf * ln(CAST(c AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS s
+  FROM c GROUP BY doc_id
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM d)
+SELECT doc_id, n_tokens,
+       ROUND(ln(tot.t) - CAST(d.s AS DOUBLE) / d.n_tokens, 6) AS avg_nll
+FROM d, tot
+"""
+
+
+@register("unigram_nll", oracle=UNIGRAM_NLL_ORACLE,
+          tags=("text", "quality", "perplexity"))
+def unigram_nll_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: per-doc average negative
+    log-likelihood under the corpus's own unigram LM (the CCNet filter
+    shape with a unigram model standing in for KenLM). One text scan;
+    per-term contributions quantized to 1e-9 and summed as DECIMAL so
+    accumulation is exact cross-engine and cross-partitioning."""
+    from gpu_bdb_spark.operators.text import unigram_nll
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return unigram_nll(d, "text", "doc_id")

@@ -31,6 +31,8 @@ QUERIES = [
     "tfidf_keywords",
     "winnow_fingerprints",
     "winnow_reuse_pairs",
+    "chunk_documents",
+    "unigram_nll",
 ]
 
 
