@@ -104,3 +104,35 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def write_sharded_corpus(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+) -> None:
+    """Training-data export sink: the corpus written as `n_shards`
+    hash-sharded parquet directories (shard=K/), each shard's rows in
+    its deterministic `position` order (see
+    operators.sampling.shard_assignments — content-hash shard + in-shard
+    hash rank, the reproducible global shuffle).
+
+    Layout discipline: repartition ON THE SHARD KEY (one task per shard
+    → one ordered file per directory) + sortWithinPartitions(position);
+    never a global orderBy (a range exchange would serialize the
+    export). A trainer streams shard K in order by reading
+    `out_dir/shard=K/`; re-running the export reproduces byte-identical
+    row order on any cluster/partitioning.
+    """
+    from gpu_bdb_spark.operators.sampling import shard_assignments
+
+    assign = shard_assignments(df, key_col, n_shards)
+    (
+        df.join(assign, key_col)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "position")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

@@ -63,3 +63,41 @@ def test_word_list_loader(spark, tmp_path_factory):
     words = load_word_list(spark, str(p), "POS")
     rows = {(r.word, r.sentiment) for r in words.collect()}
     assert rows == {("good", "POS"), ("fine", "POS"), ("great", "POS")}
+
+
+def test_write_sharded_corpus_ordered_and_complete(spark, sf_dir, tmp_path):
+    """The sharded export writes every row exactly once, each shard dir
+    holds rows in position order (file order = read order for a single
+    parquet file per shard), and a re-export is identical."""
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.sampling import shard_assignments
+    from gpu_bdb_spark.sources import write_sharded_corpus
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    out = str(tmp_path / "export")
+    write_sharded_corpus(d, out, "doc_id", n_shards=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    assert set(r.doc_id for r in back.select("doc_id").collect()) \
+        == set(r.doc_id for r in d.select("doc_id").collect())
+
+    expect = {
+        (r.doc_id, r.shard, r.position)
+        for r in shard_assignments(d, "doc_id", 4).collect()
+    }
+    got = {(r.doc_id, int(r.shard), r.position)
+           for r in back.select("doc_id", "shard", "position").collect()}
+    assert got == expect
+
+    # in-file order: positions must be ascending within each shard file
+    import glob
+
+    import pyarrow.parquet as pq
+    for shard_dir in sorted(glob.glob(f"{out}/shard=*")):
+        files = [f for f in glob.glob(f"{shard_dir}/*.parquet")]
+        assert len(files) == 1, f"expected one file per shard: {files}"
+        pos = pq.read_table(files[0], columns=["position"])["position"]
+        vals = pos.to_pylist()
+        assert vals == sorted(vals) and vals[0] == 1
