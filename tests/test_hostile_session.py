@@ -25,6 +25,13 @@ QUERIES = [
     "dedup_clusters_star",
     "decontaminate",
     "profile_orders",
+    # round-4 entries: ln/round/conv arithmetic and hash ranking must be
+    # tz/ANSI-independent too
+    "tfidf_keywords",
+    "unigram_nll",
+    "winnow_fingerprints",
+    "shard_export",
+    "chunk_documents",
 ]
 
 HOSTILE = {
