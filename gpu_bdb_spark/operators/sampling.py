@@ -153,3 +153,30 @@ def shard_assignments(
         .withColumn("position", F.row_number().over(w).cast("long"))
         .drop("_h")
     )
+
+
+def per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int = 10,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-size sample PER GROUP (N docs per source
+    domain, N examples per language — the balanced-inspection /
+    eval-set-building op): rank = content-hash order within the group,
+    keep rank ≤ n_per_group. Hash ranking makes it a uniform-ish,
+    reproducible, engine-portable choice; ties cannot happen (rank
+    breaks on the key itself after the hash).
+
+    One exchange on the group key; Spark plans the rank ≤ N filter as
+    WindowGroupLimit, so each map task pre-trims to N before the
+    shuffle — the per-group analogue of TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_slot(F.col(key_col)), F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_group)
+    )

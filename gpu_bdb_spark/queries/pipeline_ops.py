@@ -329,3 +329,30 @@ def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     return chunk_documents(d, "text", "doc_id", chunk_tokens=64, stride=32)
+
+
+PER_GROUP_SAMPLE_ORACLE = """
+SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+         AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 25
+"""
+
+
+@register("per_group_sample", oracle=PER_GROUP_SAMPLE_ORACLE,
+          tags=("pipeline", "sampling", "balanced"))
+def per_group_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-domain sample: 25 docs per source by content-hash
+    rank — deterministic, engine-portable, planned as WindowGroupLimit
+    (map-side pre-trim to N before the one group-key exchange)."""
+    from gpu_bdb_spark.operators.sampling import per_group_sample
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "source"],
+                   hint_broadcast=False)
+    return per_group_sample(d, "source", 25, "doc_id")

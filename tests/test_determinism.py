@@ -33,6 +33,7 @@ QUERIES = [
     "winnow_reuse_pairs",
     "chunk_documents",
     "unigram_nll",
+    "per_group_sample",
 ]
 
 
