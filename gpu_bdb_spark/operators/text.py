@@ -298,6 +298,7 @@ def winnow_reuse_pairs(
     min_shared: int = 2,
     id_col: str = "doc_id",
     fp_col: str = "fingerprint",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Passage-reuse candidate pairs from winnowing fingerprints: doc
     pairs sharing ≥ `min_shared` fingerprints, with the shared count as
@@ -306,15 +307,29 @@ def winnow_reuse_pairs(
     Posting-list self-join on the fingerprint value (the winnowing
     analogue of the MinHash band join): quadratic only within one
     fingerprint's posting list, so ubiquitous-boilerplate fingerprints
-    are the skew risk — cap them upstream (drop fingerprints whose
-    document frequency exceeds a stop-fingerprint threshold, exactly
-    like stopword removal) or reuse the chunked-join layout from
-    `simhash_pairs` when a hot fingerprint must be kept.
+    are the skew AND output-volume risk. `max_df` is the
+    stop-fingerprint cap (exactly like stopword removal): fingerprints
+    whose document frequency exceeds it are dropped before pairing —
+    a window count over the fingerprint partition, same exchange the
+    join needs anyway, so the cap is FREE in shuffle terms. A passage
+    shared by >max_df docs is boilerplate by definition; pairs it
+    alone would witness aren't reuse evidence. Set max_df to None only
+    on corpora already boilerplate-screened, or reuse the chunked-join
+    layout from `simhash_pairs` when a hot fingerprint must be kept.
     """
-    left = fingerprints.select(
-        F.col(fp_col).alias("fp"), F.col(id_col).alias("id_1"))
-    right = fingerprints.select(
-        F.col(fp_col).alias("fp"), F.col(id_col).alias("id_2"))
+    fps = fingerprints.select(
+        F.col(fp_col).alias("fp"), F.col(id_col).alias("id"))
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        fps = (
+            fps.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    left = fps.withColumnsRenamed({"id": "id_1"})
+    right = fps.withColumnsRenamed({"id": "id_2"})
     return (
         left.join(right, "fp")
         .filter(F.col("id_1") < F.col("id_2"))

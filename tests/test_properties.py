@@ -307,3 +307,26 @@ def test_shard_assignments_contract(spark):
         df.orderBy(F.desc("doc_id")).repartition(3), "doc_id", n_shards=7)
     assert {(r.doc_id, r.shard, r.position) for r in rev.collect()} \
         == {(r.doc_id, r.shard, r.position) for r in out}
+
+
+def test_winnow_reuse_pairs_max_df_drops_boilerplate(spark):
+    """A passage shared by MANY docs (boilerplate) is excluded by the
+    stop-fingerprint cap, while genuine two-doc reuse survives."""
+    from gpu_bdb_spark.operators.text import (winnow_fingerprints,
+                                              winnow_reuse_pairs)
+
+    boiler = "this page is licensed under the creative commons license terms"
+    unique_pair = "quick brown fox jumps over the lazy dog again today"
+    rows = [(i, f"{boiler} filler{i} extra{i} more{i}") for i in range(20)]
+    rows += [(100, f"alpha beta {unique_pair}"),
+             (101, f"{unique_pair} gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+
+    uncapped = winnow_reuse_pairs(fp, min_shared=2)
+    capped = winnow_reuse_pairs(fp, min_shared=2, max_df=5)
+    boiler_pairs = uncapped.filter("id_1 < 20 AND id_2 < 20").count()
+    assert boiler_pairs >= 190          # 20*19/2 boilerplate pairs exist…
+    assert capped.filter("id_1 < 20 AND id_2 < 20").count() == 0  # …capped
+    survivors = {(r.id_1, r.id_2) for r in capped.collect()}
+    assert (100, 101) in survivors      # genuine reuse survives the cap

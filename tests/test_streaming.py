@@ -324,3 +324,41 @@ def test_decontaminate_foreachbatch_matches_batch(
         for r in ngram_contamination(corpus, eval_df).collect()
     }
     assert set(collected) == expect and len(collected) > 0
+
+
+def test_streaming_chunking_matches_batch(spark, sf_dir, tmp_path_factory):
+    """chunk_documents is stateless map-side work, so the SAME function
+    runs unchanged on a readStream — the Structured Streaming
+    unification; streamed chunks must equal the batch operator's."""
+    from gpu_bdb_spark.io import table_path
+    from gpu_bdb_spark.operators.packing import chunk_documents
+
+    stream_dir = tmp_path_factory.mktemp("chunk_stream")
+    (stream_dir / "documents.parquet").symlink_to(
+        table_path(sf_dir, "documents"))
+    dstream = (
+        spark.readStream.schema(
+            spark.read.parquet(table_path(sf_dir, "documents")).schema)
+        .parquet(str(stream_dir))
+        .select("doc_id", "text")
+    )
+    collected = []
+    q = (
+        chunk_documents(dstream, "text", "doc_id", chunk_tokens=64,
+                        stride=32)
+        .writeStream.foreachBatch(
+            lambda df, bid: collected.extend(
+                (r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+                for r in df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    batch = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                       hint_broadcast=False)
+    expect = {
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(batch, "text", "doc_id", 64, 32).collect()
+    }
+    assert set(collected) == expect and len(collected) > 0
