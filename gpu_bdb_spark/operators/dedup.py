@@ -517,3 +517,35 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_against_known(
+    new_docs: DataFrame,
+    known_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental-ingest exact dedup: keep only new documents whose
+    content fingerprint is NOT already in the corpus index.
+
+    The standing corpus is represented by its fingerprint column alone
+    (the persisted index a 100 TB pipeline maintains across ingest
+    batches — rebuilding dedup state per batch is the anti-pattern).
+    One LEFT ANTI join: the new batch shuffles on fp (or broadcasts the
+    index when an eval-sized corpus allows); nothing about the old
+    corpus is re-read beyond the narrow index. Within-batch duplicates
+    are ALSO collapsed (min-id keeper) so the output is ingestable
+    as-is and the index can be extended with exactly these rows.
+
+    Returns (id, fp) — one row per genuinely new distinct content.
+    """
+    fresh = (
+        new_docs.select(F.col(id_col),
+                        fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .join(known_fingerprints.select(F.col(fp_col).alias("fp")),
+              "fp", "left_anti")
+    )
+    return fresh.select(id_col, "fp")

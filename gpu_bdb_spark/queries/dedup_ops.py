@@ -239,3 +239,37 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
     return duplicate_clusters_star(pairs)
+
+
+DEDUP_INCREMENTAL_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+             '', 'g'), ' +', ' ', 'g'))) AS fp
+  FROM documents
+),
+known AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 7 = 0),
+batch AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM fp WHERE doc_id % 7 <> 0 GROUP BY fp
+)
+SELECT doc_id, fp FROM batch WHERE fp NOT IN (SELECT fp FROM known)
+"""
+
+
+@register("dedup_incremental", oracle=DEDUP_INCREMENTAL_ORACLE,
+          tags=("dedup", "incremental", "anti-join"))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the new batch (doc_id % 7 != 0) against
+    the standing corpus's fingerprint index (doc_id % 7 == 0 stands in
+    for the persisted index) — within-batch collapse + one LEFT ANTI
+    join on the content fingerprint; the old corpus is never re-read
+    beyond its narrow index column."""
+    from gpu_bdb_spark.operators.dedup import dedup_against_known
+    from gpu_bdb_spark.operators.text import fingerprint as fp_expr
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    known = d.filter(F.col("doc_id") % 7 == 0).select(
+        fp_expr(F.col("text")).alias("fp")).distinct()
+    batch = d.filter(F.col("doc_id") % 7 != 0)
+    return dedup_against_known(batch, known, "text", "doc_id")

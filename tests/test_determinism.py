@@ -34,6 +34,7 @@ QUERIES = [
     "chunk_documents",
     "unigram_nll",
     "per_group_sample",
+    "dedup_incremental",
 ]
 
 
