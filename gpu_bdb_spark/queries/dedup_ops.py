@@ -273,3 +273,55 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp_expr(F.col("text")).alias("fp")).distinct()
     batch = d.filter(F.col("doc_id") % 7 != 0)
     return dedup_against_known(batch, known, "text", "doc_id")
+
+
+SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.35
+),
+edges AS (SELECT id_1 AS a, id_2 AS b FROM p
+          UNION ALL SELECT id_2, id_1 FROM p),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT e.vec_id, COALESCE(l.cluster_id, e.vec_id) AS cluster_id,
+       CAST(COALESCE(l.cluster_id, e.vec_id) = e.vec_id AS INT) AS keep
+FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.id
+"""
+
+
+@register("semantic_dedup", oracle=SEMANTIC_DEDUP_ORACLE,
+          tags=("dedup", "embedding", "semantic", "pipeline"))
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication, end to end: embedding
+    cosine pairs (≥0.35) → distributed connected components → a
+    keep/drop decision for EVERY vector (singletons keep themselves;
+    in a cluster only the min id survives). At 100 TB the exact pair
+    stage runs on LSH/IVF-bucketed candidates (same contract —
+    operators/similarity provides the bucketing); the CC stage and the
+    decision join are unchanged. Oracle = one recursive-CTE SQL
+    statement over the same parquet."""
+    from gpu_bdb_spark.operators.dedup import duplicate_clusters
+    from gpu_bdb_spark.queries.registry import all_specs
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    pairs = (
+        all_specs()["dedup_embedding_cosine"].fn(spark, sf_dir)
+        .select("id_1", "id_2")
+    )
+    labels = duplicate_clusters(pairs)
+    return e.select("vec_id").join(
+        labels.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "vec_id") == F.col("vec_id"))
+        .cast("int").alias("keep"),
+    )

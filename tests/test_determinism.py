@@ -35,6 +35,7 @@ QUERIES = [
     "unigram_nll",
     "per_group_sample",
     "dedup_incremental",
+    "semantic_dedup",
 ]
 
 
