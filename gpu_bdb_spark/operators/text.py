@@ -394,3 +394,39 @@ def unigram_nll(
            - F.col("_s").cast("double") / F.col("n_tokens"),
            "avg_nll"),
     )
+
+
+def winnow_containment(
+    fingerprints: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Containment-scored passage reuse: for each candidate pair, the
+    shared-fingerprint count normalized by the SMALLER document's
+    fingerprint count — the asymmetric measure that catches a short
+    document wholly embedded in a long one, where Jaccard-style
+    symmetric scores dilute toward zero.
+
+    Same posting-list join as `winnow_reuse_pairs` (and the same
+    `max_df` stop-fingerprint cap); per-doc fingerprint totals ride in
+    from one extra narrow aggregate joined on each id. Returns
+    (id_1, id_2, n_shared, n_fp_1, n_fp_2, containment) with
+    containment rounded to 6 (cross-engine float discipline).
+    """
+    pairs = winnow_reuse_pairs(
+        fingerprints, min_shared, id_col, fp_col, max_df)
+    sizes = fingerprints.groupBy(F.col(id_col).alias("id")).agg(
+        F.count(F.lit(1)).alias("n_fp"))
+    return (
+        pairs.join(sizes.withColumnsRenamed(
+            {"id": "id_1", "n_fp": "n_fp_1"}), "id_1")
+        .join(sizes.withColumnsRenamed(
+            {"id": "id_2", "n_fp": "n_fp_2"}), "id_2")
+        .select(
+            "id_1", "id_2", "n_shared", "n_fp_1", "n_fp_2",
+            F.round(F.col("n_shared").cast("double")
+                    / F.least("n_fp_1", "n_fp_2"), 6).alias("containment"),
+        )
+    )

@@ -602,3 +602,56 @@ def unigram_nll_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     return unigram_nll(d, "text", "doc_id")
+
+
+WINNOW_CONTAINMENT_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, len(ws) - 2 AS m,
+         CAST(concat('0x',
+              substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 8))
+              AS BIGINT) AS h
+  FROM t, unnest(generate_series(1, len(ws) - 2)) r(i)
+),
+wm AS (
+  SELECT doc_id, pos, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+),
+f AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= m - 3),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM f GROUP BY 1),
+p AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT p.id_1, p.id_2, p.n_shared,
+       s1.n_fp AS n_fp_1, s2.n_fp AS n_fp_2,
+       ROUND(CAST(p.n_shared AS DOUBLE) / least(s1.n_fp, s2.n_fp), 6)
+       AS containment
+FROM p JOIN sizes s1 ON p.id_1 = s1.doc_id
+       JOIN sizes s2 ON p.id_2 = s2.doc_id
+"""
+
+
+@register("winnow_containment", oracle=WINNOW_CONTAINMENT_ORACLE,
+          tags=("text", "winnowing", "containment"))
+def winnow_containment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-scored passage reuse over winnowing fingerprints:
+    shared count / smaller doc's fingerprint count — the asymmetric
+    score that catches short-doc-inside-long-doc embedding, which
+    symmetric Jaccard dilutes."""
+    from gpu_bdb_spark.operators.text import (winnow_containment,
+                                              winnow_fingerprints)
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return winnow_containment(
+        winnow_fingerprints(d, "text", "doc_id", k=3, w=4), min_shared=2)

@@ -10,6 +10,7 @@ session windows reproducing bdb_tools/sessionization.py semantics on a feed.
 from gpu_bdb_spark.streaming.ops import (
     asof_enrich_batches,
     decontaminate_batches,
+    dedup_ingest_batches,
     ivf_serve_batches,
     session_window_stats,
     stream_static_enrich,
@@ -22,6 +23,7 @@ from gpu_bdb_spark.streaming.ops import (
 __all__ = [
     "asof_enrich_batches",
     "decontaminate_batches",
+    "dedup_ingest_batches",
     "ivf_serve_batches",
     "session_window_stats",
     "stream_static_enrich",

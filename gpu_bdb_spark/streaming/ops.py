@@ -264,3 +264,34 @@ def decontaminate_batches(
             sink(res, batch_id)
 
     return process
+
+
+def dedup_ingest_batches(
+    known_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sink=None,
+):
+    """foreachBatch body: incremental-ingest exact dedup of a live
+    document feed against the standing corpus's fingerprint index — the
+    streaming form of `operators.dedup.dedup_against_known`.
+
+    Each micro-batch collapses its own duplicates then LEFT ANTI joins
+    the (static) index; `sink(df, batch_id)` receives the genuinely new
+    (id, fp) rows and is the natural place to append them to the index
+    table, so later batches dedup against earlier ones through the
+    index — state lives in the TABLE, not in streaming memory, which is
+    what lets the pattern run forever at corpus scale. CROSS-batch
+    duplicates inside one trigger interval are the sink's
+    responsibility (append-then-refresh or MERGE INTO on a lakehouse
+    table); within-batch and vs-index dedup are exact here.
+    """
+    from gpu_bdb_spark.operators.dedup import dedup_against_known
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        res = dedup_against_known(batch_df, known_fingerprints,
+                                  text_col=text_col, id_col=id_col)
+        if sink is not None:
+            sink(res, batch_id)
+
+    return process

@@ -36,6 +36,7 @@ QUERIES = [
     "per_group_sample",
     "dedup_incremental",
     "semantic_dedup",
+    "winnow_containment",
 ]
 
 

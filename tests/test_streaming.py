@@ -362,3 +362,44 @@ def test_streaming_chunking_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in chunk_documents(batch, "text", "doc_id", 64, 32).collect()
     }
     assert set(collected) == expect and len(collected) > 0
+
+
+def test_streaming_incremental_dedup_matches_batch(
+        spark, sf_dir, tmp_path_factory):
+    """Streaming ingest dedup (foreachBatch anti-join vs the standing
+    fingerprint index) keeps exactly the batch operator's rows."""
+    from gpu_bdb_spark.io import table_path
+    from gpu_bdb_spark.operators.dedup import dedup_against_known
+    from gpu_bdb_spark.operators.text import fingerprint
+    from gpu_bdb_spark.streaming import dedup_ingest_batches
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                      hint_broadcast=False)
+    known = docs.filter(F.col("doc_id") % 7 == 0).select(
+        fingerprint(F.col("text")).alias("fp")).distinct()
+    stream_dir = tmp_path_factory.mktemp("ingest_stream")
+    (stream_dir / "documents.parquet").symlink_to(
+        table_path(sf_dir, "documents"))
+    dstream = (
+        spark.readStream.schema(
+            spark.read.parquet(table_path(sf_dir, "documents")).schema)
+        .parquet(str(stream_dir))
+        .filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id", "text")
+    )
+    collected = []
+    q = (
+        dstream.writeStream.foreachBatch(
+            dedup_ingest_batches(
+                known,
+                sink=lambda df, bid: collected.extend(
+                    (r.doc_id, r.fp) for r in df.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    batch = docs.filter(F.col("doc_id") % 7 != 0)
+    expect = {(r.doc_id, r.fp)
+              for r in dedup_against_known(batch, known).collect()}
+    assert set(collected) == expect and len(collected) > 0
