@@ -81,3 +81,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     return lsh_topk(e, k=5, dim=64, n_planes=4, n_tables=8, seed=42).select(
         "query_id", "neighbor_id", "rank")
+
+
+@register("knn_graph", tags=("similarity", "ann", "knn-graph"))
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH over the embedding corpus: every vector's approximate
+    top-3 neighbors (corpus-as-queries IVF — the input to SemDeDup-style
+    semantic dedup, embedding-space diversity sampling, and
+    cluster-connectivity analysis at scales where exact all-pairs is
+    impossible). Self-matches excluded. Same IVF machinery as
+    `ann_ivf_topk`, so the scale argument carries over: each vector
+    probes 3 of 8 lists, scoring is grouped numpy matmul, and the big
+    side never shuffles more than its list assignment. No oracle —
+    k-means centroids are engine-internal float state; graph recall is
+    asserted against brute force in tests/test_similarity.py; the
+    driver records a rows-only check."""
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    return ivf_topk(e, e, k=3, n_lists=8, n_probe=3, seed=42).select(
+        "query_id", "neighbor_id", "rank")

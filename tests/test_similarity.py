@@ -153,3 +153,22 @@ def test_bucket_udf_bit_identical_to_hof_expression(spark, sf_dir):
            hyperplane_buckets(e, "embedding", dim=64, n_planes=12,
                               seed=42).select("vec_id", "bucket").collect()}
     assert new == old
+
+
+def test_knn_graph_recall_on_clustered_data(spark):
+    """Corpus-as-queries k-NN graph: every vector gets its top-k; recall
+    vs brute force stays high on clustered data, no self-edges, each
+    node has ≤k neighbors with dense ranks."""
+    from gpu_bdb_spark.operators.similarity import ivf_topk
+
+    corpus = _clustered(spark, n_centers=6, per_center=60)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(corpus, corpus, k=3).collect()}
+    rows = ivf_topk(corpus, corpus, k=3, n_lists=6, n_probe=2,
+                    seed=7).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"knn-graph recall {recall:.3f}"
+    assert all(q != n for q, n in approx)
+    n_nodes = corpus.count()
+    assert len({r.query_id for r in rows}) == n_nodes  # every node present
