@@ -325,3 +325,79 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("cluster_id", "vec_id") == F.col("vec_id"))
         .cast("int").alias("keep"),
     )
+
+
+SOURCE_OVERLAP_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, source, list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source, i AS pos, len(ws) - 2 AS m,
+         CAST(concat('0x',
+              substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 8))
+              AS BIGINT) AS h
+  FROM t, unnest(generate_series(1, len(ws) - 2)) r(i)
+),
+wm AS (
+  SELECT doc_id, source, pos, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+),
+f AS (SELECT DISTINCT source, fp FROM wm WHERE pos <= m - 3),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp FROM f GROUP BY 1)
+SELECT a.source AS source_1, b.source AS source_2,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       s1.n_fp AS n_distinct_1, s2.n_fp AS n_distinct_2,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / least(s1.n_fp, s2.n_fp), 6)
+       AS overlap
+FROM f a
+JOIN f b ON a.fp = b.fp AND a.source < b.source
+JOIN sizes s1 ON a.source = s1.source
+JOIN sizes s2 ON b.source = s2.source
+GROUP BY a.source, b.source, s1.n_fp, s2.n_fp
+"""
+
+
+@register("source_overlap", oracle=SOURCE_OVERLAP_ORACLE,
+          tags=("dedup", "provenance", "analytics"))
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-provenance overlap matrix: for every pair of sources, how
+    much PASSAGE-level content they share (distinct winnowing
+    fingerprints present in both, normalized by the smaller source's
+    fingerprint count) — the analysis that finds mirror/scrape
+    relationships between ingest feeds before they double-count an
+    epoch. Distinct (source, fingerprint) first: the posting list per
+    fingerprint is then bounded by n_sources, so the self-join is
+    n_sources² per fingerprint, never doc²."""
+    from gpu_bdb_spark.operators.text import winnow_fingerprints
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text", "source"],
+                   hint_broadcast=False)
+    fps = winnow_fingerprints(d, "text", "doc_id", k=3, w=4)
+    fp = (
+        fps.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "fingerprint").distinct()
+    )
+    sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fp.withColumnsRenamed({"source": "source_1"})
+    b = fp.withColumnsRenamed({"source": "source_2"})
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("source_1") < F.col("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(F.broadcast(sizes.withColumnsRenamed(
+            {"source": "source_1", "n_fp": "n_distinct_1"})), "source_1")
+        .join(F.broadcast(sizes.withColumnsRenamed(
+            {"source": "source_2", "n_fp": "n_distinct_2"})), "source_2")
+        .select(
+            "source_1", "source_2", "n_shared", "n_distinct_1",
+            "n_distinct_2",
+            F.round(F.col("n_shared").cast("double")
+                    / F.least("n_distinct_1", "n_distinct_2"), 6)
+            .alias("overlap"),
+        )
+    )

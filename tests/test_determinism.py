@@ -37,6 +37,7 @@ QUERIES = [
     "dedup_incremental",
     "semantic_dedup",
     "winnow_containment",
+    "source_overlap",
 ]
 
 
