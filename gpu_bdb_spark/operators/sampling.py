@@ -180,3 +180,59 @@ def per_group_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_group)
     )
+
+
+def domain_repeat_plan(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    target_total: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Epoch plan with OVERSAMPLING (the LLaMA-recipe data schedule):
+    each stratum s should contribute ≈ w_s·target_total rows to the
+    epoch, achieved by repeating each of its rows f_s = w_s·T/n_s
+    times — integer part uniformly, the fractional remainder decided
+    per row by content hash (so exactly the hash-chosen subset repeats
+    once more; deterministic, engine-portable, no RNG). The
+    downsampling-only sibling is `domain_mix` (which refuses to repeat
+    rows and shrinks the epoch instead).
+
+    Returns (key, stratum, n_repeats); n_repeats may be 0 when a
+    stratum is overweighted in the corpus (f_s < 1 ⇒ hash-sampled
+    keep/drop). Materializing is one map-side
+    explode(sequence(1, n_repeats)) away — kept separate so the plan
+    stays a narrow auditable frame.
+
+    In-plan throughout: per-stratum counts (tiny aggregate) broadcast
+    back; FLOOR on the scaled hash threshold avoids rounding-mode
+    divergence between engines.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    w = F.create_map(*[
+        F.lit(x) for kv in sorted(weights.items()) for x in kv])
+    counts = (
+        df.filter(F.col(strata_col).isin(*weights))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            strata_col,
+            (w[F.col(strata_col)] * F.lit(float(target_total))
+             / F.col("_n")).alias("_f"),
+        )
+    )
+    base = F.floor(F.col("_f")).cast("long")
+    frac = F.col("_f") - F.floor(F.col("_f"))
+    extra = (
+        _hash_num(F.col(key_col))
+        < F.floor(frac * F.lit(float(16 ** _HEX_DIGITS)))
+    ).cast("long")
+    return (
+        df.join(F.broadcast(counts), strata_col)
+        .select(
+            F.col(key_col),
+            F.col(strata_col),
+            (base + extra).alias("n_repeats"),
+        )
+    )

@@ -356,3 +356,40 @@ def per_group_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "source"],
                    hint_broadcast=False)
     return per_group_sample(d, "source", 25, "doc_id")
+
+
+REPEAT_PLAN_ORACLE = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+),
+f AS (
+  SELECT source,
+         CASE source WHEN 'src0' THEN 0.6
+                     WHEN 'src1' THEN 0.3
+                     ELSE 0.1 END * 1010.0 / n AS f
+  FROM counts
+)
+SELECT d.doc_id, d.source,
+       CAST(floor(f.f) AS BIGINT)
+       + CAST(CAST(concat('0x',
+              substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           < floor((f.f - floor(f.f)) * 4294967296.0) AS BIGINT)
+       AS n_repeats
+FROM documents d JOIN f ON d.source = f.source
+"""
+
+
+@register("domain_repeat_plan", oracle=REPEAT_PLAN_ORACLE,
+          tags=("pipeline", "sampling", "epochs"))
+def domain_repeat_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oversampling epoch plan (LLaMA-recipe schedule): three sources
+    weighted 60/30/10 toward a 1010-row epoch (non-integer per-doc factors, so the fractional hash path is exercised); per-doc repeat counts =
+    floor(f_s) + content-hash-decided fractional extra — deterministic,
+    engine-portable, no RNG."""
+    from gpu_bdb_spark.operators.sampling import domain_repeat_plan
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "source"],
+                   hint_broadcast=False)
+    return domain_repeat_plan(
+        d, "source", {"src0": 0.6, "src1": 0.3, "src2": 0.1}, 1010)

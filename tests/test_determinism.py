@@ -38,6 +38,7 @@ QUERIES = [
     "semantic_dedup",
     "winnow_containment",
     "source_overlap",
+    "domain_repeat_plan",
 ]
 
 

@@ -330,3 +330,24 @@ def test_winnow_reuse_pairs_max_df_drops_boilerplate(spark):
     assert capped.filter("id_1 < 20 AND id_2 < 20").count() == 0  # …capped
     survivors = {(r.id_1, r.id_2) for r in capped.collect()}
     assert (100, 101) in survivors      # genuine reuse survives the cap
+
+
+def test_domain_repeat_plan_hits_target_epoch_size(spark):
+    """Σ n_repeats per stratum lands within ±1·n_s·(hash granularity) of
+    w_s·T — the fractional extras are hash-chosen, so the achieved count
+    is floor(f)·n + |{hash < frac}| which concentrates near frac·n."""
+    from gpu_bdb_spark.operators.sampling import domain_repeat_plan
+
+    rows = [(i, "a" if i < 400 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    plan = domain_repeat_plan(df, "grp", {"a": 0.7, "b": 0.3}, 2000,
+                              key_col="doc_id")
+    got = {r.grp: r.total for r in plan.groupBy("grp").agg(
+        F.sum("n_repeats").alias("total")).collect()}
+    # a: f = 0.7*2000/400 = 3.5 -> 1400 expected; b: 0.3*2000/600 = 1.0
+    assert got["b"] == 600
+    assert abs(got["a"] - 1400) <= 40       # binomial(400, .5) 3-sigma
+    reruns = {r.grp: r.total for r in domain_repeat_plan(
+        df.repartition(7), "grp", {"a": 0.7, "b": 0.3}, 2000
+    ).groupBy("grp").agg(F.sum("n_repeats").alias("total")).collect()}
+    assert reruns == got                    # deterministic across layouts
