@@ -136,3 +136,58 @@ def write_sharded_corpus(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 512 * 1024 * 1024,
+) -> int:
+    """Small-file compaction (table maintenance): rewrite a parquet
+    directory into ⌈total_bytes / target_bytes⌉ files.
+
+    Streaming sinks and per-batch ingest leave thousands of KB-sized
+    files; at 100 TB the scan's task-scheduling and footer-reading
+    overhead then dominates I/O. Sizing from the FILESYSTEM byte total
+    (not a count() — no data pass) and coalescing to the target keeps
+    the rewrite one shuffle-free job. Returns the output file count.
+    """
+    import glob as _glob
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(f)
+        for f in _glob.glob(f"{path.rstrip('/')}/**/*.parquet",
+                            recursive=True))
+    n_files = max(1, -(-total // target_bytes))
+    spark.read.parquet(path).coalesce(n_files).write.mode(
+        "overwrite").parquet(out_path)
+    return n_files
+
+
+def write_sorted_for_skipping(
+    df: DataFrame,
+    out_path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Write parquet laid out for min/max data skipping: range-partition
+    and sort by `sort_cols` so each file (and row group) covers a
+    NARROW value range — a predicate on those columns then prunes most
+    files from the scan via footer statistics alone, before any I/O.
+
+    This is the write-side half of predicate pushdown: pushdown can
+    only skip a row group whose stats exclude the predicate, and stats
+    only exclude anything when the layout clusters values. The one-time
+    repartitionByRange is the price; every later time-range or key-range
+    scan pays proportionally to its selectivity instead of the table
+    size. (Row-group pruning asserted from parquet footers in
+    tests/test_sources.py.)
+    """
+    part = (df.repartitionByRange(n_files, *sort_cols)
+            if n_files else df.repartitionByRange(*sort_cols))
+    (
+        part.sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite").parquet(out_path)
+    )

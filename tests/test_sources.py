@@ -101,3 +101,62 @@ def test_write_sharded_corpus_ordered_and_complete(spark, sf_dir, tmp_path):
         pos = pq.read_table(files[0], columns=["position"])["position"]
         vals = pos.to_pylist()
         assert vals == sorted(vals) and vals[0] == 1
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    """Many tiny files in, ceil(bytes/target) files out, same rows."""
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.sources import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    d = read_table(spark, sf_dir, "lineitem", hint_broadcast=False)
+    d.repartition(64).write.parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_bytes=1 << 30)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n == 1
+    assert spark.read.parquet(out).count() == d.count()
+
+
+def test_sorted_layout_enables_row_group_skipping(spark, sf_dir, tmp_path):
+    """After write_sorted_for_skipping on o_orderkey, parquet footer
+    min/max ranges are disjoint across files, so a narrow key-range
+    predicate could skip all but ~one file; an unsorted write cannot
+    skip anything (every file spans the whole range)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.sources import write_sorted_for_skipping
+
+    d = read_table(spark, sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate"], hint_broadcast=False)
+
+    def file_ranges(path):
+        rng = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(j).name
+                     for j in range(md.num_columns)]
+            col = [md.row_group(i).column(names.index("o_orderkey"))
+                   for i in range(md.num_row_groups)]
+            stats = [c.statistics for c in col]
+            rng.append((min(s.min for s in stats),
+                        max(s.max for s in stats)))
+        return sorted(rng)
+
+    unsorted = str(tmp_path / "unsorted")
+    d.repartition(6).write.parquet(unsorted)
+    sorted_p = str(tmp_path / "sorted")
+    write_sorted_for_skipping(d, sorted_p, ["o_orderkey"], n_files=6)
+
+    overlaps = lambda r: sum(  # noqa: E731
+        1 for a, b in zip(r, r[1:]) if a[1] > b[0])
+    r_sorted, r_unsorted = file_ranges(sorted_p), file_ranges(unsorted)
+    assert len(r_sorted) >= 4
+    assert overlaps(r_sorted) == 0, r_sorted     # disjoint ranges
+    assert overlaps(r_unsorted) >= len(r_unsorted) - 1  # all overlap
