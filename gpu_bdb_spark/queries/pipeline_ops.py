@@ -393,3 +393,63 @@ def domain_repeat_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     return domain_repeat_plan(
         d, "source", {"src0": 0.6, "src1": 0.3, "src2": 0.1}, 1010)
+
+
+CORPUS_DIFF_ORACLE = """
+WITH old AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+             '', 'g'), ' +', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 5 <> 0
+),
+new AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(
+               CASE WHEN doc_id % 13 = 0 THEN text || ' revised' ELSE text
+               END), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+"""
+
+
+@register("corpus_diff", oracle=CORPUS_DIFF_ORACLE,
+          tags=("pipeline", "versioning", "diff"))
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (dataset-release
+    auditing): added / removed / content-changed docs via one FULL OUTER
+    join on doc id comparing content fingerprints — the narrow frames
+    are (id, fp) so the join never carries text. Snapshots are simulated
+    deterministically from the fixture (old = id%5!=0; new = id%7!=0
+    with id%13==0 docs revised)."""
+    from gpu_bdb_spark.operators.text import fingerprint as fp_expr
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    old = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", fp_expr(F.col("text")).alias("fp"))
+    new = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        fp_expr(F.when(F.col("doc_id") % 13 == 0,
+                       F.concat(F.col("text"), F.lit(" revised")))
+                .otherwise(F.col("text"))).alias("fp"))
+    o = old.withColumnsRenamed({"doc_id": "o_id", "fp": "o_fp"})
+    n = new.withColumnsRenamed({"doc_id": "n_id", "fp": "n_fp"})
+    joined = o.join(n, o.o_id == n.n_id, "full_outer")
+    return (
+        joined.select(
+            F.coalesce("o_id", "n_id").alias("doc_id"),
+            F.when(F.col("o_id").isNull(), "added")
+            .when(F.col("n_id").isNull(), "removed")
+            .otherwise("changed").alias("change"),
+            "o_fp", "n_fp",
+        )
+        .filter(F.col("o_fp").isNull() | F.col("n_fp").isNull()
+                | (F.col("o_fp") != F.col("n_fp")))
+        .select("doc_id", "change")
+    )

@@ -39,6 +39,7 @@ QUERIES = [
     "winnow_containment",
     "source_overlap",
     "domain_repeat_plan",
+    "corpus_diff",
 ]
 
 
