@@ -549,3 +549,93 @@ def dedup_against_known(
               "fp", "left_anti")
     )
     return fresh.select(id_col, "fp")
+
+
+def segment_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 10,
+    delim: str | None = None,
+) -> DataFrame:
+    """Explode documents into dedup-able "lines": natural lines when
+    `delim` is given (split on it), else fixed `seg_len`-token segments
+    (the corpus here has no newlines — token windows stand in for the
+    sentence/line spans C4-style pipelines dedup on).
+
+    Returns (id, line_no, line) with line_no 1-based in document order.
+    Zero-shuffle: pure split/slice/posexplode column expressions.
+    """
+    if delim is not None:
+        arr = F.split(F.col(text_col), F.lit(delim).cast("string"))
+    else:
+        toks = tokenize(text_col)
+        n_seg = F.floor((F.size(toks) + seg_len - 1) / seg_len).cast("int")
+        arr = F.when(F.size(toks) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(1), n_seg),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - 1) * seg_len + 1, seg_len), " "),
+            ))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(arr).alias("_p", "line"),
+    ).select(id_col, (F.col("_p") + 1).alias("line_no"), "line")
+
+
+def dedup_lines(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """C4-style duplicated-line removal decision: a line whose exact
+    content occurs >= `min_count` times across the corpus is dropped
+    everywhere except (when `keep_first`) its first occurrence in
+    (id, line_no) order.
+
+    One exchange, on the line content: count + row_number share the same
+    window partition, so duplicate detection AND the keep-first choice
+    cost a single shuffle. The line string itself rides that shuffle —
+    it is needed downstream for reassembly, so hashing first would only
+    add a join to get it back (trade documented in SCALE.md). Returns
+    the input plus a `keep` boolean; no rows are removed so callers can
+    count drops and keep empty documents visible.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("line")
+    wo = w.orderBy(id_col, "line_no")
+    out = lines.withColumn("_cnt", F.count(F.lit(1)).over(w)) \
+               .withColumn("_rn", F.row_number().over(wo))
+    keep = F.col("_cnt") < min_count
+    if keep_first:
+        keep = keep | (F.col("_rn") == 1)
+    return out.withColumn("keep", keep).drop("_cnt", "_rn")
+
+
+def reassemble_lines(
+    flagged: DataFrame,
+    id_col: str = "doc_id",
+    delim: str = " ",
+) -> DataFrame:
+    """Rebuild per-document text from kept lines, in original order.
+
+    One exchange on the doc id: collect (line_no, keep, line) structs,
+    array_sort restores document order deterministically under any
+    partitioning, kept lines concatenate with `delim`. Documents whose
+    every line was dropped stay present with empty text (and a full
+    drop count) — silent row loss would read as "document never
+    existed" in a curation audit.
+
+    Returns (id, text_clean, n_lines_kept, n_lines_dropped).
+    """
+    parts = F.array_sort(
+        F.collect_list(F.struct("line_no", "keep", "line")))
+    kept = F.filter(parts, lambda s: s.keep)
+    return flagged.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda s: s.line), delim)
+        .alias("text_clean"),
+        F.sum(F.col("keep").cast("long")).alias("n_lines_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_lines_dropped"),
+    )

@@ -401,3 +401,63 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style duplicated-line removal (segment lines; keep-first; reassembly)
+# ---------------------------------------------------------------------------
+
+DEDUP_LINES_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, i AS line_no,
+         array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS line
+  FROM t, unnest(generate_series(
+            1, CAST(ceil(len(ws) / 10.0) AS BIGINT))) r(i)
+),
+w AS (
+  SELECT doc_id, line_no, line,
+         count(*) OVER (PARTITION BY line) AS cnt,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, line_no) AS rn
+  FROM seg
+),
+k AS (
+  SELECT doc_id, line_no, line, (cnt < 2 OR rn = 1) AS keep FROM w
+)
+SELECT doc_id,
+       coalesce(string_agg(line, ' ' ORDER BY line_no)
+                FILTER (WHERE keep), '') AS text_clean,
+       CAST(coalesce(sum(CAST(keep AS INT)), 0) AS BIGINT)
+         AS n_lines_kept,
+       CAST(coalesce(sum(CAST(NOT keep AS INT)), 0) AS BIGINT)
+         AS n_lines_dropped
+FROM k
+GROUP BY doc_id
+"""
+
+
+@register("dedup_lines", oracle=DEDUP_LINES_ORACLE,
+          tags=("dedup", "lines", "c4"))
+def dedup_lines_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-line removal over the documents corpus: split
+    each document into 10-token segment "lines" (this corpus has no
+    newlines; token windows stand in for the three-sentence spans C4
+    dedups on), drop every line whose exact content recurs corpus-wide
+    except its first occurrence, and reassemble the surviving lines in
+    document order. Two exchanges total: one window on the line content
+    (count + keep-first share it), one group-by on doc_id for
+    reassembly (reference has no line-level dedup; C4 = Raffel et al.,
+    JMLR'20 §2.2)."""
+    from gpu_bdb_spark.operators.dedup import (dedup_lines, reassemble_lines,
+                                               segment_lines)
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    lines = segment_lines(d, "text", "doc_id", seg_len=10)
+    flagged = dedup_lines(lines, "doc_id", min_count=2, keep_first=True)
+    return reassemble_lines(flagged, "doc_id", " ")

@@ -197,3 +197,47 @@ def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
     assert lp == expect and st == expect
     wrote = any(files for _, _, files in os.walk(ckpt))
     assert wrote, "reliable checkpoint produced no files"
+
+
+def test_dedup_lines_semantics(spark):
+    """Keep-first line dedup on planted rows: the duplicated segment
+    survives only at its first (doc_id, line_no); unique segments all
+    survive; a doc made entirely of duplicated lines stays visible with
+    empty text_clean."""
+    from gpu_bdb_spark.operators.dedup import (dedup_lines,
+                                               reassemble_lines,
+                                               segment_lines)
+
+    dup = "a b c d e f g h i j"            # exactly one 10-token segment
+    docs = spark.createDataFrame(
+        [(1, dup + " k l m"), (2, dup), (3, "x y z"),
+         (4, dup + " " + dup)],
+        "doc_id long, text string")
+    lines = segment_lines(docs, "text", "doc_id", seg_len=10)
+    out = {
+        r.doc_id: r
+        for r in reassemble_lines(
+            dedup_lines(lines, "doc_id", min_count=2, keep_first=True),
+            "doc_id", " ").collect()
+    }
+    # doc 1 owns the first occurrence: keeps both its lines
+    assert out[1].text_clean == dup + " k l m"
+    assert (out[1].n_lines_kept, out[1].n_lines_dropped) == (2, 0)
+    # doc 2 is exactly the duplicated line -> dropped, but still present
+    assert out[2].text_clean == ""
+    assert (out[2].n_lines_kept, out[2].n_lines_dropped) == (0, 1)
+    # unique doc untouched
+    assert out[3].text_clean == "x y z"
+    # doc 4: both its copies are later occurrences -> dropped
+    assert out[4].text_clean == ""
+    assert out[4].n_lines_dropped == 2
+
+
+def test_dedup_lines_no_keep_first_drops_all_copies(spark):
+    from gpu_bdb_spark.operators.dedup import dedup_lines, segment_lines
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string")
+    lines = segment_lines(docs, "text", "doc_id", seg_len=10)
+    flagged = dedup_lines(lines, "doc_id", min_count=2, keep_first=False)
+    assert [r.keep for r in flagged.collect()] == [False, False]

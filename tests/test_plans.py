@@ -160,3 +160,16 @@ def test_shard_export_single_exchange_no_global_sort(spark, sf_dir):
     plan = formatted_plan(all_specs()["shard_export"].fn(spark, sf_dir))
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_dedup_lines_two_exchanges(spark, sf_dir):
+    """Line dedup must cost exactly two shuffles: the line-content window
+    (count + keep-first rank share one partition) and the doc-id
+    reassembly aggregate. A join-back to recover line text would add a
+    third — regression means the decision stage stopped carrying the
+    line through its own exchange."""
+    import re
+
+    plan = formatted_plan(all_specs()["dedup_lines"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "Join" not in plan, plan
