@@ -430,3 +430,79 @@ def winnow_containment(
                     / F.least("n_fp_1", "n_fp_2"), 6).alias("containment"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Spärck Jones probabilistic
+    ranking, the Lucene-default scoring function) for a batch of term
+    queries over the corpus.
+
+    `query_terms` is a (query_id, term) frame — dimension-sized, so it
+    broadcasts; the corpus-side explode is filtered to query terms
+    BEFORE the tf shuffle (a semi-join against the distinct-term side of
+    the broadcast), which is what keeps this a search, not a full index
+    build: the (doc, term) aggregate only ever carries hits.
+
+    doc_freq comes from a count window over the already-reduced tf pairs
+    (unique per (doc, term) — same zero-extra-scan trick as TF-IDF);
+    N and avgdl are one scalar aggregate broadcast back. Per-term
+    contributions idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) are rounded
+    to 1e-9 and summed as DECIMAL (order-independent, cross-engine
+    exact); the final score is rounded to 6 and the per-query top-k
+    ranks on the ROUNDED score with doc id as tie-break
+    (WindowGroupLimit — partial top-k before the query exchange).
+
+    Returns (query_id, id, score, rank), rank ≤ k.
+    """
+    from pyspark.sql import Window
+
+    from gpu_bdb_spark.functions import r6
+
+    q = query_terms.select("query_id", "term").distinct()
+    terms = q.select("term").distinct()
+    toks = tokenize(F.lower(F.col(text_col)))
+    exploded = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    tf = (
+        exploded.join(F.broadcast(terms), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"),
+             F.first("dl").alias("dl"))
+    )
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        .cast("double"))
+    stats = df.select(F.size(tokenize(F.lower(F.col(text_col))))
+                      .cast("long").alias("_dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("_dl").cast("double")
+         / F.count(F.lit(1))).alias("avgdl"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf")
+             + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    contrib = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 9)
+    scored = (
+        with_df.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(q), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(contrib.cast("decimal(28,9)")).alias("_s"))
+        .select("query_id", id_col,
+                r6(F.col("_s").cast("double"), "score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -655,3 +655,83 @@ def winnow_containment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     return winnow_containment(
         winnow_fingerprints(d, "text", "doc_id", k=3, w=4), min_shared=2)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson/Spärck Jones; Lucene-default ranking)
+# ---------------------------------------------------------------------------
+
+#: Fixed benchmark query set: terms drawn from the synthetic vocabulary.
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "spark"), (1, "join"), (1, "shuffle"),
+    (2, "fast"), (2, "slow"), (2, "filter"),
+    (3, "customer"), (3, "order"), (3, "table"), (3, "scan"),
+)
+
+BM25_ORACLE = r"""
+WITH q(query_id, term) AS (VALUES
+  (1, 'spark'), (1, 'join'), (1, 'shuffle'),
+  (2, 'fast'), (2, 'slow'), (2, 'filter'),
+  (3, 'customer'), (3, 'order'), (3, 'table'), (3, 'scan')
+),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl
+  FROM t
+),
+tf AS (
+  SELECT doc_id, term,
+         CAST(count(*) AS DOUBLE) AS tf,
+         CAST(any_value(dl) AS DOUBLE) AS dl
+  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM t) u
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+),
+wdf AS (
+  SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+  FROM tf
+),
+contrib AS (
+  SELECT q.query_id, w.doc_id,
+         round(ln(1.0 + (s.n_docs - w.df + 0.5) / (w.df + 0.5))
+               * w.tf * 2.2
+               / (w.tf + 1.2 * (1.0 - 0.75 + 0.75 * w.dl / s.avgdl)),
+               9) AS c
+  FROM wdf w JOIN q ON q.term = w.term, stats s
+),
+sc AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(CAST(c AS DECIMAL(28,9))) AS DOUBLE), 6) AS score
+  FROM contrib GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM sc
+)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
+"""
+
+
+@register("bm25_topk", oracle=BM25_ORACLE, tags=("text", "ir", "bm25"))
+def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed batch of term queries
+    (k1=1.2, b=0.75 — the Lucene defaults). The query set broadcasts;
+    the corpus explode is semi-filtered to query terms before the tf
+    shuffle, doc_freq is a window over the reduced pairs, and the
+    per-query top-k plans as WindowGroupLimit. Exact cross-engine:
+    contributions quantized at 1e-9, decimal-summed, rounded to 6."""
+    from gpu_bdb_spark.operators.text import bm25_scores
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    q = spark.createDataFrame(list(BM25_QUERIES), "query_id int, term string")
+    return bm25_scores(d, q, "text", "doc_id", k1=1.2, b=0.75, k=10)

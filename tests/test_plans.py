@@ -173,3 +173,13 @@ def test_dedup_lines_two_exchanges(spark, sf_dir):
     plan = formatted_plan(all_specs()["dedup_lines"].fn(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_bm25_broadcasts_queries_and_partial_topk(spark, sf_dir):
+    """The query-term side must broadcast (it is dimension-sized) and the
+    per-query top-k must plan as WindowGroupLimit (partial top-k before
+    the query exchange) — a full per-query sort would shuffle every
+    scored (query, doc) pair."""
+    plan = formatted_plan(all_specs()["bm25_topk"].fn(spark, sf_dir))
+    assert has_broadcast_join(plan), plan
+    assert "WindowGroupLimit" in plan, plan
