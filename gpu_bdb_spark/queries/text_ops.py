@@ -735,3 +735,74 @@ def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     q = spark.createDataFrame(list(BM25_QUERIES), "query_id int, term string")
     return bm25_scores(d, q, "text", "doc_id", k1=1.2, b=0.75, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive per-language quality gate (CCNet-style perplexity percentile)
+# ---------------------------------------------------------------------------
+
+QUALITY_GATE_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM w GROUP BY doc_id, word
+),
+c AS (
+  SELECT doc_id, word, tf,
+         CAST(SUM(tf) OVER (PARTITION BY word) AS BIGINT) AS c
+  FROM tf
+),
+d AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         SUM(CAST(round(tf * ln(CAST(c AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS s
+  FROM c GROUP BY doc_id
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM d),
+nll AS (
+  SELECT doc_id, n_tokens,
+         ROUND(ln(tot.t) - CAST(d.s AS DOUBLE) / d.n_tokens, 6) AS avg_nll
+  FROM d, tot
+),
+ranked AS (
+  SELECT n.doc_id, docs.lang, n.n_tokens, n.avg_nll,
+         ROUND(percent_rank() OVER (PARTITION BY docs.lang
+                                    ORDER BY n.avg_nll), 6) AS pct
+  FROM nll n JOIN documents docs ON n.doc_id = docs.doc_id
+)
+SELECT doc_id, lang, n_tokens, avg_nll, pct
+FROM ranked WHERE pct <= 0.9
+"""
+
+
+@register("quality_gate", oracle=QUALITY_GATE_ORACLE,
+          tags=("text", "quality", "gate", "percentile"))
+def quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-language quality gate (the CCNet shape: score every
+    document by LM perplexity, then cut each LANGUAGE at its own
+    percentile rather than one global threshold — absolute perplexity is
+    not comparable across languages). Keeps documents at or below the
+    90th per-language percentile of unigram avg-NLL. percent_rank is
+    (rank−1)/(n−1) over exact rounded scores, so the cut decision is
+    bit-identical cross-engine; the rank window shares the language
+    exchange with nothing else — one extra narrow shuffle on top of the
+    NLL scan."""
+    from pyspark.sql import Window
+
+    from gpu_bdb_spark.functions import r6
+    from gpu_bdb_spark.operators.text import unigram_nll
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"],
+                   hint_broadcast=False)
+    nll = unigram_nll(d, "text", "doc_id")
+    scored = nll.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_nll")
+    return (
+        scored.withColumn("pct", r6(F.percent_rank().over(w)))
+        .filter(F.col("pct") <= 0.9)
+        .select("doc_id", "lang", "n_tokens", "avg_nll", "pct")
+    )

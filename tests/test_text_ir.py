@@ -46,3 +46,30 @@ def test_bm25_topk_truncates_with_deterministic_ties(spark):
     docs = [(i, "x") for i in range(1, 8)]  # identical single-term docs
     rows = _bm25(spark, docs, [(1, "x")], k=3)
     assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_quality_gate_cuts_per_language_not_globally(spark):
+    """Each language keeps its own distribution: a doc that would pass a
+    global cut still drops if it is the worst of ITS language."""
+    from pyspark.sql import Window
+
+    from gpu_bdb_spark.functions import r6
+    from gpu_bdb_spark.operators.text import unigram_nll
+
+    # lang A: 10 docs of common words + 1 gibberish; lang B: all gibberish
+    docs = [(i, "the cat sat on the mat", "A") for i in range(1, 11)]
+    docs += [(11, "zq xv qqj", "A")]
+    docs += [(20 + i, f"uniq{i} uniq{i}x woble{i}", "B") for i in range(5)]
+    d = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    nll = unigram_nll(d, "text", "doc_id").join(
+        d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_nll")
+    kept = {
+        r.doc_id
+        for r in nll.withColumn("pct", r6(F.percent_rank().over(w)))
+        .filter(F.col("pct") <= 0.9).collect()
+    }
+    assert 11 not in kept, "worst-of-lang-A must be cut"
+    assert all(i in kept for i in range(1, 11))
+    # lang B survivors are judged only against lang B
+    assert len([i for i in kept if i >= 20]) >= 4
