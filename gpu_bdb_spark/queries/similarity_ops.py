@@ -100,3 +100,45 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     return ivf_topk(e, e, k=3, n_lists=8, n_probe=3, seed=42).select(
         "query_id", "neighbor_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (float32 -> int8 codes) — vector-storage tier
+# ---------------------------------------------------------------------------
+
+QUANTIZE_ORACLE = r"""
+WITH x AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) r(i)
+),
+s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim),
+c AS (
+  SELECT x.vec_id, x.dim,
+         CAST(CASE WHEN s.mx - s.mn = 0 THEN 0
+              ELSE floor((x.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+              END AS INT) AS code
+  FROM x JOIN s USING (dim)
+)
+SELECT vec_id, array_to_string(list(code ORDER BY dim), ',') AS codes
+FROM c GROUP BY vec_id
+"""
+
+
+@register("quantize_embeddings", oracle=QUANTIZE_ORACLE,
+          tags=("similarity", "quantization", "storage"))
+def quantize_embeddings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar min/max quantization of the embedding corpus to 8-bit codes
+    (float32→uint8 = 4× less for every vector shuffle/scan to carry at
+    100 TB, with reconstruction error ≤ range/255/2 per dimension —
+    bound pinned in tests/test_similarity.py). The per-dim codebook is
+    one broadcast row; codes are chained zip_with passes, fixed double
+    evaluation order, so the integer codes are bit-identical
+    cross-engine. Serialized to a comma string for the hash compare
+    (same pattern as encode_documents)."""
+    from gpu_bdb_spark.operators.similarity import quantize_embeddings
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    q = quantize_embeddings(e, "embedding", "vec_id", bits=8)
+    return q.select(
+        "vec_id", F.array_join("codes", ",").alias("codes"))

@@ -172,3 +172,31 @@ def test_knn_graph_recall_on_clustered_data(spark):
     assert all(q != n for q, n in approx)
     n_nodes = corpus.count()
     assert len({r.query_id for r in rows}) == n_nodes  # every node present
+
+
+def test_quantize_reconstruction_error_bounded(spark, sf_dir):
+    """Dequantized vectors must sit within range/255/2 of the original
+    in EVERY dimension (the scalar-quantization guarantee the ANN
+    candidate tier depends on), and codes must span the full 0..255
+    budget at the dimension extremes."""
+    from gpu_bdb_spark.operators.similarity import (dequantize_embeddings,
+                                                    embedding_dim_stats,
+                                                    quantize_embeddings)
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    stats = embedding_dim_stats(e, "embedding")
+    q = quantize_embeddings(e, "embedding", "vec_id", bits=8)
+    deq = dequantize_embeddings(q, stats, "codes", "vec_id", bits=8)
+    joined = e.join(deq, "vec_id").select(
+        F.max(F.expr(
+            "array_max(zip_with(embedding, vec,"
+            " (a, b) -> abs(cast(a as double) - b)))")).alias("max_err"))
+    max_err = joined.collect()[0].max_err
+    row = stats.collect()[0]
+    worst_range = max(mx - mn for mn, mx in zip(row.mins, row.maxs))
+    assert max_err <= worst_range / 255.0 / 2.0 + 1e-12, max_err
+    lo, hi = q.select(
+        F.min(F.expr("array_min(codes)")).alias("lo"),
+        F.max(F.expr("array_max(codes)")).alias("hi")).collect()[0]
+    assert lo == 0 and hi == 255, (lo, hi)
