@@ -142,3 +142,76 @@ def quantize_embeddings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quantize_embeddings(e, "embedding", "vec_id", bits=8)
     return q.select(
         "vec_id", F.array_join("codes", ",").alias("codes"))
+
+
+# ---------------------------------------------------------------------------
+# k-NN classification (leave-one-out majority vote) — exact oracle
+# ---------------------------------------------------------------------------
+
+KNN_CLASSIFY_ORACLE = """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label) AS rn
+  FROM votes
+)
+SELECT b.query_id AS vec_id, b.label AS pred_label, b.n_votes,
+       e.label AS true_label
+FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+WHERE b.rn = 1
+"""
+
+
+@register("knn_classify", oracle=KNN_CLASSIFY_ORACLE,
+          tags=("similarity", "knn", "classification"))
+def knn_classify_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN classification over the embedding corpus:
+    every vector's label predicted as the majority label of its 5
+    nearest (cosine) other vectors, ties broken toward the smaller
+    label id. Exactly oracled end-to-end — neighbor sets, vote counts,
+    and the argmax all integer-deterministic on top of the
+    already-hash-verified brute-force ranking. The label side joins on
+    neighbor_id AFTER the top-k cut, so the shuffle carries N·k rows,
+    never N² (at real scale swap `brute_force_topk` for `ivf_topk`
+    candidates — same vote/argmax tail)."""
+    from pyspark.sql import Window
+
+    from gpu_bdb_spark.operators.similarity import brute_force_topk
+
+    e = read_table(spark, sf_dir, "embeddings",
+                   ["vec_id", "embedding", "label"], hint_broadcast=False)
+    vecs = e.select("vec_id", "embedding")
+    nn = brute_force_topk(vecs, vecs, k=5)
+    lab = e.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        nn.join(lab, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"),
+                                               F.asc("label"))
+    best = votes.withColumn("rn", F.row_number().over(w)) \
+                .filter(F.col("rn") == 1)
+    truth = e.select("vec_id", F.col("label").alias("true_label"))
+    return (
+        best.select(F.col("query_id").alias("vec_id"),
+                    F.col("label").alias("pred_label"), "n_votes")
+        .join(truth, "vec_id")
+    )

@@ -200,3 +200,39 @@ def test_quantize_reconstruction_error_bounded(spark, sf_dir):
         F.min(F.expr("array_min(codes)")).alias("lo"),
         F.max(F.expr("array_max(codes)")).alias("hi")).collect()[0]
     assert lo == 0 and hi == 255, (lo, hi)
+
+
+def test_knn_classify_recovers_planted_clusters(spark):
+    """On two well-separated clusters, leave-one-out 5-NN majority vote
+    must recover every label (the corpus labels are random, so the
+    oracle proves exactness and THIS proves the classifier means
+    something)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from gpu_bdb_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(30):
+        rows.append((i, (rng.randn(8) * 0.05 + 5.0).tolist(), 0))
+    for i in range(30, 60):
+        rows.append((i, (rng.randn(8) * 0.05 - 5.0).tolist(), 1))
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    nn = brute_force_topk(e.select("vec_id", "embedding"),
+                          e.select("vec_id", "embedding"), k=5)
+    votes = (
+        nn.join(e.select(F.col("vec_id").alias("neighbor_id"), "label"),
+                "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "label")
+    pred = votes.withColumn("rn", F.row_number().over(w)) \
+                .filter("rn = 1") \
+                .join(e.select(F.col("vec_id").alias("query_id"),
+                               F.col("label").alias("truth")), "query_id")
+    bad = pred.filter(F.col("label") != F.col("truth")).count()
+    assert bad == 0, f"{bad} misclassified"
