@@ -461,3 +461,40 @@ def dedup_lines_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = segment_lines(d, "text", "doc_id", seg_len=10)
     flagged = dedup_lines(lines, "doc_id", min_count=2, keep_first=True)
     return reassemble_lines(flagged, "doc_id", " ")
+
+
+@register("semantic_dedup_ivf", tags=("dedup", "embedding", "semantic",
+                                      "ivf", "scale-path"))
+def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SCALE PATH: candidate pairs come from the IVF
+    k-NN graph (each vector vs its ~k·n_probe/n_lists-bucketed
+    neighbors) instead of the exact all-pairs stage — the formulation
+    that survives a corpus where N² cosine is impossible. Edges are
+    still VERIFIED on true cosine (≥0.35) before clustering, so IVF can
+    only miss edges, never invent them: the resulting clusters are a
+    refinement of the exact ones (property pinned in test_dedup.py —
+    no false merges, ≥95% keep/drop agreement on the fixture corpus).
+    Same CC + keep/drop tail as `semantic_dedup`. Rows-only driver
+    check (k-means centroid state is engine-internal, like the other
+    IVF entries)."""
+    from gpu_bdb_spark.operators.dedup import duplicate_clusters
+    from gpu_bdb_spark.operators.similarity import ivf_topk
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    nn = ivf_topk(e, e, k=5, n_lists=8, n_probe=3, seed=42)
+    pairs = (
+        nn.filter(F.col("cosine") >= 0.35)
+        .select(F.least("query_id", "neighbor_id").alias("id_1"),
+                F.greatest("query_id", "neighbor_id").alias("id_2"))
+        .distinct()
+    )
+    labels = duplicate_clusters(pairs)
+    return e.select("vec_id").join(
+        labels.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "vec_id") == F.col("vec_id"))
+        .cast("int").alias("keep"),
+    )

@@ -241,3 +241,32 @@ def test_dedup_lines_no_keep_first_drops_all_copies(spark):
     lines = segment_lines(docs, "text", "doc_id", seg_len=10)
     flagged = dedup_lines(lines, "doc_id", min_count=2, keep_first=False)
     assert [r.keep for r in flagged.collect()] == [False, False]
+
+
+def test_semantic_dedup_ivf_refines_exact_clusters(spark, sf_dir):
+    """IVF-candidate semantic dedup may SPLIT an exact cluster (missed
+    edges) but must never MERGE vectors the exact pass kept apart —
+    edges are verified on true cosine before clustering. Agreement on
+    the keep/drop decision must also stay high."""
+    from gpu_bdb_spark.queries.registry import all_specs
+
+    exact = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in all_specs()["semantic_dedup"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in all_specs()["semantic_dedup_ivf"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(ivf)
+    # no false merges: same ivf cluster -> same exact cluster
+    from collections import defaultdict
+
+    ivf_clusters = defaultdict(list)
+    for vid, (cid, _) in ivf.items():
+        ivf_clusters[cid].append(vid)
+    for cid, members in ivf_clusters.items():
+        exact_cids = {exact[m][0] for m in members}
+        assert len(exact_cids) == 1, (cid, members, exact_cids)
+    agree = sum(exact[v][1] == ivf[v][1] for v in exact) / len(exact)
+    assert agree >= 0.95, agree
