@@ -236,3 +236,42 @@ def domain_repeat_plan(
             (base + extra).alias("n_repeats"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    cluster_map: DataFrame,
+    train_fraction: float = 0.9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contamination-safe train/eval split: every member of a
+    near-duplicate cluster lands on the SAME side, so eval can never
+    contain a near-copy of a training document (the train/test-leakage
+    failure mode of naive random splits).
+
+    `cluster_map` is (id, cluster_id) for documents that belong to a
+    near-dup cluster (e.g. `operators.dedup.duplicate_clusters` output);
+    singletons fall back to their own id as the split unit. The split
+    decision is the content-hash threshold rule shared with
+    `deterministic_sample` — in-plan, engine-portable, reproducible
+    regardless of partitioning. One LEFT join against the (small,
+    duplicate-only) cluster map, which Spark broadcasts; no shuffle of
+    the corpus itself at any fraction of corpus size.
+
+    Returns (id, split_unit, split) with split ∈ {'train', 'eval'}.
+    """
+    cm = cluster_map.select(
+        F.col("id").alias(id_col), F.col("cluster_id"))
+    unit = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (
+        df.select(id_col)
+        .join(F.broadcast(cm), id_col, "left")
+        .select(
+            F.col(id_col),
+            unit.alias("split_unit"),
+            F.when(
+                _hash_slot(unit) < F.lit(_threshold(train_fraction)),
+                F.lit("train"),
+            ).otherwise(F.lit("eval")).alias("split"),
+        )
+    )

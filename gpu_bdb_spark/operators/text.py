@@ -506,3 +506,50 @@ def bm25_scores(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    compression-ratio-style quality signal used by corpus curation
+    pipelines (low entropy ⇒ boilerplate/repetition, very high entropy
+    ⇒ binary junk or encoding noise) without needing a codec library.
+
+    Uses the telescoped form H = ln(n) − (Σ_c k_c·ln k_c)/n over the
+    per-character counts k_c (same shape as `unigram_nll`): one explode
+    into (doc, char) rows, one hash aggregate to counts, one per-doc
+    reduce. Per-class contributions are quantized to 1e-9 and summed as
+    DECIMAL so accumulation is exact and order-independent
+    (cross-engine + cross-partitioning); result rounded at the edge.
+
+    Scale: |text| exploded rows, two hash aggregates keyed by
+    (doc, char) then doc — fully codegen'd, no Python, no window. The
+    alphabet is tiny so the second aggregate's input is ≈ distinct
+    chars per doc, not |text|.
+
+    Returns (id, n_chars, entropy).
+    """
+    from gpu_bdb_spark.functions import r6
+
+    counts = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "")).alias("ch"),
+        )
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_chars"),
+        F.sum(F.round(F.col("k") * F.log(F.col("k").cast("double")), 9)
+              .cast("decimal(28,9)")).alias("_s"),
+    ).select(
+        F.col(id_col),
+        F.col("n_chars"),
+        r6(F.log(F.col("n_chars").cast("double"))
+           - F.col("_s").cast("double") / F.col("n_chars"),
+           "entropy"),
+    )

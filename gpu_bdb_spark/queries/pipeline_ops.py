@@ -453,3 +453,35 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | (F.col("o_fp") != F.col("n_fp")))
         .select("doc_id", "change")
     )
+
+
+def _leakage_split_oracle() -> str:
+    from gpu_bdb_spark.queries.dedup_ops import DEDUP_CLUSTERS_ORACLE
+
+    # threshold(0.9) on the 8-hex md5 slot (see operators/sampling.py)
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTERS_ORACLE})
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS split_unit,
+       CASE WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+                                 AS VARCHAR)), 1, 8) < 'e6666666'
+            THEN 'train' ELSE 'eval' END AS split
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+"""
+
+
+@register("leakage_safe_split", oracle=_leakage_split_oracle(),
+          tags=("pipeline", "split", "dedup", "leakage"))
+def leakage_safe_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe 90/10 train/eval split: near-duplicate clusters
+    (exact bigram-Jaccard ≥ 0.6 → connected components) are the split
+    unit, so no eval document has a near-copy in train. Exact oracle:
+    the recursive-CTE cluster closure + the same md5 threshold rule."""
+    from gpu_bdb_spark.operators.dedup import (duplicate_clusters,
+                                               jaccard_pairs, shingle_sets)
+    from gpu_bdb_spark.operators.sampling import leakage_safe_split
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
+    return leakage_safe_split(d, duplicate_clusters(pairs), 0.9)

@@ -806,3 +806,34 @@ def quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pct") <= 0.9)
         .select("doc_id", "lang", "n_tokens", "avg_nll", "pct")
     )
+
+
+CHAR_ENTROPY_ORACLE = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+k AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS k
+  FROM ch GROUP BY doc_id, ch
+)
+SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,
+       ROUND(ln(CAST(SUM(k) AS DOUBLE))
+             - CAST(SUM(CAST(round(k * ln(CAST(k AS DOUBLE)), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) / SUM(k),
+             6) AS entropy
+FROM k GROUP BY doc_id
+"""
+
+
+@register("char_entropy", oracle=CHAR_ENTROPY_ORACLE,
+          tags=("text", "quality", "entropy"))
+def char_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (compression-ratio proxy):
+    per-doc Shannon entropy in nats via the telescoped ln(n)−Σk·ln k/n
+    form — explode → two hash aggregates, contributions quantized to
+    1e-9 and DECIMAL-summed for exact cross-engine accumulation."""
+    from gpu_bdb_spark.operators.text import char_entropy
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return char_entropy(d, "text", "doc_id")
