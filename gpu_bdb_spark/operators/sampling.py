@@ -275,3 +275,63 @@ def leakage_safe_split(
             ).otherwise(F.lit("eval")).alias("split"),
         )
     )
+
+
+def farthest_point_sample(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection over an
+    embedding column — the classic diversity-sampling pass of a
+    training-data pipeline (pick k maximally-spread exemplars; the
+    greedy rule is a 2-approximation to the k-center optimum).
+
+    Seed = smallest id; each round adds the point with the LARGEST
+    current distance-to-selected-set (ties broken by smallest id). The
+    distributed state is one narrow frame (id, vec, d) holding each
+    point's min-distance so far; a round is one scan that folds in the
+    single new center (broadcast as a literal — k driver round-trips of
+    exactly one row each, which is inherent to the greedy rule, not a
+    collect() of data). Lineage is cut per round (see
+    operators/dedup._lineage_cut) so analysis cost stays O(1)/round.
+
+    Distances are euclidean, rounded to 1e-6 BEFORE the argmax
+    comparison so selection is exact cross-engine and
+    cross-partitioning. Returns (rank, id, dist): dist is the point's
+    distance to the previously-selected set at the moment it was chosen
+    (0.0 for the seed) — i.e. row k+1's dist is the coverage radius of
+    the first k centers.
+    """
+    from gpu_bdb_spark.operators.dedup import _lineage_cut
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = df.select(F.col(id_col).alias("id"), vd.alias("v"))
+
+    def dist_to(center: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in center])
+        return F.round(
+            F.sqrt(F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, x: a + x)),
+            6)
+
+    seed = pts.orderBy("id").limit(1).collect()[0]
+    picked = [(1, seed["id"], 0.0)]
+    state = _lineage_cut(
+        pts.withColumn("d", dist_to(seed["v"])), checkpoint_dir)
+    for rank in range(2, k + 1):
+        nxt = state.orderBy(F.desc("d"), F.col("id")).limit(1).collect()[0]
+        picked.append((rank, nxt["id"], float(nxt["d"])))
+        if rank < k:
+            state = _lineage_cut(
+                state.withColumn(
+                    "d", F.least(F.col("d"), dist_to(nxt["v"]))),
+                checkpoint_dir)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(r), int(i), float(d)) for r, i, d in picked],
+        "rank bigint, id bigint, dist double",
+    ).withColumnsRenamed({"id": id_col})

@@ -166,8 +166,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CLUSTERS_ORACLE = r"""
-WITH RECURSIVE t AS (
+#: Shared CTE prefix: documents → bigram shingle sets → exact-Jaccard≥0.6
+#: near-dup `pairs` (id_1 < id_2). Reused by every oracle that consumes
+#: the near-duplicate graph (clusters, PageRank centrality).
+JACCARD_PAIRS_CTES = r"""t AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
   FROM documents
@@ -188,7 +190,9 @@ pairs AS (
   JOIN sizes s1 ON id_1 = s1.doc_id JOIN sizes s2 ON id_2 = s2.doc_id
   WHERE CAST(n_inter AS DOUBLE)
         / CAST(s1.sz + s2.sz - n_inter AS DOUBLE) >= 0.6
-),
+)"""
+
+DEDUP_CLUSTERS_ORACLE = "WITH RECURSIVE " + JACCARD_PAIRS_CTES + r""",
 edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
           UNION ALL SELECT id_2, id_1 FROM pairs),
 reach(id, r) AS (
@@ -498,3 +502,41 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("cluster_id", "vec_id") == F.col("vec_id"))
         .cast("int").alias("keep"),
     )
+
+
+PAGERANK_ORACLE = "WITH RECURSIVE " + JACCARD_PAIRS_CTES + r""",
+edges AS (SELECT id_1 AS src, id_2 AS dst FROM pairs
+          UNION ALL SELECT id_2, id_1 FROM pairs),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM od),
+pr(iter, id, rank) AS (
+  SELECT 0, src, round(CAST(1 AS DOUBLE) / nn.n, 9) FROM od, nn
+  UNION ALL
+  SELECT pr.iter + 1, e.dst,
+         round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                   / ANY_VALUE(nn.n)
+               + CAST(0.85 AS DOUBLE)
+                   * CAST(SUM(CAST(round(pr.rank / od.deg, 12)
+                                   AS DECIMAL(28,12))) AS DOUBLE), 9)
+  FROM pr JOIN edges e ON pr.id = e.src JOIN od ON pr.id = od.src, nn
+  WHERE pr.iter < 6
+  GROUP BY pr.iter + 1, e.dst
+)
+SELECT id, rank FROM pr WHERE iter = 6
+"""
+
+
+@register("pagerank_neardup", oracle=PAGERANK_ORACLE,
+          tags=("graph", "pagerank", "dedup", "centrality"))
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate graph (exact bigram
+    Jaccard ≥ 0.6): 6 power-iteration rounds with decimal-quantized
+    contributions, so the iterative fixed point is bit-reproducible and
+    exactly matched by a DuckDB recursive-CTE oracle. The high-rank
+    node per component is the curation 'keeper' candidate."""
+    from gpu_bdb_spark.operators.graph import pagerank
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
+    return pagerank(pairs, iters=6, damping=0.85)

@@ -485,3 +485,44 @@ def leakage_safe_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
     return leakage_safe_split(d, duplicate_clusters(pairs), 0.9)
+
+
+def _fps_oracle(k: int) -> str:
+    """Unrolled greedy k-center: c_i = argmax of the running min-distance
+    (ties → smallest vec_id), exactly mirroring the Spark loop — every
+    distance is rounded to 1e-6 before any comparison."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM e "
+        "WHERE vec_id = (SELECT MIN(vec_id) FROM e))",
+        "d1 AS (SELECT e.vec_id, e.v, round(list_distance(e.v, c1.v), 6) "
+        "AS d FROM e, c1)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"c{i} AS (SELECT vec_id, v, d FROM d{i-1} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)")
+        if i < k:
+            ctes.append(
+                f"d{i} AS (SELECT p.vec_id, p.v, LEAST(p.d, "
+                f"round(list_distance(p.v, c{i}.v), 6)) AS d "
+                f"FROM d{i-1} p, c{i})")
+    sel = ["SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS dist FROM c1"]
+    sel += [f"SELECT CAST({i} AS BIGINT), vec_id, d FROM c{i}"
+            for i in range(2, k + 1)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sel)
+
+
+@register("diversity_sample_fps", oracle=_fps_oracle(6),
+          tags=("pipeline", "sampling", "embedding", "coreset"))
+def diversity_sample_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point-first) diversity coreset, k=6,
+    over the embedding corpus — iterative distributed argmax with the
+    running min-distance as state, verified against an unrolled exact
+    SQL oracle (distances quantized to 1e-6 before every comparison)."""
+    from gpu_bdb_spark.operators.sampling import farthest_point_sample
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    return farthest_point_sample(e, k=6)

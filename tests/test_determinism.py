@@ -40,6 +40,11 @@ QUERIES = [
     "source_overlap",
     "domain_repeat_plan",
     "corpus_diff",
+    # round-5 entries
+    "char_entropy",
+    "leakage_safe_split",
+    "diversity_sample_fps",
+    "pagerank_neardup",
 ]
 
 

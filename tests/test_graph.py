@@ -1,0 +1,135 @@
+"""Unit/property tests for the round-5 operators: PageRank, greedy
+k-center sampling, leakage-safe splitting, char entropy. The driver-grade
+oracle parity is covered by test_oracle_parity (auto-discovered); these
+pin algorithmic properties a hash can't explain."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.operators.graph import pagerank
+from gpu_bdb_spark.operators.sampling import (farthest_point_sample,
+                                              leakage_safe_split)
+from gpu_bdb_spark.operators.text import char_entropy
+
+
+def _ref_pagerank(edges, iters=6, d=0.85):
+    """Driver-side reference implementing the identical quantization."""
+    out: dict[int, list[int]] = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+        out.setdefault(b, []).append(a)
+    n = len(out)
+    rank = {v: round(1.0 / n, 9) for v in out}
+    for _ in range(iters):
+        acc = {v: 0.0 for v in out}
+        for u, nbrs in out.items():
+            c = round(rank[u] / len(nbrs), 12)
+            for v in nbrs:
+                acc[v] = round(acc[v] + c, 12)  # decimal-exact at 1e-12
+        rank = {v: round((1.0 - d) / n + d * acc[v], 9) for v in out}
+    return rank
+
+
+def test_pagerank_matches_reference_chain_plus_clique(spark):
+    # path 1-2-3 attached to a triangle 3-4-5: asymmetric degrees.
+    edges = [(1, 2), (2, 3), (3, 4), (3, 5), (4, 5)]
+    pairs = spark.createDataFrame(edges, "id_1 bigint, id_2 bigint")
+    got = {r["id"]: r["rank"] for r in pagerank(pairs, iters=6).collect()}
+    want = _ref_pagerank(edges)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    # mass conservation: no dangling loss on a symmetrized graph
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    # the chain-and-triangle hub has the top rank
+    assert max(got, key=got.get) == 3
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # a 4-cycle is 2-regular: PageRank must stay exactly uniform
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "id_1 bigint, id_2 bigint")
+    got = {r["id"]: r["rank"] for r in pagerank(pairs, iters=4).collect()}
+    assert set(got.values()) == {0.25}
+
+
+def _ref_fps(vecs, k):
+    ids = sorted(vecs)
+    sel = [ids[0]]
+    d = {i: round(math.dist(vecs[i], vecs[sel[0]]), 6) for i in ids}
+    out = [(1, sel[0], 0.0)]
+    for rank in range(2, k + 1):
+        nxt = max(ids, key=lambda i: (d[i], -i))
+        out.append((rank, nxt, d[nxt]))
+        for i in ids:
+            d[i] = min(d[i], round(math.dist(vecs[i], vecs[nxt]), 6))
+    return out
+
+
+def test_farthest_point_sample_matches_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>")
+    # float32 storage: reference must see the same float32-rounded values
+    import struct
+
+    f32 = {i: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+           for i, v in vecs.items()}
+    got = [(r["rank"], r["vec_id"], r["dist"])
+           for r in farthest_point_sample(df, k=5).collect()]
+    assert sorted(got) == _ref_fps(f32, 5)
+
+
+def test_farthest_point_selection_dists_decrease(spark, sf_dir):
+    from gpu_bdb_spark.io import read_table
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    rows = sorted(
+        (r["rank"], r["dist"])
+        for r in farthest_point_sample(e, k=5).collect())
+    dists = [d for _, d in rows[1:]]
+    # greedy k-center invariant: selection distances are non-increasing
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert dists[0] > 0.0
+
+
+def test_leakage_split_keeps_clusters_together(spark, sf_dir):
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.dedup import (duplicate_clusters,
+                                               jaccard_pairs, shingle_sets)
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
+    split = leakage_safe_split(d, duplicate_clusters(pairs), 0.9)
+    # no near-dup pair may cross the split boundary
+    s1 = split.select(F.col("doc_id").alias("id_1"),
+                      F.col("split").alias("split_1"))
+    s2 = split.select(F.col("doc_id").alias("id_2"),
+                      F.col("split").alias("split_2"))
+    crossing = (pairs.join(s1, "id_1").join(s2, "id_2")
+                .filter(F.col("split_1") != F.col("split_2")).count())
+    assert crossing == 0
+    # both sides populated and roughly 90/10
+    frac = (split.filter(F.col("split") == "train").count()
+            / split.count())
+    assert 0.8 < frac < 0.97
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd")], "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_chars"], r["entropy"])
+           for r in char_entropy(df).collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (2, round(math.log(2), 6))
+    assert got[3] == (4, round(math.log(4), 6))

@@ -32,6 +32,12 @@ QUERIES = [
     "winnow_fingerprints",
     "shard_export",
     "chunk_documents",
+    # round-5: iterative decimal accumulation (pagerank), md5-threshold
+    # split, ln-based entropy — all must be tz/ANSI-independent
+    "pagerank_neardup",
+    "leakage_safe_split",
+    "char_entropy",
+    "diversity_sample_fps",
 ]
 
 HOSTILE = {
