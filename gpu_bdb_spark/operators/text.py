@@ -553,3 +553,204 @@ def char_entropy(
            - F.col("_s").cast("double") / F.col("n_chars"),
            "entropy"),
     )
+
+
+def winnow_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """POSITIONAL winnowing with rightmost-min selection: for every
+    window of `w` consecutive k-gram hashes, select the RIGHTMOST
+    position holding the window minimum, and return the selected
+    (position, fingerprint) pairs — the positional record that
+    containment localization needs (which passage matched, not just
+    that one did).
+
+    Stateless characterization (what makes this pure window algebra —
+    no sequential scan): position p is selected iff some full window
+    s ∈ [max(0, p−w+1), min(p, m−w)] has p as its rightmost min, which
+    holds iff   max(p−L, 0, p−w+1) ≤ min(p−w+1+R, p, m−w)   where
+    L = length of the maximal run of predecessors with h ≥ h[p] and
+    R = the run of successors with h > h[p] (strict — rightmost), both
+    capped at w−1 and extended past the array ends. Ties inside a
+    window therefore go right, matching SIGMOD'03 §5's rightmost rule;
+    we deliberately drop the paper's *history* tie-break ("prefer the
+    previous window's pick"), which needs sequential state per doc and
+    only thins repeated-tie selections — the w+k−1 match guarantee is
+    identical, and this form stays codegen'd and exactly
+    SQL-oracle-able (reference parity: SIGMOD'03 winnowing, same paper
+    as `winnow_fingerprints`).
+
+    One exchange (doc id) shared by all the lag/lead windows. Returns
+    (id, pos, fingerprint).
+    """
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col),
+        ngrams(tokenize(F.lower(F.col(text_col))), k).alias("grams"),
+    ).select(
+        F.col(id_col),
+        F.size("grams").alias("_m"),
+        F.posexplode("grams").alias("pos", "gram"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    ww = Window.partitionBy(id_col).orderBy("pos")
+    cur = grams.select(F.col(id_col), "_m", "pos", h.alias("h"))
+    left_run = F.lit(0)
+    run = F.lit(True)
+    for j in range(1, w):
+        lag_j = F.lag("h", j).over(ww)
+        run = run & (lag_j.isNull() | (lag_j >= F.col("h")))
+        left_run = left_run + F.when(run, 1).otherwise(0)
+    right_run = F.lit(0)
+    run = F.lit(True)
+    for j in range(1, w):
+        lead_j = F.lead("h", j).over(ww)
+        run = run & (lead_j.isNull() | (lead_j > F.col("h")))
+        right_run = right_run + F.when(run, 1).otherwise(0)
+    lo = F.greatest(F.col("pos") - left_run, F.lit(0),
+                    F.col("pos") - F.lit(w - 1))
+    hi = F.least(F.col("pos") - F.lit(w - 1) + right_run, F.col("pos"),
+                 F.col("_m") - F.lit(w))
+    return (
+        cur.withColumn("_lo", lo).withColumn("_hi", hi)
+        .filter(F.col("_lo") <= F.col("_hi"))
+        .select(F.col(id_col), F.col("pos").cast("long").alias("pos"),
+                F.col("h").alias("fingerprint"))
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from the corpus — the
+    vocabulary-training half of a BPE tokenizer (Sennrich et al.,
+    "Neural Machine Translation of Rare Words with Subword Units",
+    ACL'16 — the classic get_stats/merge loop, distributed).
+
+    The scale insight (same as every real BPE trainer): after ONE
+    corpus scan that aggregates words to a (word, freq) table, all
+    iterations run on the VOCABULARY-sized frame, never the corpus.
+    Each round is: adjacent-pair explode weighted by freq → hash
+    aggregate → global argmax (TakeOrdered: count desc, pair asc — a
+    deterministic tie-break) → greedy left-to-right merge application
+    as an array fold, lineage-cut per round. The driver sees exactly
+    one row per round (the chosen merge), which is inherent to the
+    greedy rule.
+
+    Words are symbol arrays: characters plus a terminal '</w>' marker
+    (so word-final units tokenize distinctly, per the paper). The fold
+    that applies a merge runs on vocab rows only, so the interpreted
+    higher-order-function cost is bounded by |vocab|·n_merges, not
+    corpus size.
+
+    Returns (rank, left, right, merged, freq): rank = merge priority
+    (1 = first learned), freq = the pair's weighted count when chosen.
+    """
+    merges, _ = _bpe_train(df, n_merges, text_col, checkpoint_dir)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "rank bigint, left string, right string, merged string, freq bigint")
+
+
+def _bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str,
+    checkpoint_dir: str | None,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The get_stats/merge loop shared by `learn_bpe_merges` and
+    `bpe_encode`. Returns (merge list, final segmented vocab
+    (word, syms, freq)) — the vocab is what makes encoding scale: the
+    corpus joins against it instead of replaying merges per token."""
+    from gpu_bdb_spark.operators.dedup import _lineage_cut
+
+    end = "</w>"
+    vocab = (
+        df.select(F.explode(tokenize(F.lower(F.col(text_col))))
+                  .alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit(end)))
+            .alias("syms"),
+            "freq")
+    )
+    vocab = _lineage_cut(vocab, checkpoint_dir)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )).alias("p"),
+                "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = (pairs.orderBy(F.desc("n"), F.col("l"), F.col("r"))
+               .limit(1).collect())
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merged = l + r
+        merges.append((rank, l, r, merged, n))
+        la, lb, lm = F.lit(l), F.lit(r), F.lit(merged)
+        apply_merge = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la) & (x == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(lm)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = _lineage_cut(
+            vocab.select("word", apply_merge.alias("syms"), "freq"),
+            checkpoint_dir)
+    return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Tokenize the corpus with a BPE vocabulary learned on it (train +
+    apply in one pass structure). Encoding does NOT replay merges over
+    the corpus: the trainer's final segmented vocab (word → subword
+    array) is joined against the exploded corpus words — at 100 TB the
+    vocab is millions of rows vs the corpus's trillions of tokens, so
+    the join broadcasts (or shuffles vocab-side only) and the expensive
+    merge folds stay vocab-sized.
+
+    Returns (id, word_pos, word, tokens array<string>) — one row per
+    corpus word occurrence with its subword segmentation.
+    """
+    _, vocab = _bpe_train(df, n_merges, text_col, checkpoint_dir)
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.lower(F.col(text_col))))
+        .alias("word_pos", "word"),
+    )
+    return (
+        words.join(F.broadcast(vocab.select("word", "syms")), "word")
+        .select(F.col(id_col), F.col("word_pos").cast("long"),
+                "word", F.col("syms").alias("tokens"))
+    )

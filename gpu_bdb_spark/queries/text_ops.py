@@ -837,3 +837,84 @@ def char_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     return char_entropy(d, "text", "doc_id")
+
+
+WINNOW_POSITIONS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos, len(ws) - 2 AS mg,
+         CAST(concat('0x',
+              substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 8))
+              AS BIGINT) AS h
+  FROM t, unnest(generate_series(1, len(ws) - 2)) r(i)
+),
+runs AS (
+  SELECT doc_id, pos, mg, h,
+    CASE WHEN lag(h, 1) OVER w IS NULL OR lag(h, 1) OVER w >= h THEN
+      1 + CASE WHEN lag(h, 2) OVER w IS NULL OR lag(h, 2) OVER w >= h THEN
+        1 + CASE WHEN lag(h, 3) OVER w IS NULL OR lag(h, 3) OVER w >= h
+            THEN 1 ELSE 0 END ELSE 0 END ELSE 0 END AS l_run,
+    CASE WHEN lead(h, 1) OVER w IS NULL OR lead(h, 1) OVER w > h THEN
+      1 + CASE WHEN lead(h, 2) OVER w IS NULL OR lead(h, 2) OVER w > h THEN
+        1 + CASE WHEN lead(h, 3) OVER w IS NULL OR lead(h, 3) OVER w > h
+            THEN 1 ELSE 0 END ELSE 0 END ELSE 0 END AS r_run
+  FROM g
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, h AS fingerprint
+FROM runs
+WHERE GREATEST(pos - l_run, 0, pos - 3) <= LEAST(pos - 3 + r_run, pos, mg - 4)
+"""
+
+
+@register("winnow_positions", oracle=WINNOW_POSITIONS_ORACLE,
+          tags=("text", "winnowing", "fingerprint", "positions"))
+def winnow_positions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional winnowing (rightmost-min selection, k=3, w=4): the
+    selected (position, fingerprint) pairs that containment
+    localization consumes. Stateless window-algebra characterization of
+    the rightmost-min rule (run lengths via lag/lead) — exactly
+    mirrored by the SQL oracle."""
+    from gpu_bdb_spark.operators.text import winnow_positions
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return winnow_positions(d, "text", "doc_id", k=3, w=4)
+
+
+@register("bpe_learn_merges", tags=("text", "tokenizer", "bpe"))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training: 12 merge rounds on the corpus's
+    word-frequency table (Sennrich ACL'16, distributed — one corpus
+    scan, then vocab-sized iterations). No SQL oracle (the greedy merge
+    fold isn't SQL-expressible); exact equivalence to a sequential
+    reference implementation is pinned in tests/test_text_ir.py."""
+    from gpu_bdb_spark.operators.text import learn_bpe_merges
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return learn_bpe_merges(d, n_merges=12)
+
+
+@register("bpe_encode_docs", tags=("text", "tokenizer", "bpe"))
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization of the corpus with a 12-merge vocabulary learned
+    on it: the corpus joins the trainer's segmented vocab (word →
+    subwords) instead of replaying merges per token — the scalable
+    encode path. Rows-only for the driver (greedy merges aren't
+    SQL-expressible); the segmentation invariant (tokens reassemble the
+    word) and trainer equivalence are pinned in tests/test_text_ir.py."""
+    from gpu_bdb_spark.operators.text import bpe_encode
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    enc = bpe_encode(d, n_merges=12)
+    # flatten the typed array for the driver's row comparator
+    return enc.select(
+        "doc_id", "word_pos", "word",
+        F.concat_ws(" ", F.col("tokens")).alias("subwords"),
+        F.size("tokens").cast("long").alias("n_subwords"))

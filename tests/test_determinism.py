@@ -45,6 +45,9 @@ QUERIES = [
     "leakage_safe_split",
     "diversity_sample_fps",
     "pagerank_neardup",
+    "winnow_positions",
+    "bpe_learn_merges",
+    "bpe_encode_docs",
 ]
 
 

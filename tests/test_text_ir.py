@@ -73,3 +73,149 @@ def test_quality_gate_cuts_per_language_not_globally(spark):
     assert all(i in kept for i in range(1, 11))
     # lang B survivors are judged only against lang B
     assert len([i for i in kept if i >= 20]) >= 4
+
+
+class TestWinnowPositions:
+    """Positional rightmost-min winnowing (round 5)."""
+
+    def test_matches_sequential_reference(self, spark):
+        import hashlib
+        import random
+
+        rng = random.Random(11)
+        docs = []
+        for i in range(30):
+            # tiny alphabet → plenty of hash ties to exercise the
+            # rightmost tie-break
+            docs.append((i, " ".join(
+                rng.choice("aa bb cc dd".split())
+                for _ in range(rng.randint(1, 25)))))
+        k, w = 3, 4
+
+        def hashes(text):
+            toks = text.split()
+            grams = [" ".join(toks[j:j + k])
+                     for j in range(len(toks) - k + 1)]
+            return [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                    for g in grams]
+
+        want = set()
+        for i, text in docs:
+            h = hashes(text)
+            for s in range(0, len(h) - w + 1):
+                window = h[s:s + w]
+                m = min(window)
+                p = s + max(j for j, v in enumerate(window) if v == m)
+                want.add((i, p, h[p]))
+
+        from gpu_bdb_spark.operators.text import winnow_positions
+
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {(r["doc_id"], r["pos"], r["fingerprint"])
+               for r in winnow_positions(df, k=k, w=w).collect()}
+        assert got == want
+
+    def test_value_set_equals_standard_winnowing(self, spark, sf_dir):
+        from gpu_bdb_spark.io import read_table
+        from gpu_bdb_spark.operators.text import (winnow_fingerprints,
+                                                  winnow_positions)
+
+        d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                       hint_broadcast=False)
+        std = {(r["doc_id"], r["fingerprint"])
+               for r in winnow_fingerprints(d, k=3, w=4).collect()}
+        pos = {(r["doc_id"], r["fingerprint"])
+               for r in winnow_positions(d, k=3, w=4).collect()}
+        # every window's min VALUE is recorded by both selection rules
+        assert pos == std
+
+
+class TestLearnBpeMerges:
+    """Distributed BPE vocabulary training (round 5)."""
+
+    @staticmethod
+    def _ref_bpe(words, n_merges):
+        """Sennrich get_stats/merge loop with the operator's exact
+        tie-break (count desc, then (left, right) ascending)."""
+        from collections import Counter
+
+        freq = Counter(words)
+        vocab = {w: tuple(list(w) + ["</w>"]) for w in freq}
+        out = []
+        for rank in range(1, n_merges + 1):
+            stats = Counter()
+            for w, f in freq.items():
+                syms = vocab[w]
+                for a, b in zip(syms, syms[1:]):
+                    stats[(a, b)] += f
+            if not stats:
+                break
+            (l, r), n = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, l, r, l + r, n))
+            for w in vocab:
+                syms = vocab[w]
+                new = []
+                i = 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        new.append(l + r)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                vocab[w] = tuple(new)
+        return out
+
+    def test_matches_reference_on_documents(self, spark, sf_dir):
+        import re
+
+        import pyarrow.parquet as pq
+
+        from gpu_bdb_spark.io import read_table
+        from gpu_bdb_spark.operators.text import learn_bpe_merges
+
+        d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                       hint_broadcast=False)
+        got = [(r["rank"], r["left"], r["right"], r["merged"], r["freq"])
+               for r in learn_bpe_merges(d, n_merges=10).collect()]
+
+        texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["text"])["text"].to_pylist()
+        words = [w for t in texts
+                 for w in re.split(r"\s+", t.lower()) if w]
+        assert got == self._ref_bpe(words, 10)
+
+    def test_greedy_overlap_handling(self, spark):
+        # "aaaa" merges to two "aa" units in one round, not three
+        from gpu_bdb_spark.operators.text import learn_bpe_merges
+
+        df = spark.createDataFrame([(1, "aaaa aaaa")],
+                                   "doc_id bigint, text string")
+        merges = learn_bpe_merges(df, n_merges=2).collect()
+        # greedy application: (a,a) counts 3 overlapping positions ×
+        # freq 2 = 6, but merging yields [aa, aa, </w>] — two units
+        assert (merges[0]["left"], merges[0]["right"], merges[0]["freq"]) \
+            == ("a", "a", 6)
+        # round 2: (aa,aa) and (aa,</w>) tie at 2; the ascending
+        # lexicographic tie-break picks (aa, </w>) since '<' < 'a'
+        assert (merges[1]["left"], merges[1]["right"]) == ("aa", "</w>")
+
+    def test_encode_reassembles_words(self, spark, sf_dir):
+        from gpu_bdb_spark.io import read_table
+        from gpu_bdb_spark.operators.text import bpe_encode
+        from pyspark.sql import functions as F
+
+        d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                       hint_broadcast=False)
+        enc = bpe_encode(d, n_merges=8)
+        bad = enc.filter(
+            F.concat_ws("", F.col("tokens"))
+            != F.concat(F.col("word"), F.lit("</w>"))).count()
+        assert bad == 0
+        # every corpus word occurrence is segmented (join loses none)
+        n_words = d.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        ).filter(F.col("w") != "").count()
+        assert enc.count() == n_words
