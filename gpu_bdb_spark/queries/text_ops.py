@@ -918,3 +918,55 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "word_pos", "word",
         F.concat_ws(" ", F.col("tokens")).alias("subwords"),
         F.size("tokens").cast("long").alias("n_subwords"))
+
+
+BIGRAM_LM_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(ws) - 1)) r(i)
+),
+pc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM bg GROUP BY w1, w2
+)
+SELECT w1, w2, n_pair,
+       ROUND(CAST(n_pair AS DOUBLE)
+             / CAST(SUM(n_pair) OVER (PARTITION BY w1) AS DOUBLE), 6) AS p
+FROM pc
+"""
+
+
+@register("bigram_lm", oracle=BIGRAM_LM_ORACLE,
+          tags=("text", "lm", "ngram"))
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model training (MLE conditional probabilities
+    P(w2|w1)): one text scan → pair hash aggregate → context total as a
+    window sum on the SAME w1 key. Exact integer counts; the only
+    float is one division, rounded at the edge. The KenLM-style count
+    step of an n-gram LM pipeline, distributed."""
+    from pyspark.sql import Window
+
+    from gpu_bdb_spark.functions import r6
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    toks = tokenize(F.lower(F.col("text")))
+    pairs = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )).alias("bg"))
+    pc = (pairs.groupBy("bg.w1", "bg.w2")
+          .agg(F.count(F.lit(1)).alias("n_pair")))
+    return pc.select(
+        "w1", "w2", "n_pair",
+        r6(F.col("n_pair").cast("double")
+           / F.sum("n_pair").over(Window.partitionBy("w1"))
+           .cast("double"), "p"))

@@ -48,6 +48,7 @@ QUERIES = [
     "winnow_positions",
     "bpe_learn_merges",
     "bpe_encode_docs",
+    "bigram_lm",
 ]
 
 

@@ -183,3 +183,46 @@ def test_bm25_broadcasts_queries_and_partial_topk(spark, sf_dir):
     plan = formatted_plan(all_specs()["bm25_topk"].fn(spark, sf_dir))
     assert has_broadcast_join(plan), plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_winnow_positions_single_exchange_single_window(spark, sf_dir):
+    import re
+
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.text import winnow_positions
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    plan = formatted_plan(winnow_positions(d))
+    # all 6 lag/lead frames + run algebra share ONE (doc_id, pos) sort
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_char_entropy_partial_aggregates(spark, sf_dir):
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.text import char_entropy
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    plan = formatted_plan(char_entropy(d))
+    assert has_partial_aggregate(plan), plan
+    # text column pruned away after the explode: scan reads 2 columns
+    schemas = scan_read_schemas(plan)
+    assert schemas and "text" in schemas[0] and "source" not in schemas[0]
+
+
+def test_leakage_split_broadcasts_cluster_map(spark, sf_dir):
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.dedup import (duplicate_clusters,
+                                               jaccard_pairs, shingle_sets)
+    from gpu_bdb_spark.operators.sampling import leakage_safe_split
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
+    plan = formatted_plan(
+        leakage_safe_split(d, duplicate_clusters(pairs), 0.9))
+    # the duplicate-only cluster map rides a broadcast: the corpus side
+    # is never shuffled by the split itself
+    assert has_broadcast_join(plan), plan
