@@ -639,3 +639,42 @@ def reassemble_lines(
         F.sum(F.col("keep").cast("long")).alias("n_lines_kept"),
         F.sum((~F.col("keep")).cast("long")).alias("n_lines_dropped"),
     )
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    n: int = 2,
+) -> DataFrame:
+    """MinHash signatures computed with an ENGINE-PORTABLE hash family
+    (md5 truncated to 32 bits, seeded by the hash index) — the
+    cross-engine-verifiable twin of `minhash_signatures`.
+
+    The production tier keeps xxhash64 (JVM-native, ~an order of
+    magnitude cheaper than md5); this variant exists so the MinHash
+    *construction* itself — shingle → seeded hash → per-doc min — has
+    an exact DuckDB oracle rather than only behavioral recall tests.
+    Same layout as the fast tier: one explode of distinct shingles, ONE
+    hash aggregate computing all `num_hashes` mins map-side (no
+    num_hashes× row blowup).
+
+    Returns (id, sig_0 … sig_{num_hashes-1}) as 32-bit min-hashes.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(ngrams(tokenize(text_col), n)))
+            .alias("shingle"),
+        )
+    )
+
+    def h(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 8),
+            16, 10).cast("long")
+
+    return sh.groupBy("id").agg(
+        *[F.min(h(i)).alias(f"sig_{i}") for i in range(num_hashes)])

@@ -540,3 +540,36 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
     return pagerank(pairs, iters=6, damping=0.85)
+
+
+def _minhash_portable_oracle(num_hashes: int = 8) -> str:
+    mins = ",\n       ".join(
+        "MIN(CAST(concat('0x', substr(md5('{i}:' || shingle), 1, 8)) "
+        "AS BIGINT)) AS sig_{i}".format(i=i) for i in range(num_hashes))
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t
+),
+sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+       FROM idx)
+SELECT doc_id AS id,
+       """ + mins + "\nFROM sh GROUP BY doc_id"
+
+
+@register("minhash_portable", oracle=_minhash_portable_oracle(8),
+          tags=("dedup", "minhash", "portable"))
+def minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with a portable md5 hash family — the
+    exactly-oracle-verified twin of the xxhash64 production tier: same
+    explode → single hash-aggregate layout, every per-seed minimum
+    hash-matched against DuckDB."""
+    from gpu_bdb_spark.operators.dedup import minhash_signatures_portable
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return minhash_signatures_portable(d, "text", "doc_id", num_hashes=8)

@@ -526,3 +526,51 @@ def diversity_sample_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
                    hint_broadcast=False)
     return farthest_point_sample(e, k=6)
+
+
+SHARD_ROUNDTRIP_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(concat('0x',
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+       CAST(row_number()
+            OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT)
+       AS position
+FROM t
+"""
+
+
+@register("shard_roundtrip_pyds", oracle=SHARD_ROUNDTRIP_ORACLE,
+          tags=("pipeline", "sources", "python-datasource"))
+def shard_roundtrip_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end sharded-export round trip through the CUSTOM PYTHON
+    DATA SOURCE (Spark 4 pyspark.sql.datasource API): write the corpus
+    with the ordered sink, read it back via format('sharded_corpus')
+    (one InputPartition per shard, Arrow-batch streaming), and emit
+    positions derived from the READ ORDER — the exact oracle match
+    therefore proves both the sink's deterministic order and the
+    source's order-preserving scan."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gpu_bdb_spark.sources import write_sharded_corpus
+    from gpu_bdb_spark.sources.corpus_source import \
+        sharded_corpus_datasource
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id"],
+                   hint_broadcast=False)
+    out = os.path.join(tempfile.gettempdir(), "gpu_bdb_spark_roundtrip",
+                       os.path.basename(sf_dir.rstrip("/")))
+    write_sharded_corpus(d, out, "doc_id", n_shards=8)
+    spark.dataSource.register(sharded_corpus_datasource())
+    r = (spark.read.format("sharded_corpus").load(out)
+         .withColumn("_mid", F.monotonically_increasing_id()))
+    w = Window.partitionBy("shard").orderBy("_mid")
+    return r.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("long").alias("position"))

@@ -36,6 +36,10 @@ TUNED_CONF: dict[str, str] = {
     # Arrow transfer for the few pandas-UDF operators (NER stub, multimodal).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # Custom Python Data Sources (sources/corpus_source.py) implement
+    # pushFilters(); Spark 4 refuses a reader with that method unless
+    # pushdown is explicitly enabled.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Classic (non-ANSI) SQL semantics: the reference computes in permissive
     # float64 (x/0 → inf/NaN scrubbed explicitly, q20:30-43); ANSI aborts
     # whole 100 TB jobs on a single bad row.
@@ -99,6 +103,7 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.python.filterPushdown.enabled",
     ):
         spark.conf.set(key, TUNED_CONF[key])
     return spark

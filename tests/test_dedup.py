@@ -270,3 +270,23 @@ def test_semantic_dedup_ivf_refines_exact_clusters(spark, sf_dir):
         assert len(exact_cids) == 1, (cid, members, exact_cids)
     agree = sum(exact[v][1] == ivf[v][1] for v in exact) / len(exact)
     assert agree >= 0.95, agree
+
+
+def test_minhash_portable_estimates_jaccard(spark):
+    """Planted near-dup: signature agreement rate ≈ exact Jaccard (the
+    MinHash property, with the portable md5 family)."""
+    from gpu_bdb_spark.operators.dedup import minhash_signatures_portable
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(55)) + " x1 x2 x3 x4 x5"
+    other = " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id bigint, text string")
+    sigs = {r["id"]: [r[f"sig_{i}"] for i in range(32)]
+            for r in minhash_signatures_portable(
+                df, num_hashes=32).collect()}
+    agree_12 = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 32
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 32
+    # exact bigram jaccard(1,2) ≈ 54/64 ≈ 0.84; jaccard(1,3) = 0
+    assert agree_12 > 0.5
+    assert agree_13 == 0.0

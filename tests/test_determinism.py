@@ -49,6 +49,8 @@ QUERIES = [
     "bpe_learn_merges",
     "bpe_encode_docs",
     "bigram_lm",
+    "minhash_portable",
+    "shard_roundtrip_pyds",
 ]
 
 
