@@ -574,3 +574,62 @@ def shard_roundtrip_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "doc_id", "shard",
         F.row_number().over(w).cast("long").alias("position"))
+
+
+CORPUS_HEALTH_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+             '', 'g'), ' +', ' ', 'g'))) AS fp,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(n_tokens AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_tokens,
+       CAST(SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short,
+       CAST(SUM(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty
+FROM t
+"""
+
+
+@register("corpus_health", oracle=CORPUS_HEALTH_ORACLE,
+          tags=("pipeline", "profiling", "stats"))
+def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan corpus health report (the dataset-card summary a
+    curation run starts and ends with): doc/lang/source cardinalities,
+    exact-duplicate count via the portable content fingerprint, token
+    totals and short/empty-document counts — a single global aggregate,
+    decimal-exact average."""
+    from gpu_bdb_spark.functions import r6, tokenize
+    from gpu_bdb_spark.operators.text import fingerprint
+
+    d = read_table(spark, sf_dir, "documents",
+                   ["doc_id", "lang", "source", "text"],
+                   hint_broadcast=False)
+    toks = F.size(tokenize(F.col("text"))).alias("n_tokens")
+    t = d.select("lang", "source", fingerprint(F.col("text")).alias("fp"),
+                 toks)
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("fp").cast("long").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long")
+        .alias("n_exact_dups"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        r6(F.sum(F.col("n_tokens").cast("decimal(28,6)")).cast("double")
+           / F.count(F.lit(1)), "avg_tokens"),
+        F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0)).cast("long")
+        .alias("n_short"),
+        F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_empty"),
+    )

@@ -87,6 +87,73 @@ def sharded_corpus_datasource():
                                 batch.column(file_cols.index(n)))
                     yield pa.RecordBatch.from_arrays(arrays, names=names)
 
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class _StreamReader(SimpleDataSourceStreamReader):
+        """Ingest-as-shards-land streaming: the offset is the number of
+        shard directories consumed; each micro-batch carries the whole
+        newly-arrived shards, in shard order, rows in file order —
+        exactly-once via deterministic replay (`readBetweenOffsets`).
+
+        The Simple reader API executes on the driver (Spark's
+        prototyping tier for low-throughput sources); the scale path
+        for a 100 TB backfill is the batch source (partition-per-shard)
+        driven by foreachBatch — this streamer is for the tail-ingest
+        of a live export, where a micro-batch is one shard.
+        """
+
+        def __init__(self, schema, options):
+            self._schema = schema
+            self._path = options.get("path")
+
+        def initialOffset(self):
+            return {"shards_done": 0}
+
+        def _shard_dirs(self):
+            import glob
+            import os
+
+            return sorted(
+                glob.glob(os.path.join(self._path, "shard=*")),
+                key=lambda d: int(d.rsplit("=", 1)[1]))
+
+        def _rows_for(self, dirs):
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            names = self._schema.fieldNames()
+            file_cols = [n for n in names if n != "shard"]
+            for d in dirs:
+                k = int(d.rsplit("=", 1)[1])
+                for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                    tbl = pq.read_table(f, columns=file_cols)
+                    cols = [
+                        [k] * tbl.num_rows if n == "shard"
+                        else tbl.column(n).to_pylist() for n in names]
+                    yield from zip(*cols)
+
+        def read(self, start):
+            # Spark pickles the returned rows into its prefetch cache:
+            # materialize (a micro-batch is a handful of shards)
+            dirs = self._shard_dirs()
+            done = start["shards_done"]
+            new = [d for d in dirs
+                   if int(d.rsplit("=", 1)[1]) >= done]
+            end = {"shards_done": (max((int(d.rsplit("=", 1)[1])
+                                        for d in dirs), default=-1) + 1)}
+            return list(self._rows_for(new)), end
+
+        def readBetweenOffsets(self, start, end):
+            lo, hi = start["shards_done"], end["shards_done"]
+            dirs = [d for d in self._shard_dirs()
+                    if lo <= int(d.rsplit("=", 1)[1]) < hi]
+            return list(self._rows_for(dirs))
+
+        def commit(self, end):
+            pass
+
     class ShardedCorpusDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -110,5 +177,8 @@ def sharded_corpus_datasource():
 
         def reader(self, schema):
             return _Reader(schema, self.options)
+
+        def simpleStreamReader(self, schema):
+            return _StreamReader(schema, self.options)
 
     return ShardedCorpusDataSource

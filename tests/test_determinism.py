@@ -51,6 +51,7 @@ QUERIES = [
     "bigram_lm",
     "minhash_portable",
     "shard_roundtrip_pyds",
+    "corpus_health",
 ]
 
 

@@ -403,3 +403,55 @@ def test_streaming_incremental_dedup_matches_batch(
     expect = {(r.doc_id, r.fp)
               for r in dedup_against_known(batch, known).collect()}
     assert set(collected) == expect and len(collected) > 0
+
+
+def test_sharded_corpus_stream_ingest_exactly_once(spark, sf_dir, tmp_path):
+    """Custom Python streaming source (sharded_corpus): shards landing
+    between two availableNow runs arrive exactly once (offset =
+    shards-consumed, recovered from the checkpoint), and the union of
+    micro-batches equals the batch read."""
+    import os
+    import shutil
+
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.sources import write_sharded_corpus
+    from gpu_bdb_spark.sources.corpus_source import \
+        sharded_corpus_datasource
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id"],
+                   hint_broadcast=False)
+    full = str(tmp_path / "full")
+    write_sharded_corpus(d, full, "doc_id", n_shards=8)
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(sharded_corpus_datasource())
+    got: list[tuple] = []
+
+    def sink(df, _epoch):
+        got.extend((r["doc_id"], r["shard"], r["position"])
+                   for r in df.collect())
+
+    def run_once():
+        q = (spark.readStream.format("sharded_corpus").load(stage)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    for k in range(4):
+        shutil.copytree(os.path.join(full, f"shard={k}"),
+                        os.path.join(stage, f"shard={k}"))
+    run_once()
+    assert sorted({s for _, s, _ in got}) == [0, 1, 2, 3]
+    n_phase1 = len(got)
+    assert n_phase1 > 0
+    for k in range(4, 8):
+        shutil.copytree(os.path.join(full, f"shard={k}"),
+                        os.path.join(stage, f"shard={k}"))
+    run_once()
+    batch = {(r["doc_id"], r["shard"], r["position"])
+             for r in spark.read.format("sharded_corpus").load(stage)
+             .collect()}
+    assert len(got) == len(set(got)), "duplicate delivery"
+    assert set(got) == batch
