@@ -504,3 +504,53 @@ def dequantize_embeddings(
         codes_df.crossJoin(F.broadcast(stats))
         .select(F.col(id_col), vec.alias("vec"))
     )
+
+
+def signed_random_projection(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction by SEEDED signed
+    random projection: proj_j(v) = Σ_d s(j,d)·v_d with s(j,d) ∈ {−1,+1}
+    derived from a portable md5 hash of (j,d) — deterministic across
+    runs, engines, and cluster shapes (no RNG state to ship).
+
+    Shape: ONE posexplode of the vector column → broadcast join against
+    the k·dim sign table (generated in-plan from spark.range, never
+    collected) → (id, j) hash aggregate. This is the codegen'd
+    explode+aggregate layout SCALE.md prefers over per-j interpreted
+    HOF folds. Per-term products are quantized to 1e-9 and summed as
+    DECIMAL, so the reduced vectors are exact and order-independent —
+    hash-oracle-able cross-engine.
+
+    Returns (id, j, proj): k rows per input vector.
+    """
+    sign = (1 - 2 * F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("j"), F.col("d"))), 1, 8),
+            16, 10).cast("long"),
+        F.lit(2))).cast("double")
+    spark = df.sparkSession
+    planes = (
+        spark.range(k * dim)
+        .select((F.col("id") / dim).cast("long").alias("j"),
+                F.pmod(F.col("id"), F.lit(dim)).alias("d"))
+        .withColumn("s", sign)
+    )
+    comps = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")))
+        .alias("d", "v"),
+    )
+    return (
+        comps.join(F.broadcast(planes), "d")
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.round(F.col("s") * F.col("v"), 9)
+                   .cast("decimal(28,9)")).alias("_s"))
+        .select(F.col(id_col), F.col("j"),
+                F.col("_s").cast("double").alias("proj"))
+    )

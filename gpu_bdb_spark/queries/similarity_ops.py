@@ -215,3 +215,37 @@ def knn_classify_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label").alias("pred_label"), "n_votes")
         .join(truth, "vec_id")
     )
+
+
+SRP_ORACLE = """
+WITH planes AS (
+  SELECT CAST(j AS BIGINT) AS j, CAST(d AS BIGINT) AS d,
+         CAST(1 - 2 * (CAST(concat('0x',
+              substr(md5(j || ':' || d), 1, 8)) AS BIGINT) % 2) AS DOUBLE)
+           AS s
+  FROM generate_series(0, 7) t1(j), generate_series(0, 63) t2(d)
+),
+comps AS (
+  SELECT vec_id, d - 1 AS d, CAST(embedding[d] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) r(d)
+)
+SELECT c.vec_id, p.j,
+       CAST(SUM(CAST(round(p.s * c.v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         AS proj
+FROM comps c JOIN planes p USING (d)
+GROUP BY c.vec_id, p.j
+"""
+
+
+@register("project_embeddings_srp", oracle=SRP_ORACLE,
+          tags=("similarity", "embedding", "projection", "jl"))
+def project_embeddings_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded signed-random-projection (JL) reduction of the embedding
+    corpus to k=8 components: explode → broadcast sign-table join →
+    decimal-quantized hash aggregate; exact cross-engine (the sign table
+    derives from portable md5, the sums from quantized decimals)."""
+    from gpu_bdb_spark.operators.similarity import signed_random_projection
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    return signed_random_projection(e, k=8)

@@ -52,6 +52,7 @@ QUERIES = [
     "minhash_portable",
     "shard_roundtrip_pyds",
     "corpus_health",
+    "project_embeddings_srp",
 ]
 
 

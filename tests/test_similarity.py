@@ -236,3 +236,30 @@ def test_knn_classify_recovers_planted_clusters(spark):
                                F.col("label").alias("truth")), "query_id")
     bad = pred.filter(F.col("label") != F.col("truth")).count()
     assert bad == 0, f"{bad} misclassified"
+
+
+def test_signed_random_projection_jl_properties(spark):
+    """Seeded SRP: deterministic per (j,d); duplicate vectors collapse
+    to identical projections; and over many planes the projected dot
+    product estimates the original (JL in expectation)."""
+    import random
+
+    from gpu_bdb_spark.operators.similarity import signed_random_projection
+
+    rng = random.Random(3)
+    v1 = [rng.uniform(-1, 1) for _ in range(64)]
+    v2 = list(v1)                      # exact duplicate
+    v3 = [-x for x in v1]              # antipode
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3)], "vec_id bigint, embedding array<float>")
+    proj = signed_random_projection(df, k=64)
+    rows = {(r["vec_id"], r["j"]): r["proj"] for r in proj.collect()}
+    assert all(rows[(1, j)] == rows[(2, j)] for j in range(64))
+    assert all(rows[(1, j)] == -rows[(3, j)] for j in range(64))
+    # JL: (1/k)·Σ_j proj_j(u)·proj_j(w) estimates ⟨u,w⟩; with u=w the
+    # estimate of ||u||² should land within ±50% at k=64
+    import struct
+    f32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v1]
+    true_sq = sum(x * x for x in f32)
+    est = sum(rows[(1, j)] ** 2 for j in range(64)) / 64
+    assert 0.5 * true_sq < est < 1.5 * true_sq
