@@ -754,3 +754,67 @@ def bpe_encode(
         .select(F.col(id_col), F.col("word_pos").cast("long"),
                 "word", F.col("syms").alias("tokens"))
     )
+
+
+def winnow_positions_robust(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """TRUE robust winnowing (SIGMOD'03 §5, including the HISTORY
+    tie-break: on a tied window minimum, keep the previously selected
+    fingerprint when it is still in the window, recording nothing new) —
+    this thins selections under repetitive text beyond the stateless
+    rightmost-min rule of `winnow_positions`.
+
+    The history rule is inherently sequential per document, so this is
+    the applyInPandas seam: gram hashing stays codegen'd column work
+    (same portable md5-derived hash as every winnowing operator), then
+    one grouped pass runs the linear scan per document — embarrassingly
+    parallel across documents, O(|doc|·w) each, no cross-doc state. At
+    100 TB the group key (doc) is fine-grained, so the single shuffle
+    spreads evenly.
+
+    Invariants (pinned in tests/test_text_ir.py): selections ⊆ the
+    stateless rightmost-min set; every full window contains ≥1
+    selection; selection count ≤ the stateless rule's count.
+
+    Returns (id, pos, fingerprint).
+    """
+    grams = df.select(
+        F.col(id_col),
+        ngrams(tokenize(F.lower(F.col(text_col))), k).alias("grams"),
+    ).select(
+        F.col(id_col),
+        F.posexplode("grams").alias("pos", "gram"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    hashed = grams.select(F.col(id_col), "pos", h.alias("h"))
+    window = w  # capture plain ints; the closure must be self-contained
+
+    def scan(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("pos")
+        hs = pdf["h"].tolist()
+        doc = pdf.iloc[0, 0]
+        out = []
+        prev = -1  # index of the currently selected fingerprint
+        for s in range(0, len(hs) - window + 1):
+            win = hs[s:s + window]
+            m = min(win)
+            if prev >= s and hs[prev] == m:
+                continue  # history tie-break: keep the previous pick
+            p = s + max(i for i, v in enumerate(win) if v == m)
+            if p != prev:
+                out.append((doc, p, hs[p]))
+                prev = p
+        return pd.DataFrame(out, columns=["id", "pos", "fingerprint"])
+
+    return (
+        hashed.groupBy(id_col)
+        .applyInPandas(scan, "id long, pos long, fingerprint long")
+        .withColumnsRenamed({"id": id_col})
+    )

@@ -970,3 +970,18 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("n_pair").cast("double")
            / F.sum("n_pair").over(Window.partitionBy("w1"))
            .cast("double"), "p"))
+
+
+@register("winnow_positions_robust", tags=("text", "winnowing", "robust"))
+def winnow_positions_robust_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TRUE robust winnowing (SIGMOD'03 history tie-break) — the
+    sequential per-document rule via applyInPandas (gram hashing stays
+    codegen'd). Not SQL-expressible (stateful scan), so rows-only for
+    the driver; subset/coverage/thinning invariants vs the oracled
+    stateless rule are pinned in tests/test_text_ir.py."""
+    from gpu_bdb_spark.operators.text import winnow_positions_robust
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return winnow_positions_robust(d, "text", "doc_id", k=3, w=4)

@@ -53,6 +53,7 @@ QUERIES = [
     "shard_roundtrip_pyds",
     "corpus_health",
     "project_embeddings_srp",
+    "winnow_positions_robust",
 ]
 
 

@@ -219,3 +219,51 @@ class TestLearnBpeMerges:
             F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
         ).filter(F.col("w") != "").count()
         assert enc.count() == n_words
+
+
+class TestRobustWinnowing:
+    """True robust winnowing (history tie-break) vs the stateless rule."""
+
+    def test_subset_coverage_and_density(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from gpu_bdb_spark.io import read_table
+        from gpu_bdb_spark.operators.text import (winnow_positions,
+                                                  winnow_positions_robust)
+
+        d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                       hint_broadcast=False)
+        strict = {(r["doc_id"], r["pos"], r["fingerprint"])
+                  for r in winnow_positions(d, k=3, w=4).collect()}
+        robust = {(r["doc_id"], r["pos"], r["fingerprint"])
+                  for r in winnow_positions_robust(d, k=3, w=4).collect()}
+        assert robust, "no selections"
+        # every robust selection was the rightmost min of its window
+        assert robust <= strict
+        # coverage guarantee: every full window contains a selection
+        toks = d.select(
+            "doc_id",
+            F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                            lambda t: t != "")).alias("n")).collect()
+        sel_by_doc = {}
+        for i, p, _ in robust:
+            sel_by_doc.setdefault(i, set()).add(p)
+        for row in toks:
+            m = row["n"] - 2      # grams for k=3
+            if m < 4:
+                continue
+            ps = sel_by_doc.get(row["doc_id"], set())
+            for s in range(0, m - 3):
+                assert any(s <= p <= s + 3 for p in ps), \
+                    f"uncovered window {s} in doc {row['doc_id']}"
+
+    def test_history_rule_thins_ties(self, spark):
+        from gpu_bdb_spark.operators.text import (winnow_positions,
+                                                  winnow_positions_robust)
+
+        # heavy repetition → many tied minima → history rule records less
+        df = spark.createDataFrame(
+            [(1, " ".join(["a b c"] * 20))], "doc_id bigint, text string")
+        n_strict = winnow_positions(df, k=3, w=4).count()
+        n_robust = winnow_positions_robust(df, k=3, w=4).count()
+        assert n_robust < n_strict
