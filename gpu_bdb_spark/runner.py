@@ -85,6 +85,67 @@ def timings_json(timings: dict[int, QueryTiming]) -> str:
         {f"q{n:02d}": t.best for n, t in sorted(timings.items())})
 
 
+def run_throughput(
+    spark: SparkSession,
+    data_dir: str | None = None,
+    frames: dict[str, DataFrame] | None = None,
+    queries: list[int] | None = None,
+    n_streams: int = 2,
+    params: dict[int, dict] | None = None,
+) -> dict:
+    """TPCx-BB THROUGHPUT phase: `n_streams` concurrent query streams
+    over one SparkSession, stream i running the query list rotated by i
+    (the spec's permutation idea — streams never hit the same query
+    simultaneously). The reference benchmark runner is power-phase only
+    (serial, benchmark_runner.py); the spec's throughput test is what a
+    multi-tenant 100 TB cluster actually experiences, and Spark's
+    scheduler handles it natively: each stream runs in its own FAIR
+    pool so a long scan in one stream doesn't starve the others.
+
+    Returns {"wall_s", "n_streams", "per_stream": {stream: {qNN: s}}}.
+    Throughput metric = n_streams · |queries| / wall_s (queries/sec).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if queries is None:
+        queries = list(range(1, 31))
+    params = params or {}
+    tables = Tables(spark, data_dir=data_dir, frames=frames)
+    # scheduler.mode is a STATIC conf — honored when the session was
+    # built by session.get_spark (TUNED_CONF sets FAIR); on an external
+    # FIFO session the pools are inert and streams still interleave at
+    # the task level.
+
+    def run_stream(i: int) -> dict[str, float]:
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"stream-{i}")
+        order = queries[i % len(queries):] + queries[: i % len(queries)]
+        out = {}
+        for n in order:
+            t0 = time.perf_counter()
+            result = tpcxbb_query(n)(spark, tables, **params.get(n, {}))
+            if isinstance(result, dict):
+                for v in result.values():
+                    if isinstance(v, DataFrame):
+                        v.count()
+            else:
+                result.write.format("noop").mode("overwrite").save()
+            out[f"q{n:02d}"] = round(time.perf_counter() - t0, 3)
+        sc.setLocalProperty("spark.scheduler.pool", None)
+        return out
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=n_streams) as ex:
+        per_stream = list(ex.map(run_stream, range(n_streams)))
+    wall = round(time.perf_counter() - t0, 3)
+    return {
+        "wall_s": wall,
+        "n_streams": n_streams,
+        "queries_per_sec": round(n_streams * len(queries) / wall, 4),
+        "per_stream": {i: t for i, t in enumerate(per_stream)},
+    }
+
+
 def _main() -> None:
     """CLI: run TPCx-BB queries against a parquet data_dir.
 
@@ -103,13 +164,22 @@ def _main() -> None:
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--output-dir", default=None,
                     help="write qNN-results.parquet per query")
+    ap.add_argument("--streams", type=int, default=0,
+                    help="run the TPCx-BB throughput phase with N "
+                         "concurrent streams instead of the serial "
+                         "power phase")
     args = ap.parse_args()
 
     spark = get_spark(app_name="gpu_bdb_spark-runner")
-    timings = run_benchmark(
-        spark, data_dir=args.data_dir, queries=args.queries,
-        repeats=args.repeats, output_dir=args.output_dir)
-    print(timings_json(timings))
+    if args.streams > 0:
+        print(json.dumps(run_throughput(
+            spark, data_dir=args.data_dir, queries=args.queries,
+            n_streams=args.streams)))
+    else:
+        timings = run_benchmark(
+            spark, data_dir=args.data_dir, queries=args.queries,
+            repeats=args.repeats, output_dir=args.output_dir)
+        print(timings_json(timings))
 
 
 if __name__ == "__main__":

