@@ -319,3 +319,50 @@ def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(dec("l_extendedprice")).cast("double"), 2)
         .alias("price_sum"),
     )
+
+
+QUANTILE_BINS_ORACLE = """
+WITH b AS (
+  SELECT l_extendedprice,
+         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                         l_linenumber) AS bin
+  FROM lineitem
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS hi,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE),
+             2) AS price_sum
+FROM b GROUP BY bin
+"""
+
+
+@register("quantile_bins", oracle=QUANTILE_BINS_ORACLE,
+          tags=("binning", "ntile", "stats"))
+def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-FREQUENCY binning (deciles) of lineitem prices via ntile —
+    the quantile-bucket companion to `histogram_prices`' equal-width
+    bins. The tie-break suffix (orderkey, linenumber) makes the decile
+    assignment total-order deterministic, so counts AND decimal bin
+    sums are exact cross-engine. The global sort is the inherent cost
+    of exact quantile binning; the approximate path at 100 TB is
+    approx_percentile cuts + a broadcast range join."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "lineitem",
+                   ["l_extendedprice", "l_orderkey", "l_linenumber"],
+                   hint_broadcast=False)
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        d.withColumn("bin", F.ntile(10).over(w))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min("l_extendedprice").cast("double").alias("lo"),
+             F.max("l_extendedprice").cast("double").alias("hi"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           .cast("decimal(18,4)")).cast("double"), 2)
+             .alias("price_sum"))
+        .select(F.col("bin").cast("int").alias("bin"), "n", "lo", "hi",
+                "price_sum")
+    )

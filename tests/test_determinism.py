@@ -54,6 +54,7 @@ QUERIES = [
     "corpus_health",
     "project_embeddings_srp",
     "winnow_positions_robust",
+    "quantile_bins",
 ]
 
 

@@ -38,6 +38,11 @@ QUERIES = [
     "leakage_safe_split",
     "char_entropy",
     "diversity_sample_fps",
+    "bigram_lm",
+    "minhash_portable",
+    "project_embeddings_srp",
+    "corpus_health",
+    "winnow_positions",
 ]
 
 HOSTILE = {
