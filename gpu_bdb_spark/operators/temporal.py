@@ -380,3 +380,68 @@ def hypertable_rollup(
     for t in tagged[1:]:
         out = out.unionByName(t)
     return out
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_s: int = 3600,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward —
+    the continuous-time companion to `hypertable_rollup` (TimescaleDB's
+    time_bucket_gapfill + locf, as a composition of native ops).
+
+    Per key: bucket events into `step_s`-wide integer buckets (exact
+    integer division on epoch micros), keep each bucket's LAST value
+    (max (ts, tiebreak) — deterministic under ties), generate the dense
+    bucket spine [min_bucket, max_bucket] per key, and carry the last
+    non-null value forward across empty buckets. Buckets before a
+    key's first observation stay null (nothing to carry).
+
+    Shuffle layout: the per-bucket last value is a max_by hash
+    AGGREGATE (map-side partial — most of the per-bucket reduction
+    happens before the (key, bucket) shuffle; a row_number window would
+    shuffle every raw event), the spine aggregate + LOCF window share
+    one (key) exchange, and the spine↔observation join broadcasts the
+    already-aggregated per-bucket side. LOCF values are *picked*, never
+    computed, so outputs are bit-exact across engines with no rounding.
+
+    Returns (key, bucket, value, is_gap): bucket = epoch//step_s,
+    is_gap = 1 where the value was carried (or leading-null).
+    """
+    step_us = F.lit(int(step_s) * 1_000_000)
+    ord_ = _as_ordinal(df, ts_col).cast("long")
+    # exact integer floor division: subtract the mod, then the quotient
+    # is an exact multiple (no double roundtrip)
+    b = df.select(
+        F.col(key_col).alias("key"),
+        ((ord_ - F.pmod(ord_, step_us)) / step_us).cast("long")
+        .alias("bucket"),
+        ord_.alias("_ord"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(value_col).alias("_v"),
+    )
+    per_bucket = (
+        b.groupBy("key", "bucket")
+        .agg(F.max_by("_v", F.struct("_ord", "_tb")).alias("obs"))
+    )
+    spine = (
+        b.groupBy("key")
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select("key", F.explode(F.sequence("_lo", "_hi")).alias("bucket"))
+    )
+    locf_w = (Window.partitionBy("key").orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        spine.join(per_bucket, ["key", "bucket"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "bucket",
+            F.last("obs", ignorenulls=True).over(locf_w).alias("value"),
+            F.when(F.col("obs").isNull(), 1).otherwise(0).cast("int")
+            .alias("is_gap"),
+        )
+    )

@@ -366,3 +366,34 @@ def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bin").cast("int").alias("bin"), "n", "lo", "hi",
                 "price_sum")
     )
+
+
+@register("quantile_bins_approx", tags=("binning", "approx", "scale-path"))
+def quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning, SCALE PATH: decile cut points from
+    approx_percentile (one aggregate — a mergeable quantile sketch, no
+    global sort), broadcast back as a literal-free crossJoin of ONE
+    row, rows assigned to bins by comparison against the cuts. At
+    100 TB this replaces `quantile_bins`' total-order window, whose
+    single-direction sort is the inherent cost of exact ntile.
+    Rows-only for the driver (the sketch is engine-specific);
+    per-bin-count tolerance vs the exact deciles is pinned in
+    tests/test_oracle_parity-adjacent unit tests."""
+    d = read_table(spark, sf_dir, "lineitem", ["l_extendedprice"],
+                   hint_broadcast=False)
+    cuts = d.agg(
+        F.percentile_approx(
+            "l_extendedprice",
+            [i / 10.0 for i in range(1, 10)], 10000).alias("cuts"))
+    binned = d.crossJoin(F.broadcast(cuts)).select(
+        "l_extendedprice",
+        (F.aggregate(
+            F.col("cuts"), F.lit(1),
+            lambda acc, c: acc + F.when(F.col("l_extendedprice") > c, 1)
+            .otherwise(0))).cast("int").alias("bin"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min("l_extendedprice").cast("double").alias("lo"),
+             F.max("l_extendedprice").cast("double").alias("hi"))
+    )

@@ -133,3 +133,46 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     return hypertable_rollup(e, "ts", (3600, 86400, 604800),
                              ("event_type",), "value", hierarchical=True)
+
+
+GAPFILL_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+         epoch_us(ts) AS us, event_id, value
+  FROM events
+),
+last_per_bucket AS (
+  SELECT user_id, bucket, value AS obs
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                     ORDER BY us DESC, event_id DESC) rn
+        FROM e)
+  WHERE rn = 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(MIN(bucket), MAX(bucket)))
+           AS bucket
+  FROM e GROUP BY user_id
+)
+SELECT s.user_id, CAST(s.bucket AS BIGINT) AS bucket,
+       last_value(l.obs IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       CAST(CASE WHEN l.obs IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM spine s LEFT JOIN last_per_bucket l USING (user_id, bucket)
+"""
+
+
+@register("gapfill_locf_events", oracle=GAPFILL_ORACLE,
+          tags=("temporal", "gapfill", "locf", "hypertable"))
+def gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap filling with last-observation-carried-forward per
+    user (TimescaleDB time_bucket_gapfill + locf shape): dense bucket
+    spine per key, per-bucket deterministic last value via a
+    partial-aggregating max_by, LOCF window; the fill picks existing
+    doubles, never computes, so it is bit-exact cross-engine."""
+    from gpu_bdb_spark.operators.temporal import gapfill_locf
+
+    e = read_table(spark, sf_dir, "events",
+                   ["user_id", "ts", "event_id", "value"],
+                   hint_broadcast=False)
+    return gapfill_locf(e, "user_id", "ts", "value", step_s=3600)

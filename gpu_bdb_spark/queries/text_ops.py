@@ -985,3 +985,41 @@ def winnow_positions_robust_query(spark: SparkSession,
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     return winnow_positions_robust(d, "text", "doc_id", k=3, w=4)
+
+
+@register("sentence_explode_udtf", oracle=SENTENCES_ORACLE,
+          tags=("text", "sentences", "udtf"))
+def sentence_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sentence-explode contract as `sentence_explode`,
+    implemented as a PYTHON UDTF (Spark 4 `@udtf` table function) —
+    completes the UDF/UDAF/UDTF surface of §2.10 with the lateral-join
+    row-expanding shape. Verified against the identical SQL oracle, so
+    the UDTF path is held to the same exact-hash bar as the codegen'd
+    explode. Production guidance stays the opposite of this demo: the
+    native posexplode is the 100 TB path (JVM, codegen); a Python UDTF
+    earns its per-row bridge cost only when the expansion logic needs a
+    Python library. Defined inline so cloudpickle ships it by value."""
+    import re
+
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="sentence_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            i = 0
+            for part in re.split(r"[.?!]", text):
+                part = part.strip()
+                if part:
+                    yield i, part
+                    i += 1
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    spark.udtf.register("split_sentences_udtf", SplitSentences)
+    d.createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.sentence_idx, s.sentence "
+        "FROM _docs_for_udtf d, "
+        "LATERAL split_sentences_udtf(d.text) s")

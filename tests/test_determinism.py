@@ -55,6 +55,9 @@ QUERIES = [
     "project_embeddings_srp",
     "winnow_positions_robust",
     "quantile_bins",
+    "gapfill_locf_events",
+    "sentence_explode_udtf",
+    "quantile_bins_approx",
 ]
 
 

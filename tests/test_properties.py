@@ -351,3 +351,19 @@ def test_domain_repeat_plan_hits_target_epoch_size(spark):
         df.repartition(7), "grp", {"a": 0.7, "b": 0.3}, 2000
     ).groupBy("grp").agg(F.sum("n_repeats").alias("total")).collect()}
     assert reruns == got                    # deterministic across layouts
+
+
+def test_quantile_bins_approx_tracks_exact_deciles(spark, sf_dir):
+    """Scale-path binning: 10 bins, counts within ±20% of N/10, edges
+    monotone and non-overlapping across bins."""
+    from gpu_bdb_spark.queries.registry import all_specs
+
+    rows = sorted(
+        all_specs()["quantile_bins_approx"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"])
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    total = sum(r["n"] for r in rows)
+    for r in rows:
+        assert 0.8 * total / 10 <= r["n"] <= 1.2 * total / 10, rows
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"], "bins overlap"

@@ -214,3 +214,47 @@ def test_range_join_salted_matches_bucket(spark, points_intervals):
                                   by=("k",), strategy="salted",
                                   bucket_width_s=60, n_salts=5).collect()}
     assert salted == base and len(base) > 100
+
+
+class TestGapfillLocf:
+    """Gap filling + LOCF (round 5)."""
+
+    def test_planted_gaps_filled_and_leading_nulls_kept(self, spark):
+        from datetime import datetime
+
+        from gpu_bdb_spark.operators.temporal import gapfill_locf
+
+        def ts(h):
+            return datetime(2001, 1, 1, h)
+
+        rows = [
+            # user 1: obs at hours 1 and 4 → gaps at 2,3 carry value 10
+            (101, ts(1), 1, 10.0),
+            (102, ts(4), 1, 40.0),
+            # user 1, same bucket as 102 but earlier → must lose argmax
+            (100, ts(4), 1, 39.0),
+            # user 2: single observation → one row, no gaps
+            (103, ts(2), 2, 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double")
+        got = {(r["user_id"], r["bucket"] % 24): (r["value"], r["is_gap"])
+               for r in gapfill_locf(df).collect()}
+        assert got[(1, 1)] == (10.0, 0)
+        assert got[(1, 2)] == (10.0, 1)
+        assert got[(1, 3)] == (10.0, 1)
+        assert got[(1, 4)] == (40.0, 0)   # max (ts, event_id) wins
+        assert got[(2, 2)] == (7.0, 0)
+        assert len(got) == 5
+
+    def test_bucket_argmax_tiebreak_on_event_id(self, spark):
+        from datetime import datetime
+
+        from gpu_bdb_spark.operators.temporal import gapfill_locf
+
+        t = datetime(2001, 1, 1, 5)
+        df = spark.createDataFrame(
+            [(2, t, 1, 2.0), (9, t, 1, 9.0), (5, t, 1, 5.0)],
+            "event_id long, ts timestamp, user_id long, value double")
+        rows = gapfill_locf(df).collect()
+        assert len(rows) == 1 and rows[0]["value"] == 9.0
