@@ -245,3 +245,72 @@ def resize_image(
             yield _pd.DataFrame(out, columns=columns)
 
     return media_df.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+def decode_image_arrow(
+    media_df: DataFrame,
+    feature_dim: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """The `decode_image` contract through mapInArrow — the zero-copy
+    tier of the Python batch surface: RecordBatches flow straight from
+    the JVM without the Arrow→pandas materialization, which matters
+    when the payload column is large binary (images) and pandas would
+    copy every buffer into object cells. Same streamed
+    Iterator→Iterator shape (constant memory), same deterministic fake
+    decoder for codec-less environments, same output schema — result
+    equality with the pandas tier is pinned in test_multimodal.py.
+    """
+    columns = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+
+    def decode_batches(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pyarrow as _pa
+
+        def _fake(data: bytes):
+            digest = _hashlib.sha256(data).digest()
+            width = 16 + digest[0] % 64
+            height = 16 + digest[1] % 64
+            seed = int.from_bytes(digest[2:10], "little", signed=False)
+            rng = _np.random.default_rng(seed)
+            return width, height, rng.standard_normal(
+                feature_dim).astype(_np.float32)
+
+        def _real(data: bytes):
+            raise NotImplementedError(
+                "image codecs not available in this environment; "
+                "call decode_image_arrow(..., fake=True) for the "
+                "deterministic test decoder")
+
+        decode = _fake if fake else _real
+        for batch in batches:
+            ids = batch.column("item_id").to_pylist()
+            media = batch.column("media")
+            data_arr = media.field("data")
+            type_arr = media.field("media_type").to_pylist()
+            rows = {c: [] for c in columns}
+            for i, item_id in enumerate(ids):
+                buf = data_arr[i].as_py()
+                data = bytes(buf) if buf is not None else b""
+                w, h, feats = decode(data)
+                rows["item_id"].append(item_id)
+                rows["media_type"].append(type_arr[i])
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_bytes"].append(len(data))
+                rows["features"].append(feats.tolist())
+            # pin the arrow types: from_pydict would infer int64 where
+            # the Spark schema says int32 (width/height) and float64
+            # where it says float32 — the JVM reader rejects both
+            yield _pa.RecordBatch.from_pydict(rows, schema=_pa.schema([
+                ("item_id", _pa.int64()),
+                ("media_type", _pa.string()),
+                ("width", _pa.int32()),
+                ("height", _pa.int32()),
+                ("n_bytes", _pa.int64()),
+                ("features", _pa.list_(_pa.float32())),
+            ]))
+
+    return media_df.mapInArrow(decode_batches, IMAGE_FEATURES_SCHEMA)

@@ -397,3 +397,26 @@ def quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("l_extendedprice").cast("double").alias("lo"),
              F.max("l_extendedprice").cast("double").alias("hi"))
     )
+
+
+@register("variant_props", oracle=JSON_PROPS_ORACLE,
+          tags=("json", "variant", "semi-structured"))
+def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME props-extraction contract as `json_props`, through the
+    Spark 4 VARIANT type: parse_json once into the binary variant
+    encoding, then typed variant_get path lookups — the modern
+    semi-structured path (one parse amortized over all lookups, vs
+    get_json_object's per-path reparse; at 100 TB variant columns also
+    shred into parquet). Held to the identical exact oracle."""
+    e = read_table(spark, sf_dir, "events", ["event_type", "props"],
+                   hint_broadcast=False)
+    v = e.filter(F.col("props").isNotNull()).select(
+        "event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "long")
+    return (
+        v.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(k).alias("sum_k"),
+             F.min(k).alias("min_k"),
+             F.max(k).alias("max_k"))
+    )

@@ -58,6 +58,7 @@ QUERIES = [
     "gapfill_locf_events",
     "sentence_explode_udtf",
     "quantile_bins_approx",
+    "variant_props",
 ]
 
 

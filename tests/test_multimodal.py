@@ -83,3 +83,40 @@ def test_resize_image_roundtrips_media_struct(spark, media):
         assert r.media.meta["width"] == "64"
         assert r.media.meta["height"] == "32"
         assert len(bytes(r.media.data)) > 0
+
+
+def test_arrow_tier_matches_pandas_tier(spark, sf_dir):
+    """mapInArrow decode produces EXACTLY the pandas tier's output
+    (same fake decoder, same schema) — the zero-copy path is a drop-in."""
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.multimodal import (attach_media,
+                                                    decode_image,
+                                                    decode_image_arrow)
+
+    d = read_table(spark, sf_dir, "part", ["p_partkey", "p_name"],
+                   hint_broadcast=False).limit(50)
+    media = attach_media(d, "p_name", "image", "p_partkey")
+    a = decode_image(media, feature_dim=8, fake=True).toPandas()
+    b = decode_image_arrow(media, feature_dim=8, fake=True).toPandas()
+    a = a.sort_values("item_id").reset_index(drop=True)
+    b = b.sort_values("item_id").reset_index(drop=True)
+    assert a.drop(columns=["features"]).equals(b.drop(columns=["features"]))
+    for fa, fb in zip(a["features"], b["features"]):
+        assert list(fa) == list(fb)
+
+
+def test_arrow_tier_stub_raises_without_codecs(spark, sf_dir):
+    import pytest as _pytest
+
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.multimodal import (attach_media,
+                                                    decode_image_arrow)
+
+    d = read_table(spark, sf_dir, "part", ["p_partkey", "p_name"],
+                   hint_broadcast=False).limit(2)
+    media = attach_media(d, "p_name", "image", "p_partkey")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        decode_image_arrow(media, fake=False).collect()
