@@ -455,3 +455,52 @@ def test_sharded_corpus_stream_ingest_exactly_once(spark, sf_dir, tmp_path):
              .collect()}
     assert len(got) == len(set(got)), "duplicate delivery"
     assert set(got) == batch
+
+
+def _protobuf_available() -> bool:
+    # transformWithStateInPandas speaks protobuf to the JVM state
+    # server; without the package the driver worker crashes at init
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _protobuf_available(),
+                    reason="transformWithStateInPandas needs protobuf "
+                           "(absent in this container)")
+def test_transform_with_state_matches_apply_in_pandas_with_state(
+        spark, events_stream):
+    """Spark 4 transformWithStateInPandas twin: identical final totals
+    to the applyInPandasWithState implementation AND the batch
+    aggregate — API migration is a proven no-op."""
+    from gpu_bdb_spark.streaming.stateful import running_user_stats_tws
+
+    batch, stream = events_stream
+    # transformWithState requires the RocksDB state store provider
+    # (per-query, read at start) — scope it to this query only
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                        "state.RocksDBStateStoreProvider")
+    try:
+        got = _run_to_memory_update(spark, running_user_stats_tws(
+            stream.filter(F.col("user_id").isNotNull())), "stateful_tws")
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+    final = got.sort_values("n_events").groupby("user_id").tail(1)
+    expect = (
+        batch.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"))
+        .toPandas()
+    )
+    f = final.set_index("user_id").sort_index()
+    e = expect.set_index("user_id").sort_index()
+    assert (f["n_events"] == e["n_events"]).all()
+    assert (abs(f["total_value"] - e["total_value"]) < 1e-6).all()
