@@ -420,3 +420,53 @@ def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min(k).alias("min_k"),
              F.max(k).alias("max_k"))
     )
+
+
+def _zorder_oracle(bits: int = 10) -> str:
+    top = (1 << bits) - 1
+    def norm(col, lo, hi):
+        return (f"(((({col} - {lo}) * {top}) - "
+                f"((({col} - {lo}) * {top}) % GREATEST({hi} - {lo}, 1))) "
+                f"// GREATEST({hi} - {lo}, 1))"
+                )
+    n1 = norm("o_orderkey", "(SELECT MIN(o_orderkey) FROM orders)",
+              "(SELECT MAX(o_orderkey) FROM orders)")
+    n2 = norm("o_custkey", "(SELECT MIN(o_custkey) FROM orders)",
+              "(SELECT MAX(o_custkey) FROM orders)")
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((n1 >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((n2 >> {i}) & 1) << {2 * i + 1})")
+    return (
+        "WITH t AS (SELECT o_orderkey, o_custkey, "
+        f"CAST({n1} AS BIGINT) AS n1, CAST({n2} AS BIGINT) AS n2 "
+        "FROM orders) "
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(" + " | ".join(terms) + " AS BIGINT) AS zkey FROM t")
+
+
+@register("zorder_keys", oracle=_zorder_oracle(10),
+          tags=("layout", "zorder", "data-skipping"))
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized Z-order (Morton) interleave of (o_orderkey,
+    o_custkey) — the 2-D data-skipping sort key (Delta OPTIMIZE
+    ZORDER's layout trick): min-max scale each column to 10 bits with
+    pure integer arithmetic, then interleave. Exactly hash-matched
+    against the same expression in DuckDB. `sources.write_zordered`
+    applies it as a table layout; footer-range narrowing on BOTH
+    columns is asserted in tests/test_sources.py."""
+    from gpu_bdb_spark.sources import zorder_key_normalized
+
+    d = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   hint_broadcast=False)
+    bounds = d.agg(
+        F.min("o_orderkey").cast("long").alias("_lo1"),
+        F.max("o_orderkey").cast("long").alias("_hi1"),
+        F.min("o_custkey").cast("long").alias("_lo2"),
+        F.max("o_custkey").cast("long").alias("_hi2"))
+    return d.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey", "o_custkey",
+        zorder_key_normalized(
+            "o_orderkey", "o_custkey",
+            F.col("_lo1"), F.col("_hi1"),
+            F.col("_lo2"), F.col("_hi2"), 10).alias("zkey"))

@@ -633,3 +633,37 @@ def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0)).cast("long")
         .alias("n_empty"),
     )
+
+
+UPSERT_ORACLE = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT) AS version
+FROM documents
+WHERE doc_id % 3 <> 0 OR doc_id % 5 = 0
+"""
+
+
+@register("upsert_roundtrip", oracle=UPSERT_ORACLE,
+          tags=("pipeline", "maintenance", "upsert", "merge"))
+def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style parquet upsert, end to end through real writes: the
+    base table (doc_id % 3 != 0, version 1) takes an update batch
+    (doc_id % 5 == 0, version 2) — replaced keys, appended new keys,
+    untouched carry-over — and the re-read result must exactly match
+    the declarative merge semantics in SQL."""
+    import os
+    import tempfile
+
+    from gpu_bdb_spark.sources import upsert_parquet
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id"],
+                   hint_broadcast=False)
+    work = os.path.join(tempfile.gettempdir(), "gpu_bdb_spark_upsert",
+                        os.path.basename(sf_dir.rstrip("/")))
+    base = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.lit(1).cast("int").alias("version"))
+    base.write.mode("overwrite").parquet(os.path.join(work, "base"))
+    updates = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.lit(2).cast("int").alias("version"))
+    return upsert_parquet(spark, os.path.join(work, "base"), updates,
+                          "doc_id", os.path.join(work, "merged"))

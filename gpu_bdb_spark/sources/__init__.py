@@ -11,7 +11,7 @@ Reference equivalents:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -191,3 +191,119 @@ def write_sorted_for_skipping(
         part.sortWithinPartitions(*sort_cols)
         .write.mode("overwrite").parquet(out_path)
     )
+
+
+def zorder_key(c1, c2, bits: int = 21):
+    """Z-order (Morton) key: interleave the low `bits` bits of two
+    non-negative integer columns — rows close on the space-filling
+    curve are close in BOTH dimensions, so sorting by this one key
+    clusters files/row groups for min/max skipping on either column
+    (the layout trick behind Delta's OPTIMIZE ZORDER, as a plain
+    column expression).
+
+    Built-ins only (shiftleft/shiftright/bit and/or), codegen'd, and
+    engine-portable: the identical expression exists in DuckDB SQL, so
+    the key itself is exactly oracle-able. 2·bits ≤ 63 keeps the result
+    in a signed long.
+    """
+    from pyspark.sql import functions as F
+
+    a = F.col(c1) if isinstance(c1, str) else c1
+    b = F.col(c2) if isinstance(c2, str) else c2
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(abit, 2 * i)) \
+                 .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
+    return key
+
+
+def zorder_key_normalized(c1, c2, lo1, hi1, lo2, hi2, bits: int = 10):
+    """Z-order key over MIN-MAX-NORMALIZED columns: each value is
+    scaled to [0, 2^bits) with pure integer arithmetic
+    ((v−lo)·(2^bits−1)) div (hi−lo) before interleaving. Normalization
+    is what makes the curve work on real columns — raw-bit interleave
+    degrades to a 1-D sort whenever one column spans more bits than
+    the other (the high bits of the wider column dominate the key).
+    Exact BIGINT ops throughout → engine-portable and oracle-able."""
+    from pyspark.sql import functions as F
+
+    top = F.lit((1 << bits) - 1).cast("long")
+
+    def norm(c, lo, hi):
+        c = (F.col(c) if isinstance(c, str) else c).cast("long")
+        lo = lo if isinstance(lo, Column) else F.lit(int(lo)).cast("long")
+        hi = hi if isinstance(hi, Column) else F.lit(int(hi)).cast("long")
+        span = F.greatest(hi - lo, F.lit(1).cast("long"))
+        scaled = (c - lo) * top
+        return (scaled - F.pmod(scaled, span)) / span
+
+    return zorder_key(norm(c1, lo1, hi1).cast("long"),
+                      norm(c2, lo2, hi2).cast("long"), bits)
+
+
+def write_zordered(
+    df: DataFrame,
+    out_path: str,
+    col1: str,
+    col2: str,
+    n_files: int | None = None,
+    bits: int = 10,
+) -> None:
+    """Two-dimensional data-skipping layout: range-partition + sort by
+    the normalized Z-order key of (col1, col2). Unlike
+    `write_sorted_for_skipping` on col1 alone — which leaves col2's
+    per-file ranges as wide as the table — the curve bounds BOTH
+    columns' footer ranges per file, so predicates on either column
+    prune (asserted from parquet footers in tests/test_sources.py).
+    Bounds come from one tiny min/max aggregate broadcast back."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        F.min(col1).cast("long").alias("_lo1"),
+        F.max(col1).cast("long").alias("_hi1"),
+        F.min(col2).cast("long").alias("_lo2"),
+        F.max(col2).cast("long").alias("_hi2"))
+    z = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_zkey",
+        zorder_key_normalized(col1, col2,
+                              F.col("_lo1"), F.col("_hi1"),
+                              F.col("_lo2"), F.col("_hi2"), bits),
+    ).drop("_lo1", "_hi1", "_lo2", "_hi2")
+    part = (z.repartitionByRange(n_files, "_zkey")
+            if n_files else z.repartitionByRange("_zkey"))
+    (
+        part.sortWithinPartitions("_zkey").drop("_zkey")
+        .write.mode("overwrite").parquet(out_path)
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_col: str,
+    out_path: str,
+) -> DataFrame:
+    """MERGE-style upsert for plain parquet tables (the maintenance op
+    lakehouse formats provide as MERGE INTO, on the format this engine
+    actually ships): rows whose key appears in `updates` are replaced,
+    new keys are appended, everything else is carried over unchanged.
+
+    One LEFT ANTI join (base minus updated keys — broadcast when the
+    update batch is small, which is the normal ingest shape) + UNION +
+    write. The rewrite cost is proportional to the BASE table — that is
+    inherent to copy-on-write parquet; at 100 TB the same operator runs
+    per partition-directory so only touched partitions rewrite (pair it
+    with `write_sharded_corpus`/partitionBy layouts).
+
+    Returns the merged DataFrame as re-read from `out_path`.
+    """
+    base = spark.read.parquet(base_path)
+    cols = base.columns
+    keep = base.join(
+        F.broadcast(updates.select(key_col)), key_col, "left_anti")
+    merged = keep.select(*cols).unionByName(updates.select(*cols))
+    merged.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

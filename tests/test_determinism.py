@@ -59,6 +59,8 @@ QUERIES = [
     "sentence_explode_udtf",
     "quantile_bins_approx",
     "variant_props",
+    "zorder_keys",
+    "upsert_roundtrip",
 ]
 
 

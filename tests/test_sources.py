@@ -233,3 +233,50 @@ class TestShardedCorpusDataSource:
         lo = r.filter(F.col("doc_id") < 50)
         assert lo.count() == r.filter("doc_id < 50").count()
         assert all(row["doc_id"] < 50 for row in lo.collect())
+
+
+def test_zorder_layout_narrows_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordered layout: per-file footer ranges shrink on BOTH
+    dimensions, where a 1-D sort on col1 leaves col2's per-file ranges
+    as wide as the table. Measured as the mean per-file range fraction
+    of the table range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.sources import (write_sorted_for_skipping,
+                                       write_zordered)
+
+    d = read_table(spark, sf_dir, "orders",
+                   ["o_orderkey", "o_custkey"], hint_broadcast=False)
+
+    def mean_range_frac(path, col):
+        lo_all, hi_all = None, None
+        spans = []
+        per_file = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(j).name
+                     for j in range(md.num_columns)]
+            stats = [md.row_group(i).column(names.index(col)).statistics
+                     for i in range(md.num_row_groups)]
+            lo = min(s.min for s in stats)
+            hi = max(s.max for s in stats)
+            per_file.append((lo, hi))
+            lo_all = lo if lo_all is None else min(lo_all, lo)
+            hi_all = hi if hi_all is None else max(hi_all, hi)
+        width = hi_all - lo_all
+        return sum((h - l) / width for l, h in per_file) / len(per_file)
+
+    one_d = str(tmp_path / "one_d")
+    write_sorted_for_skipping(d, one_d, ["o_orderkey"], n_files=8)
+    z = str(tmp_path / "zord")
+    write_zordered(d, z, "o_orderkey", "o_custkey", n_files=8)
+
+    # 1-D sort: orderkey tight, custkey useless (files span everything)
+    assert mean_range_frac(one_d, "o_orderkey") < 0.25
+    assert mean_range_frac(one_d, "o_custkey") > 0.8
+    # z-order: BOTH columns materially narrowed per file
+    assert mean_range_frac(z, "o_orderkey") < 0.65
+    assert mean_range_frac(z, "o_custkey") < 0.65
