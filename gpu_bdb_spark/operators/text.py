@@ -818,3 +818,48 @@ def winnow_positions_robust(
         .applyInPandas(scan, "id long, pos long, fingerprint long")
         .withColumnsRenamed({"id": id_col})
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (NFC by default) — the canonicalization
+    step every multilingual curation pipeline runs before hashing or
+    dedup (composed vs decomposed accents hash differently; mixed-form
+    corpora silently under-deduplicate).
+
+    Spark has no built-in Unicode normalizer, so this is a real
+    library-in-the-loop case for the Arrow-batched pandas UDF tier
+    (stdlib `unicodedata`, vectorized per batch, closure self-contained
+    for executors without this package). Cross-engine exactness holds
+    because both sides implement the Unicode standard: the oracle uses
+    DuckDB's nfc_normalize.
+
+    Returns (id, text_nfc, changed) — changed flags rows the
+    normalization actually rewrote (the audit signal).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    nform = form
+
+    @pandas_udf("string")
+    def _norm(s):
+        import unicodedata as _ud
+
+        return s.map(lambda t: None if t is None
+                     else _ud.normalize(nform, t))
+
+    out = F.col("_nfc")
+    return (
+        df.select(F.col(id_col), F.col(text_col).alias("_t"))
+        .withColumn("_nfc", _norm(F.col("_t")))
+        .select(
+            F.col(id_col),
+            out.alias("text_nfc"),
+            (out != F.col("_t")).cast("int").alias("changed"),
+        )
+    )

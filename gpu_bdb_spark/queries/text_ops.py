@@ -1023,3 +1023,24 @@ def sentence_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.sentence_idx, s.sentence "
         "FROM _docs_for_udtf d, "
         "LATERAL split_sentences_udtf(d.text) s")
+
+
+NORMALIZE_UNICODE_ORACLE = """
+SELECT doc_id, nfc_normalize(text) AS text_nfc,
+       CAST(nfc_normalize(text) <> text AS INT) AS changed
+FROM documents
+"""
+
+
+@register("normalize_unicode", oracle=NORMALIZE_UNICODE_ORACLE,
+          tags=("text", "unicode", "normalization"))
+def normalize_unicode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization via the Arrow-batched pandas-UDF
+    tier (stdlib unicodedata — Spark has no built-in normalizer),
+    hash-matched against DuckDB's nfc_normalize: both sides implement
+    the Unicode standard, so this is exact, not approximate."""
+    from gpu_bdb_spark.operators.text import normalize_unicode
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return normalize_unicode(d, "text", "doc_id")

@@ -61,6 +61,7 @@ QUERIES = [
     "variant_props",
     "zorder_keys",
     "upsert_roundtrip",
+    "normalize_unicode",
 ]
 
 

@@ -267,3 +267,26 @@ class TestRobustWinnowing:
         n_strict = winnow_positions(df, k=3, w=4).count()
         n_robust = winnow_positions_robust(df, k=3, w=4).count()
         assert n_robust < n_strict
+
+
+def test_unicode_normalization_on_planted_forms(spark):
+    """Composed vs decomposed accents: NFC folds them to one form, the
+    changed flag marks rewrites, and dedup-after-normalize collapses
+    what dedup-before-normalize misses."""
+    import unicodedata
+
+    from gpu_bdb_spark.operators.text import normalize_unicode
+
+    composed = "café résumé"
+    decomposed = unicodedata.normalize("NFD", composed)
+    assert composed != decomposed
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, "plain ascii")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["text_nfc"], r["changed"])
+           for r in normalize_unicode(df).collect()}
+    assert got[1] == (composed, 0)
+    assert got[2] == (composed, 1)   # decomposed → rewritten
+    assert got[3] == ("plain ascii", 0)
+    # the canonical forms now hash identically
+    assert got[1][0] == got[2][0]
