@@ -335,3 +335,37 @@ def farthest_point_sample(
         [(int(r), int(i), float(d)) for r, i, d in picked],
         "rank bigint, id bigint, dist double",
     ).withColumnsRenamed({"id": id_col})
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministically:
+    Efraimidis–Spirakis keys — each row gets u^(1/w) with u the
+    row's md5-slot uniform and w its weight, and the global top-k keys
+    ARE a weighted sample without replacement (VLDB'06 one-pass
+    scheme). With the content hash standing in for the RNG the sample
+    is reproducible across runs, partitionings, and engines.
+
+    Distributed shape: per-row key computation is pure column math; the
+    top-k is a TakeOrderedAndProject (per-partition heads, never a full
+    sort). Keys are rounded to 1e-9 with (hash, id) tie-breaks so the
+    cut is exact cross-engine.
+
+    Returns (id, weight, es_key) for the k selected rows.
+    """
+    u = (_hash_num(F.col(key_col)).cast("double") + F.lit(1.0)) / F.lit(
+        float(16 ** _HEX_DIGITS + 1))
+    es = F.round(F.pow(u, F.lit(1.0) / weight.cast("double")), 9)
+    return (
+        df.select(
+            F.col(key_col),
+            weight.cast("double").alias("weight"),
+            es.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.col(key_col))
+        .limit(k)
+    )

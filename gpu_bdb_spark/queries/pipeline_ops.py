@@ -667,3 +667,32 @@ def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit(2).cast("int").alias("version"))
     return upsert_parquet(spark, os.path.join(work, "base"), updates,
                           "doc_id", os.path.join(work, "merged"))
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(pow((CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    + 1.0) / 4294967297.0,
+                   1.0 / n_chars), 9) AS es_key
+  FROM documents
+)
+SELECT doc_id, weight, es_key FROM t
+ORDER BY es_key DESC, doc_id LIMIT 100
+"""
+
+
+@register("weighted_sample", oracle=WEIGHTED_SAMPLE_ORACLE,
+          tags=("pipeline", "sampling", "weighted"))
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement (Efraimidis–
+    Spirakis top-k keys, md5 standing in for the RNG → reproducible
+    and exactly oracle-able): top-100 documents weighted by length.
+    The top-k compiles to TakeOrderedAndProject — per-partition heads,
+    no global sort."""
+    from gpu_bdb_spark.operators.sampling import weighted_sample_topk
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "n_chars"],
+                   hint_broadcast=False)
+    return weighted_sample_topk(d, 100, F.col("n_chars"))

@@ -62,6 +62,7 @@ QUERIES = [
     "zorder_keys",
     "upsert_roundtrip",
     "normalize_unicode",
+    "weighted_sample",
 ]
 
 

@@ -133,3 +133,29 @@ def test_char_entropy_known_values(spark):
     assert got[1] == (4, 0.0)
     assert got[2] == (2, round(math.log(2), 6))
     assert got[3] == (4, round(math.log(4), 6))
+
+
+def test_weighted_sample_properties(spark, sf_dir):
+    """ES weighted sampling: the weighted sample skews heavy, a
+    dominant weight is always included, and the top-k compiles to a
+    distributed TakeOrderedAndProject (no global sort)."""
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.sampling import weighted_sample_topk
+    from gpu_bdb_spark.plans import formatted_plan, has_top_k
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "n_chars"],
+                   hint_broadcast=False)
+    samp = weighted_sample_topk(d, 50, F.col("n_chars"))
+    assert has_top_k(formatted_plan(samp))
+    mean_all = d.agg(F.avg("n_chars")).collect()[0][0]
+    mean_samp = samp.agg(F.avg("weight")).collect()[0][0]
+    assert mean_samp > mean_all, "weighted sample must skew heavy"
+    # a dominant weight wins regardless of its hash draw
+    boosted = d.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 7, F.lit(10_000_000))
+        .otherwise(F.col("n_chars")))
+    top = weighted_sample_topk(boosted, 5, F.col("n_chars")).collect()
+    assert 7 in {r["doc_id"] for r in top}
