@@ -111,10 +111,9 @@ def run_throughput(
         queries = list(range(1, 31))
     params = params or {}
     tables = Tables(spark, data_dir=data_dir, frames=frames)
-    # scheduler.mode is a STATIC conf — honored when the session was
-    # built by session.get_spark (TUNED_CONF sets FAIR); on an external
-    # FIFO session the pools are inert and streams still interleave at
-    # the task level.
+    # scheduler.mode is a STATIC conf — the runner CLI builds the
+    # session with FAIR for --streams; on an external FIFO session the
+    # pools are inert and streams still interleave at the task level.
 
     def run_stream(i: int) -> dict[str, float]:
         sc = spark.sparkContext
@@ -170,7 +169,10 @@ def _main() -> None:
                          "power phase")
     args = ap.parse_args()
 
-    spark = get_spark(app_name="gpu_bdb_spark-runner")
+    # FAIR is a static conf: build it in ONLY for the throughput phase
+    # (FIFO is the right default for serial power-phase latency)
+    extra = ({"spark.scheduler.mode": "FAIR"} if args.streams > 0 else None)
+    spark = get_spark(app_name="gpu_bdb_spark-runner", extra_conf=extra)
     if args.streams > 0:
         print(json.dumps(run_throughput(
             spark, data_dir=args.data_dir, queries=args.queries,

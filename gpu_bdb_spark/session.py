@@ -52,9 +52,6 @@ TUNED_CONF: dict[str, str] = {
     # default; locally it keeps small files in one partition.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
-    # Throughput-phase streams (runner.run_throughput) each run in their
-    # own FAIR pool; static conf, so set at build time.
-    "spark.scheduler.mode": "FAIR",
 }
 
 

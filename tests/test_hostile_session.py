@@ -43,6 +43,14 @@ QUERIES = [
     "project_embeddings_srp",
     "corpus_health",
     "winnow_positions",
+    # gapfill buckets epoch micros — the #1 tz-sensitive shape;
+    # zorder/upsert/weighted/udtf pin the round-5 long tail
+    "gapfill_locf_events",
+    "zorder_keys",
+    "upsert_roundtrip",
+    "weighted_sample",
+    "sentence_explode_udtf",
+    "quantile_bins",
 ]
 
 HOSTILE = {

@@ -226,3 +226,17 @@ def test_leakage_split_broadcasts_cluster_map(spark, sf_dir):
     # the duplicate-only cluster map rides a broadcast: the corpus side
     # is never shuffled by the split itself
     assert has_broadcast_join(plan), plan
+
+
+def test_gapfill_partial_aggregates_and_broadcast(spark, sf_dir):
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.temporal import gapfill_locf
+
+    e = read_table(spark, sf_dir, "events",
+                   ["user_id", "ts", "event_id", "value"],
+                   hint_broadcast=False)
+    plan = formatted_plan(gapfill_locf(e))
+    # per-bucket last value reduces map-side before the shuffle
+    assert has_partial_aggregate(plan), plan
+    # spine joins the aggregated per-bucket side via broadcast
+    assert has_broadcast_join(plan), plan
