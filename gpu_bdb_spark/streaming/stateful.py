@@ -96,3 +96,69 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def streaming_gapfill_locf(events: DataFrame, step_s: int = 3600) -> DataFrame:
+    """Streaming twin of `operators.temporal.gapfill_locf`: as events
+    arrive, emit every `step_s` bucket between consecutive observations
+    per user, carrying the last value forward — the state is just
+    (last_bucket, last_value) per key, so the operator holds O(keys)
+    state regardless of stream length (no buffered events, no
+    watermark-bounded join).
+
+    Events inside a micro-batch are processed in (ts, event_id) order;
+    each bucket's representative is the max-(ts, event_id) event, so on
+    a drained stream the emitted rows are EXACTLY the batch operator's
+    output (pinned in tests/test_streaming.py — the strongest
+    batch≡stream contract: equality, not approximation).
+    """
+
+    step_us = int(step_s) * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        rows = []
+        last_bucket, last_value = (
+            state.get() if state.exists else (None, None))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, eid, v in zip(pdf["ts"], pdf["event_id"],
+                                  pdf["value"]):
+                us = int(_pd.Timestamp(ts).value // 1000)
+                b = us // step_us
+                v = None if _pd.isna(v) else float(v)
+                if last_bucket is None:
+                    rows.append((key[0], b, v, 0))
+                elif b == last_bucket:
+                    # same bucket: later (ts, event_id) wins. When the
+                    # bucket started in a PRIOR micro-batch the old row
+                    # is already emitted (append mode can't retract) —
+                    # emit the update; downstream keeps the latest per
+                    # (user, bucket). Within one batch it's a rewrite.
+                    if rows:
+                        rows[-1] = (key[0], b, v, 0)
+                    else:
+                        rows.append((key[0], b, v, 0))
+                else:
+                    for gap in range(last_bucket + 1, b):
+                        rows.append((key[0], gap, last_value, 1))
+                    rows.append((key[0], b, v, 0))
+                last_bucket, last_value = b, v
+        state.update((last_bucket, last_value))
+        yield _pd.DataFrame(
+            rows, columns=["user_id", "bucket", "value", "is_gap"])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, bucket long, value double, "
+                             "is_gap int",
+            stateStructType="last_bucket long, last_value double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

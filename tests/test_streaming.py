@@ -504,3 +504,31 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(
     e = expect.set_index("user_id").sort_index()
     assert (f["n_events"] == e["n_events"]).all()
     assert (abs(f["total_value"] - e["total_value"]) < 1e-6).all()
+
+
+def test_streaming_gapfill_locf_equals_batch(spark, events_stream):
+    """Drained stream: the stateful LOCF gap-filler emits EXACTLY the
+    batch operator's rows (same buckets, same carried values, same gap
+    flags) — strict equality, not approximation."""
+    from gpu_bdb_spark.operators.temporal import gapfill_locf
+    from gpu_bdb_spark.streaming.stateful import streaming_gapfill_locf
+
+    batch, stream = events_stream
+    got = _run_to_memory_append(
+        spark,
+        streaming_gapfill_locf(
+            stream.filter(F.col("user_id").isNotNull())
+            .select("user_id", "ts", "event_id", "value")),
+        "gapfill_stream")
+    expect = gapfill_locf(
+        batch.filter(F.col("user_id").isNotNull())).toPandas()
+    key = ["user_id", "bucket"]
+    got = got.sort_values(key, ignore_index=True)
+    expect = expect.sort_values(key, ignore_index=True)
+    assert len(got) == len(expect) > 0
+    assert got[key].equals(expect[key])
+    import numpy as np
+    assert ((got["value"].values == expect["value"].values)
+            | (np.isnan(got["value"].values.astype(float))
+               & np.isnan(expect["value"].values.astype(float)))).all()
+    assert (got["is_gap"].values == expect["is_gap"].values).all()
