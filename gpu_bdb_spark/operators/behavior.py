@@ -1,0 +1,196 @@
+"""User-behavior analytics over event streams: cohort retention,
+Markov transition matrices, and time-decayed engagement scoring —
+the activity-analysis family every clickstream warehouse ships next to
+the TPCx-BB sessionization queries (reference q02/q08/q30 operate on
+the same clickstream shapes; these generalize them to the standard
+product-analytics rollups).
+
+Scale design notes:
+- `cohort_retention` dedups to (user, period) pairs FIRST (the only
+  full-fact-table shuffle), derives each user's cohort with a window
+  over those deduped pairs (no join back to the fact table), and
+  aggregates — the expensive shuffle carries two longs per active
+  user-period, never raw events.
+- `transition_matrix` needs per-user time order, so it shuffles once on
+  user_id for the lag window, then hash-aggregates (map-side partial)
+  down to |types|² rows.
+- `decayed_engagement` joins a broadcast age→weight dimension built
+  driver-side, so the decay curve is DATA, not per-engine libm calls:
+  contributions are exact DECIMAL products and the sum is
+  partitioning- and engine-independent (see gpu_bdb_spark/functions
+  exactness discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gpu_bdb_spark.functions import micros
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = WEEK_US,
+) -> DataFrame:
+    """Classic cohort-retention triangle: users are cohorted by the
+    period of their first event; each later active period counts toward
+    (cohort_period, period_offset).
+
+    Returns (cohort_period, period_offset, n_active, cohort_size,
+    retention_rate) — `n_active` = distinct users of that cohort active
+    at that offset, `retention_rate` = n_active / cohort_size rounded
+    to 6.
+
+    Exactness: periods are integer floor-divisions of event-time micros
+    (epoch micros are non-negative here, so `x - pmod(x, p)` over longs
+    is exact); counts are exact; the single double division is of
+    identical integers in every engine.
+    """
+    us = micros(ts_col)
+    period = ((us - F.pmod(us, F.lit(period_us).cast("long")))
+              / F.lit(period_us).cast("long")).cast("long")
+    # Distinct (user, period) — the only shuffle that sees fact-table
+    # cardinality, and it carries exactly two longs per row.
+    up = (
+        events.select(F.col(user_col).alias("user_id"),
+                      period.alias("period"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = up.select(
+        "user_id",
+        "period",
+        F.min("period").over(w).alias("cohort_period"),
+    )
+    # (user, period) is distinct, so per (cohort, offset) each user
+    # contributes exactly one row: count(*) == count(distinct user).
+    tri = (
+        cohorted.groupBy(
+            "cohort_period",
+            (F.col("period") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    wc = Window.partitionBy("cohort_period")
+    return tri.select(
+        "cohort_period",
+        "period_offset",
+        "n_active",
+        F.sum(F.when(F.col("period_offset") == 0, F.col("n_active"))
+              .otherwise(F.lit(0))).over(wc).alias("cohort_size"),
+    ).withColumn(
+        "retention_rate",
+        F.round(F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"), 6),
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive event types per user.
+
+    Ordering within a user is (ts, tiebreak_col) — a total order, so the
+    lag is deterministic cross-engine. Returns (from_type, to_type,
+    n_transitions, n_from_total, p_transition) with the probability a
+    round-6 division of exact counts.
+    """
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc()))
+    pairs = (
+        events.select(user_col, ts_col, tiebreak_col,
+                      F.col(type_col).alias("to_type"))
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"))
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.sum("n_transitions").over(wf).alias("n_from_total"),
+    ).withColumn(
+        "p_transition",
+        F.round(F.col("n_transitions").cast("double")
+                / F.col("n_from_total").cast("double"), 6),
+    )
+
+
+def decay_weights(
+    max_age: int, half_life: float, scale: int = 9
+) -> list[tuple[int, str]]:
+    """Exponential half-life decay table: age (in periods) → weight
+    string with `scale` decimal digits, computed ONCE driver-side so
+    both engines consume identical literals instead of racing libm.
+
+    weight(a) = round(0.5 ** (a / half_life), scale), formatted with a
+    fixed number of decimals (decimal-safe to parse in Spark & DuckDB).
+    """
+    return [
+        (a, f"{0.5 ** (a / half_life):.{scale}f}")
+        for a in range(max_age + 1)
+    ]
+
+
+def decayed_engagement(
+    spark: SparkSession,
+    events: DataFrame,
+    anchor_date: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: float = 14.0,
+    max_age_days: int = 90,
+) -> DataFrame:
+    """Time-decayed engagement score per user: Σ value·w(age_days),
+    where w(a) = 0.5^(a/half_life) comes from a broadcast lookup built
+    by `decay_weights` (ages clamped to [0, max_age_days]).
+
+    Exactness: value is quantized to DECIMAL(12,4), the weight parses as
+    DECIMAL(12,9); their product and the per-user sum stay in DECIMAL
+    (order-independent), rounded to 6 at the edge. Layout: fact scan →
+    broadcast join on the small age dimension → one hash aggregate
+    on user (map-side partial).
+    """
+    rows = decay_weights(max_age_days, half_life_days)
+    dim = spark.createDataFrame(rows, "age_days INT, w STRING").select(
+        "age_days", F.col("w").cast("decimal(12,9)").alias("w"))
+    age = F.least(
+        F.greatest(
+            F.datediff(F.lit(anchor_date).cast("date"),
+                       F.col(ts_col).cast("date")).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(max_age_days),
+    )
+    scored = (
+        events.select(F.col(user_col).alias("user_id"),
+                      F.col(value_col).cast("decimal(12,4)").alias("v"),
+                      age.alias("age_days"))
+        .join(F.broadcast(dim), "age_days")
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("v") * F.col("w")).alias("_s"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("_s").cast("double"), 6).alias("decayed_score"),
+        )
+    )

@@ -1,0 +1,137 @@
+"""Driver-contract entries for the user-behavior analytics operators
+(cohort retention, Markov transition matrix, time-decayed engagement)
+over the `events` table — each with an exact DuckDB oracle.
+
+The decay oracle embeds the SAME driver-side weight table the Spark
+side broadcasts (operators/behavior.decay_weights), so neither engine
+evaluates transcendental functions on the comparison path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gpu_bdb_spark.io import read_table
+from gpu_bdb_spark.operators.behavior import (
+    cohort_retention,
+    decay_weights,
+    decayed_engagement,
+    transition_matrix,
+)
+from gpu_bdb_spark.queries.registry import register
+
+DAY_US = 86_400 * 1_000_000
+
+COHORT_ORACLE = f"""
+WITH up AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS period
+  FROM events
+),
+c AS (
+  SELECT user_id, period,
+         MIN(period) OVER (PARTITION BY user_id) AS cohort_period
+  FROM up
+),
+tri AS (
+  SELECT cohort_period, period - cohort_period AS period_offset,
+         COUNT(*) AS n_active
+  FROM c GROUP BY 1, 2
+)
+SELECT CAST(cohort_period AS BIGINT) AS cohort_period,
+       CAST(period_offset AS BIGINT) AS period_offset,
+       n_active,
+       CAST(SUM(CASE WHEN period_offset = 0 THEN n_active ELSE 0 END)
+            OVER (PARTITION BY cohort_period) AS BIGINT) AS cohort_size,
+       ROUND(CAST(n_active AS DOUBLE)
+             / CAST(SUM(CASE WHEN period_offset = 0 THEN n_active ELSE 0 END)
+                    OVER (PARTITION BY cohort_period) AS DOUBLE), 6)
+         AS retention_rate
+FROM tri
+"""
+
+
+@register("cohort_retention", oracle=COHORT_ORACLE,
+          tags=("behavior", "cohort", "window"))
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort-retention triangle over the events stream: users
+    cohorted by first-active day, distinct-active counts per (cohort,
+    day offset) with the cohort-size denominator. The fact-table shuffle
+    carries only deduped (user, day) long pairs."""
+    e = read_table(spark, sf_dir, "events", ["user_id", "ts"],
+                   hint_broadcast=False)
+    return cohort_retention(e, period_us=DAY_US)
+
+
+TRANSITIONS_ORACLE = """
+WITH p AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS from_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+         AS n_from_total,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                    AS DOUBLE), 6) AS p_transition
+FROM c
+"""
+
+
+@register("event_transitions", oracle=TRANSITIONS_ORACLE,
+          tags=("behavior", "markov", "window"))
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user:
+    one shuffle on user_id for the (ts, event_id)-ordered lag window,
+    then a partial-aggregating count down to |types|² rows."""
+    e = read_table(spark, sf_dir, "events",
+                   ["user_id", "ts", "event_id", "event_type"],
+                   hint_broadcast=False)
+    return transition_matrix(e)
+
+
+_DECAY_ANCHOR = "2024-03-01"
+_DECAY_HALF_LIFE = 14.0
+_DECAY_MAX_AGE = 90
+
+_DECAY_VALUES = ",\n  ".join(
+    f"({a}, CAST('{w}' AS DECIMAL(12,9)))"
+    for a, w in decay_weights(_DECAY_MAX_AGE, _DECAY_HALF_LIFE)
+)
+
+DECAY_ORACLE = f"""
+WITH dim(age_days, w) AS (VALUES
+  {_DECAY_VALUES}
+),
+e AS (
+  SELECT user_id, CAST(value AS DECIMAL(12,4)) AS v,
+         LEAST(GREATEST(datediff('day', CAST(ts AS DATE),
+                                 DATE '{_DECAY_ANCHOR}'), 0),
+               {_DECAY_MAX_AGE}) AS age_days
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(v * w) AS DOUBLE), 6) AS decayed_score
+FROM e JOIN dim USING (age_days)
+GROUP BY user_id
+"""
+
+
+@register("decayed_engagement", oracle=DECAY_ORACLE,
+          tags=("behavior", "decay", "broadcast-join"))
+def decayed_engagement_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user half-life-decayed engagement score (recency-weighted
+    value sum). The age→weight curve is a driver-computed decimal
+    lookup broadcast to executors AND inlined into the oracle SQL, so
+    the comparison never depends on engine libm; accumulation is exact
+    DECIMAL."""
+    e = read_table(spark, sf_dir, "events", ["user_id", "ts", "value"],
+                   hint_broadcast=False)
+    return decayed_engagement(
+        spark, e, _DECAY_ANCHOR,
+        half_life_days=_DECAY_HALF_LIFE, max_age_days=_DECAY_MAX_AGE)

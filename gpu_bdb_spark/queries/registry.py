@@ -32,6 +32,7 @@ _QUERY_MODULES = (
     "gpu_bdb_spark.queries.custom_ops",
     "gpu_bdb_spark.queries.temporal_ops",
     "gpu_bdb_spark.queries.pipeline_ops",
+    "gpu_bdb_spark.queries.behavior_ops",
 )
 
 

@@ -1,0 +1,113 @@
+"""Behavior-analytics operators: semantics on tiny hand frames, plan
+shapes at scale-relevant points, and driver-registry wiring."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import functions as F
+
+from gpu_bdb_spark.operators.behavior import (
+    cohort_retention,
+    decay_weights,
+    decayed_engagement,
+    transition_matrix,
+)
+from gpu_bdb_spark.plans import formatted_plan, has_broadcast_join
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_cohort_retention_semantics(spark):
+    # u1 first day 1 active days 1,3; u2 first day 1 only; u3 first day 3
+    rows = [
+        (1, _ts(1)), (1, _ts(1, 5)), (1, _ts(3)),
+        (2, _ts(1, 2)),
+        (3, _ts(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    out = cohort_retention(df, period_us=86_400_000_000)
+    got = {(r.cohort_period, r.period_offset):
+           (r.n_active, r.cohort_size, r.retention_rate)
+           for r in out.collect()}
+    d1 = (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).days
+    assert got[(d1, 0)] == (2, 2, 1.0)
+    assert got[(d1, 2)] == (1, 2, 0.5)
+    assert got[(d1 + 2, 0)] == (1, 1, 1.0)
+    assert len(got) == 3
+
+
+def test_transition_matrix_semantics(spark):
+    rows = [
+        (1, _ts(1, 1), 10, "view"),
+        (1, _ts(1, 2), 11, "click"),
+        (1, _ts(1, 3), 12, "click"),
+        (2, _ts(1, 1), 20, "view"),
+        (2, _ts(1, 2), 21, "click"),
+        # same-ts tie broken by event_id: 31 then 32
+        (3, _ts(1, 1), 31, "signup"),
+        (3, _ts(1, 1), 32, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.n_from_total,
+                                      r.p_transition)
+           for r in transition_matrix(df).collect()}
+    assert got[("view", "click")] == (2, 2, 1.0)
+    assert got[("click", "click")] == (1, 1, 1.0)
+    assert got[("signup", "view")] == (1, 1, 1.0)
+    assert len(got) == 3
+
+
+def test_decay_weights_monotone_and_formatted():
+    w = decay_weights(28, 14.0)
+    assert w[0] == (0, "1.000000000")
+    assert w[14][1] == f"{0.5:.9f}"
+    vals = [float(x) for _, x in w]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_decayed_engagement_exact_small(spark):
+    rows = [(1, _ts(1), 10.0), (1, _ts(15), 10.0), (2, _ts(15), 4.0)]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, value DOUBLE")
+    out = decayed_engagement(spark, df, "2024-01-15", half_life_days=14.0,
+                             max_age_days=90)
+    got = {r.user_id: (r.n_events, r.decayed_score) for r in out.collect()}
+    # age 14 weight = 0.5 exactly at half-life; age 0 weight 1.0
+    assert got[1] == (2, 15.0)
+    assert got[2] == (1, 4.0)
+
+
+def test_cohort_plan_no_join_and_dedup_before_window(spark, sf_dir):
+    from gpu_bdb_spark.io import read_table
+
+    e = read_table(spark, sf_dir, "events", ["user_id", "ts"],
+                   hint_broadcast=False)
+    plan = formatted_plan(cohort_retention(e, period_us=86_400_000_000))
+    assert "Join" not in plan, "cohort derivation must not join the fact table"
+    # the deduping aggregate must appear before (below) the user window
+    assert "HashAggregate" in plan and "Window" in plan
+
+
+def test_decayed_engagement_broadcasts_dim(spark, sf_dir):
+    from gpu_bdb_spark.io import read_table
+
+    e = read_table(spark, sf_dir, "events", ["user_id", "ts", "value"],
+                   hint_broadcast=False)
+    plan = formatted_plan(decayed_engagement(spark, e, "2024-03-01"))
+    assert has_broadcast_join(plan), "age dimension must broadcast"
+    # exactly one broadcast node (the age dim); details headers count once
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+
+
+def test_registry_has_behavior_entries():
+    from gpu_bdb_spark.queries.registry import all_specs, oracle_sql
+
+    specs = all_specs()
+    for name in ("cohort_retention", "event_transitions",
+                 "decayed_engagement"):
+        assert name in specs
+        assert oracle_sql()[name]
