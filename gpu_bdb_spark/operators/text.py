@@ -863,3 +863,127 @@ def normalize_unicode(
             (out != F.col("_t")).cast("int").alias("changed"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Corpus inverted index: token → (document frequency, comma-joined
+    sorted posting list), keeping only tokens with
+    min_df ≤ df ≤ floor(max_df_frac · n_docs).
+
+    Scale shape: the df-filter happens on a (token, df) aggregate BEFORE
+    any posting list is materialized — a stopword's posting list (which
+    at corpus scale is "most of the corpus") is never collected, the
+    vocabulary survivor set broadcasts back onto the (doc, token)
+    stream, and only surviving tokens shuffle into collect_list. The
+    posting list is emitted as a sorted CSV string so the result is
+    deterministically comparable cross-engine.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(text_col))).alias("token"),
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("long").alias("_n_docs"))
+    dfs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        dfs.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= F.lit(int(min_df)))
+            & (F.col("df")
+               <= F.floor(F.col("_n_docs") * F.lit(float(max_df_frac))))
+        )
+        .select("token", "df")
+    )
+    return (
+        toks.join(F.broadcast(kept), "token")
+        .groupBy("token", "df")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id"))), ","
+            ).alias("postings")
+        )
+        .select("token", "df", "postings")
+    )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Windowed co-occurrence counts with pointwise mutual information:
+    unordered token pairs within `window` positions of each other,
+    PMI = ln(n_ab·T² / (P·n_a·n_b)) where T = corpus tokens, P = total
+    windowed pairs.
+
+    Scale shape: positions explode once; the pair stream is built by an
+    EQUI join on (doc, pos+k) for k ∈ 1..window (a codegen'd hash join,
+    ×window expansion — never an interpreted per-array pair lambda, and
+    never a positional range join); unigram counts re-attach by
+    broadcast (vocabulary-sized). The PMI input ratio is an exact
+    integer expression; ln is applied once at the edge and rounded to 6
+    (the repo-wide quantization contract for transcendentals).
+    """
+    pos = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "token"),
+    )
+    t_total = pos.select(F.count(F.lit(1)).cast("long").alias("_t"))
+    uni = pos.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    left = (
+        pos.select(
+            "doc_id",
+            "pos",
+            F.col("token").alias("_tok_l"),
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(window)))).alias("_k"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + F.col("_k")).alias("pos"),
+            "_tok_l",
+        )
+    )
+    pairs = left.join(
+        pos.select("doc_id", "pos", F.col("token").alias("_tok_r")),
+        ["doc_id", "pos"],
+    ).select(
+        F.least("_tok_l", "_tok_r").alias("token_a"),
+        F.greatest("_tok_l", "_tok_r").alias("token_b"),
+    )
+    pc = pairs.groupBy("token_a", "token_b").agg(
+        F.count(F.lit(1)).alias("n_ab"))
+    p_total = pc.select(F.sum("n_ab").cast("long").alias("_p"))
+    return (
+        pc.filter(F.col("n_ab") >= F.lit(int(min_pair_count)))
+        .join(F.broadcast(uni.select(F.col("token").alias("token_a"),
+                                     F.col("n_tok").alias("n_a"))),
+              "token_a")
+        .join(F.broadcast(uni.select(F.col("token").alias("token_b"),
+                                     F.col("n_tok").alias("n_b"))),
+              "token_b")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(p_total))
+        .select(
+            "token_a", "token_b", "n_ab", "n_a", "n_b",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("_t").cast("double")
+                    * F.col("_t").cast("double")
+                    / (F.col("_p").cast("double")
+                       * F.col("n_a").cast("double")
+                       * F.col("n_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -1044,3 +1044,91 @@ def normalize_unicode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     return normalize_unicode(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + windowed PMI co-occurrence (lexical index family)
+# ---------------------------------------------------------------------------
+
+INVERTED_INDEX_ORACLE = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS token
+    FROM documents)
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfs AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY 1)
+SELECT t.token, d.df,
+       string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id)
+         AS postings
+FROM toks t JOIN dfs d USING (token), n
+WHERE d.df >= 2 AND d.df <= floor(0.8 * n.n_docs)
+GROUP BY t.token, d.df
+"""
+
+
+@register("inverted_index", oracle=INVERTED_INDEX_ORACLE,
+          tags=("text", "index", "posting-list"))
+def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted index with df bounds [2, 80% of docs]. The
+    stop-token cap is applied on a (token, df) aggregate BEFORE any
+    posting list materializes — at 100 TB a stopword's postings are
+    most of the corpus, so collect-then-filter is not survivable; the
+    survivor vocabulary broadcasts back onto the token stream."""
+    from gpu_bdb_spark.operators.text import inverted_index
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return inverted_index(d, "text", "doc_id", min_df=2, max_df_frac=0.8)
+
+
+PMI_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '') AS ws
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS pos, ws[i] AS token
+  FROM t, unnest(generate_series(1, len(ws))) r(i)
+),
+tt AS (SELECT COUNT(*) AS t_total FROM pos),
+uni AS (SELECT token, COUNT(*) AS n_tok FROM pos GROUP BY 1),
+pairs AS (
+  SELECT LEAST(p1.token, p2.token) AS token_a,
+         GREATEST(p1.token, p2.token) AS token_b
+  FROM pos p1 JOIN pos p2
+    ON p1.doc_id = p2.doc_id
+   AND p2.pos BETWEEN p1.pos + 1 AND p1.pos + 3
+),
+pc AS (SELECT token_a, token_b, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2),
+pt AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS p_total FROM pc)
+SELECT pc.token_a, pc.token_b, pc.n_ab,
+       ua.n_tok AS n_a, ub.n_tok AS n_b,
+       ROUND(LN(CAST(pc.n_ab AS DOUBLE) * CAST(tt.t_total AS DOUBLE)
+                * CAST(tt.t_total AS DOUBLE)
+                / (CAST(pt.p_total AS DOUBLE) * CAST(ua.n_tok AS DOUBLE)
+                   * CAST(ub.n_tok AS DOUBLE))), 6) AS pmi
+FROM pc
+JOIN uni ua ON ua.token = pc.token_a
+JOIN uni ub ON ub.token = pc.token_b
+CROSS JOIN tt CROSS JOIN pt
+WHERE pc.n_ab >= 5
+"""
+
+
+@register("cooccurrence_pmi", oracle=PMI_ORACLE,
+          tags=("text", "pmi", "cooccurrence"))
+def cooccurrence_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed (±3) unordered co-occurrence counts with PMI. Pair
+    generation is an equi hash join on (doc, pos+k), k∈1..3 — codegen'd
+    ×window expansion, never an interpreted per-array pair lambda; the
+    PMI ratio is exact integer arithmetic with one edge ln rounded to
+    6 (the repo's transcendental quantization contract)."""
+    from gpu_bdb_spark.operators.text import cooccurrence_pmi
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return cooccurrence_pmi(d, "text", "doc_id", window=3, min_pair_count=5)

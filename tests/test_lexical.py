@@ -1,0 +1,86 @@
+"""Inverted index + PMI co-occurrence: semantics on hand corpora and
+the scale-relevant plan property (df cap applied before postings)."""
+
+from __future__ import annotations
+
+import math
+
+from gpu_bdb_spark.operators.text import cooccurrence_pmi, inverted_index
+from gpu_bdb_spark.plans import formatted_plan
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING")
+
+
+def test_inverted_index_semantics(spark):
+    d = _docs(spark, [
+        "apple banana apple",   # apple deduped within doc
+        "banana cherry",
+        "cherry apple",
+        "the the the",          # df=1 < min_df → dropped
+    ])
+    out = {r.token: (r.df, r.postings)
+           for r in inverted_index(d, min_df=2, max_df_frac=1.0).collect()}
+    assert out["apple"] == (2, "0,2")
+    assert out["banana"] == (2, "0,1")
+    assert out["cherry"] == (2, "1,2")
+    assert "the" not in out
+
+
+def test_inverted_index_max_df_cap(spark):
+    d = _docs(spark, ["x y", "x z", "x w", "x q"])
+    out = {r.token for r in
+           inverted_index(d, min_df=1, max_df_frac=0.5).collect()}
+    assert "x" not in out  # df=4 > 2 = floor(0.5·4)
+    assert {"y", "z", "w", "q"} <= out
+
+
+def test_inverted_index_filters_before_collect(spark, sf_dir):
+    from gpu_bdb_spark.io import read_table
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    plan = formatted_plan(inverted_index(d))
+    # the survivor-vocab join must sit UNDER the collect_list aggregate:
+    # the last (outermost) aggregate mentions collect_list, and a
+    # broadcast join of the df-filtered vocab feeds it
+    assert "collect_list" in plan
+    assert "BroadcastHashJoin" in plan
+    head = plan.split("collect_list")[0]
+    assert "BroadcastHashJoin" in head, (
+        "df-filter join must run before postings are collected")
+
+
+def test_cooccurrence_pmi_semantics(spark):
+    # one doc "a b a b": window=1 pairs: (a,b),(a,b),(a,b) → n_ab=3
+    d = _docs(spark, ["a b a b"])
+    out = {(r.token_a, r.token_b): r for r in
+           cooccurrence_pmi(d, window=1, min_pair_count=1).collect()}
+    r = out[("a", "b")]
+    assert (r.n_ab, r.n_a, r.n_b) == (3, 2, 2)
+    # T=4 tokens, P=3 pairs total → pmi = ln(3·16/(3·4)) = ln(4)
+    assert r.pmi == round(math.log(4.0), 6)
+    # self-pair a-a at window 1 does not exist in "a b a b"
+    assert ("a", "a") not in out
+
+
+def test_cooccurrence_window_reach(spark):
+    d = _docs(spark, ["a x x b"])
+    near = {(r.token_a, r.token_b)
+            for r in cooccurrence_pmi(d, window=1, min_pair_count=1)
+            .collect()}
+    far = {(r.token_a, r.token_b)
+           for r in cooccurrence_pmi(d, window=3, min_pair_count=1)
+           .collect()}
+    assert ("a", "b") not in near
+    assert ("a", "b") in far
+
+
+def test_registry_has_lexical_entries():
+    from gpu_bdb_spark.queries.registry import all_specs, oracle_sql
+
+    for name in ("inverted_index", "cooccurrence_pmi"):
+        assert name in all_specs()
+        assert oracle_sql()[name]
