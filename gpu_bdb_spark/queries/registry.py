@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "gpu_bdb_spark.queries.temporal_ops",
     "gpu_bdb_spark.queries.pipeline_ops",
     "gpu_bdb_spark.queries.behavior_ops",
+    "gpu_bdb_spark.queries.linkage_ops",
 )
 
 
