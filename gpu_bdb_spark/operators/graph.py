@@ -87,3 +87,80 @@ def pagerank(
     edges.unpersist()
     deg.unpersist()
     return ranks
+
+
+def triangle_count(
+    pairs: DataFrame,
+    id1: str = "id_1",
+    id2: str = "id_2",
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED simple edge list,
+    via the degree-oriented node-iterator algorithm (the MapReduce
+    classic from Suri & Vassilvitskii, WWW'11): orient every edge from
+    its (degree, id)-smaller endpoint to the larger, enumerate wedges
+    by self-joining oriented edges on their source, and close each
+    wedge with a semi-ish join back to the oriented edge set.
+
+    Orientation is what makes this survive skew at scale: a hub node of
+    degree d would otherwise generate d² wedges; after orientation
+    every node's out-degree is O(√m), so the wedge stage is bounded by
+    Σ outdeg² = O(m^{3/2}) TOTAL, independent of hubs. All three
+    stages are codegen'd hash joins/aggregates on long ids — no
+    vectors, no interpreted lambdas, shuffles carry 2-3 longs.
+
+    Input edges are canonicalized (undirected, dedup, self-loops
+    dropped). Returns (node, n_triangles) for nodes in ≥1 triangle.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id1), F.col(id2)).alias("a"),
+            F.greatest(F.col(id1), F.col(id2)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: src = (deg, id)-smaller endpoint
+    ed = (
+        e.join(deg.withColumnsRenamed({"node": "a", "deg": "deg_a"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "deg": "deg_b"}), "b")
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a"))
+        .alias("deg_dst"),
+    )
+    # wedges at u: unordered out-neighbor pairs {v, w}, π-ordered so the
+    # candidate closing edge is exactly v→w in the oriented DAG
+    l = oriented.select(F.col("src"), F.col("dst").alias("v"),
+                        F.col("deg_dst").alias("deg_v"))
+    r = oriented.select(F.col("src"), F.col("dst").alias("w"),
+                        F.col("deg_dst").alias("deg_w"))
+    # keep only π-ordered (v, w): the closing edge, if present, is then
+    # exactly v→w in the oriented DAG, and each wedge appears once
+    wedges = (
+        l.join(r, "src")
+        .filter((F.col("deg_v") < F.col("deg_w"))
+                | ((F.col("deg_v") == F.col("deg_w"))
+                   & (F.col("v") < F.col("w"))))
+        .select(F.col("src").alias("u"), "v", "w")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    nodes = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"))

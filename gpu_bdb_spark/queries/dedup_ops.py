@@ -573,3 +573,46 @@ def minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     return minhash_signatures_portable(d, "text", "doc_id", num_hashes=8)
+
+
+TRIANGLES_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+         GREATEST(l1.l_partkey, l2.l_partkey) AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
+"""
+
+
+@register("triangle_count_parts", oracle=TRIANGLES_ORACLE,
+          tags=("graph", "triangles", "join"))
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the co-purchase graph (parts sharing
+    an order). Spark runs the degree-oriented node-iterator (wedge work
+    bounded O(m^1.5) regardless of hubs — operators/graph.triangle_count);
+    the oracle counts the same triangles with the naive a<b<c three-way
+    join, an independent restatement of the semantics."""
+    from gpu_bdb_spark.operators.graph import triangle_count
+
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                    hint_broadcast=False)
+    l2 = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("id_1"), F.col("p2").alias("id_2"))
+    )
+    return triangle_count(edges)

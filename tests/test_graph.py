@@ -159,3 +159,67 @@ def test_weighted_sample_properties(spark, sf_dir):
         .otherwise(F.col("n_chars")))
     top = weighted_sample_topk(boosted, 5, F.col("n_chars")).collect()
     assert 7 in {r["doc_id"] for r in top}
+
+
+def test_triangle_count_known_graphs(spark):
+    from gpu_bdb_spark.operators.graph import triangle_count
+
+    # K4: every node is in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, "id_1 LONG, id_2 LONG")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # path graph: no triangles at all
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_1 LONG, id_2 LONG")
+    assert triangle_count(path).count() == 0
+
+    # duplicate / reversed / self-loop edges are canonicalized away
+    messy = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)],
+        "id_1 LONG, id_2 LONG")
+    got = {r.node: r.n_triangles for r in triangle_count(messy).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from gpu_bdb_spark.operators.graph import triangle_count
+
+    rng = random.Random(3)
+    n = 16
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.35]
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                expected[v] = expected.get(v, 0) + 1
+    df = spark.createDataFrame(edges, "id_1 LONG, id_2 LONG")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == expected
+
+
+def test_triangle_count_plan_equi_joins_only(spark, sf_dir):
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.graph import triangle_count
+    from gpu_bdb_spark.plans import formatted_plan
+
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                    hint_broadcast=False)
+    l2 = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("id_1"),
+                F.col("p2").alias("id_2"))
+    )
+    plan = formatted_plan(triangle_count(edges))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
