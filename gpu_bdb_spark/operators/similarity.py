@@ -554,3 +554,84 @@ def signed_random_projection(
         .select(F.col(id_col), F.col("j"),
                 F.col("_s").cast("double").alias("proj"))
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_groups: int = 32,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every query vector, the
+    exact cosine top-k among corpus vectors with a DIFFERENT label —
+    the near-but-wrong examples contrastive/embedding training wants.
+
+    Same scale layout as `brute_force_topk` (corpus sharded once,
+    query batch replicated, grouped numpy matmul, global window merge),
+    but the label mask is applied INSIDE the per-shard scorer before
+    the local top-k: filtering after a label-blind local top-k would be
+    wrong, since a shard's top-k can be all same-label, evicting true
+    cross-label winners. Returns (query_id, neighbor_id, rank, cosine);
+    ranks tie-break by neighbor id so ids/ranks are engine-stable.
+    """
+    k = int(k)
+
+    def score(key, cdf, qdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "neighbor_id": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        if cdf.empty or qdf.empty:
+            return empty
+        C = np.vstack(cdf["c_emb"].to_numpy()).astype(np.float64)
+        Q = np.vstack(qdf["q_emb"].to_numpy()).astype(np.float64)
+        nids = cdf["neighbor_id"].to_numpy()
+        nlab = cdf["c_label"].to_numpy()
+        qids = qdf["query_id"].to_numpy()
+        qlab = qdf["q_label"].to_numpy()
+        qn = np.linalg.norm(Q, axis=1)
+        cn = np.linalg.norm(C, axis=1)
+        out_q, out_n, out_c = [], [], []
+        block = 512
+        for lo in range(0, len(Q), block):
+            hi = min(lo + block, len(Q))
+            S = (Q[lo:hi] @ C.T) / np.outer(qn[lo:hi], cn)
+            for i in range(hi - lo):
+                idx = np.flatnonzero(nlab != qlab[lo + i])
+                if not len(idx):
+                    continue
+                row = S[i]
+                sub = idx[np.lexsort((nids[idx], -row[idx]))][:k]
+                out_q.append(np.full(len(sub), qids[lo + i]))
+                out_n.append(nids[sub])
+                out_c.append(row[sub])
+        if not out_q:
+            return empty
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "cosine": np.concatenate(out_c)})
+
+    corpus_g = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        F.col(label_col).alias("c_label"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).alias("gid"))
+    queries_g = corpus.sparkSession.range(n_groups).select(
+        F.col("id").alias("gid")).join(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_emb"),
+                       F.col(label_col).alias("q_label")))
+    scored = corpus_g.groupBy("gid").cogroup(
+        queries_g.groupBy("gid")).applyInPandas(score, _SCORE_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

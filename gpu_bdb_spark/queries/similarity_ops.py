@@ -249,3 +249,46 @@ def project_embeddings_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
                    hint_broadcast=False)
     return signed_random_projection(e, k=8)
+
+
+HARD_NEG_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, label AS c_label
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(CAST(q_vec AS DOUBLE[]),
+                                CAST(c_vec AS DOUBLE[])) AS cosine
+  FROM q, c
+  WHERE q_label <> c_label
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("hard_negatives", oracle=HARD_NEG_ORACLE,
+          tags=("similarity", "contrastive", "ann"))
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: exact cosine top-5 among
+    DIFFERENT-label vectors for every 10th embedding. The label mask is
+    applied inside the per-shard scorer before its local top-k (a
+    label-blind local top-k could evict true cross-label winners);
+    ids/ranks hash-compared, floats excluded as in ann_cosine_topk."""
+    from gpu_bdb_spark.operators.similarity import hard_negative_topk
+
+    e = read_table(spark, sf_dir, "embeddings",
+                   ["vec_id", "embedding", "label"], hint_broadcast=False)
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    return hard_negative_topk(q, e, k=5).select(
+        "query_id", "neighbor_id", "rank")

@@ -263,3 +263,55 @@ def test_signed_random_projection_jl_properties(spark):
     true_sq = sum(x * x for x in f32)
     est = sum(rows[(1, j)] ** 2 for j in range(64)) / 64
     assert 0.5 * true_sq < est < 1.5 * true_sq
+
+
+def test_hard_negative_topk_label_mask(spark):
+    import numpy as np
+
+    from gpu_bdb_spark.operators.similarity import hard_negative_topk
+
+    # query 0 (label 0) is nearly identical to vectors 1,2 (label 0) and
+    # less similar to 3,4 (label 1): same-label near-dups must NOT
+    # appear; the top negatives are exactly 3 then 4.
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], 0),
+        (2, [0.98, 0.02, 0.0], 0),
+        (3, [0.8, 0.6, 0.0], 1),
+        (4, [0.6, 0.8, 0.0], 1),
+        (5, [0.0, 0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    q = df.filter("vec_id = 0")
+    got = [(r.neighbor_id, r.rank)
+           for r in hard_negative_topk(q, df, k=3)
+           .orderBy("rank").collect()]
+    assert got == [(3, 1), (4, 2), (5, 3)]
+
+
+def test_hard_negative_topk_matches_bruteforce(spark):
+    import numpy as np
+
+    from gpu_bdb_spark.operators.similarity import hard_negative_topk
+
+    rng = np.random.default_rng(11)
+    n, d = 80, 8
+    V = rng.normal(size=(n, d))
+    labels = (np.arange(n) % 4).astype(int)
+    rows = [(int(i), [float(x) for x in V[i]], int(labels[i]))
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    q = df.filter("vec_id % 7 = 0")
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in hard_negative_topk(q, df, k=4, n_groups=8).collect()}
+    Vf = V.astype(np.float32).astype(np.float64)
+    S = (Vf @ Vf.T) / np.outer(np.linalg.norm(Vf, axis=1),
+                               np.linalg.norm(Vf, axis=1))
+    for qi in range(0, n, 7):
+        mask = labels != labels[qi]
+        cand = np.flatnonzero(mask)
+        order = cand[np.lexsort((cand, -S[qi][cand]))][:4]
+        for rank, nb in enumerate(order, 1):
+            assert got[(qi, rank)] == nb
