@@ -63,6 +63,15 @@ QUERIES = [
     "upsert_roundtrip",
     "normalize_unicode",
     "weighted_sample",
+    # round-6 entries
+    "cohort_retention",
+    "event_transitions",
+    "decayed_engagement",
+    "inverted_index",
+    "cooccurrence_pmi",
+    "fuzzy_name_pairs",
+    "triangle_count_parts",
+    "hard_negatives",
 ]
 
 

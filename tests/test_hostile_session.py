@@ -51,6 +51,15 @@ QUERIES = [
     "weighted_sample",
     "sentence_explode_udtf",
     "quantile_bins",
+    # round-6: cohort/decay bucket epoch micros and datediff (tz-shape),
+    # transitions order by timestamp, pmi has an edge ln under ANSI
+    "cohort_retention",
+    "event_transitions",
+    "decayed_engagement",
+    "cooccurrence_pmi",
+    "inverted_index",
+    "fuzzy_name_pairs",
+    "triangle_count_parts",
 ]
 
 HOSTILE = {
