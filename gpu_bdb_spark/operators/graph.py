@@ -15,7 +15,7 @@ Design notes shared by every operator here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -164,3 +164,80 @@ def triangle_count(
     )
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+def random_walks(
+    pairs: DataFrame,
+    id1: str = "id_1",
+    id2: str = "id_2",
+    walk_length: int = 4,
+    seed: str = "w",
+) -> DataFrame:
+    """Deterministic uniform random walks over an undirected edge list —
+    the walk-corpus generator of DeepWalk/node2vec-style graph-embedding
+    pipelines (walks become 'sentences' for a skip-gram trainer).
+
+    One walk starts at every node and takes `walk_length` steps. The
+    'randomness' is a portable hash: at step t from node v the walk
+    picks neighbor index md5(seed:walk_id:t:v) mod deg(v) — fully
+    deterministic, partitioning-independent, and reproducible bit-for-
+    bit in any engine with md5 (the repo's portable-RNG contract, same
+    as weighted_sample / minhash_portable).
+
+    Scale: adjacency is built once ((src, dst, idx, deg) via one sort-
+    window per src); each step is ONE equi hash join of the frontier
+    (2 longs + the path string) against adjacency on (src, idx) — the
+    multiplicative blowup of naive path enumeration never appears, the
+    frontier stays exactly |nodes| rows for all steps. walk_length is a
+    fixed small constant, so the loop unrolls into a linear chain of
+    joins (no lineage-cut needed at these depths).
+
+    Returns (walk_id, path) where path is the comma-joined node chain.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id1), F.col(id2)).alias("a"),
+            F.greatest(F.col(id1), F.col(id2)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    w = Window.partitionBy("src").orderBy("dst")
+    wd = Window.partitionBy("src")
+    indexed = adj.select(
+        "src", "dst",
+        (F.row_number().over(w) - 1).cast("long").alias("idx"),
+        F.count(F.lit(1)).over(wd).cast("long").alias("deg"),
+    )
+    frontier = (
+        adj.select("src").distinct()
+        .select(
+            F.col("src").alias("walk_id"),
+            F.col("src").alias("cur"),
+            F.col("src").cast("string").alias("path"),
+        )
+    )
+    for t in range(1, int(walk_length) + 1):
+        pick = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        ":", F.lit(seed), F.col("walk_id").cast("string"),
+                        F.lit(str(t)), F.col("cur").cast("string"))),
+                    1, 8),
+                16, 10).cast("long"),
+            F.col("deg"),
+        )
+        frontier = (
+            frontier.join(indexed, frontier["cur"] == indexed["src"])
+            .filter(F.col("idx") == pick)
+            .select(
+                F.col("walk_id"),
+                F.col("dst").alias("cur"),
+                F.concat_ws(",", F.col("path"),
+                            F.col("dst").cast("string")).alias("path"),
+            )
+        )
+    return frontier.select("walk_id", "path")

@@ -616,3 +616,62 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("id_1"), F.col("p2").alias("id_2"))
     )
     return triangle_count(edges)
+
+
+RANDOM_WALKS_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+         GREATEST(l1.l_partkey, l2.l_partkey) AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+),
+adj AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL
+  SELECT b AS src, a AS dst FROM e0
+),
+idx AS (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+              AS BIGINT) AS idx,
+         CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+  FROM adj
+),
+walk AS (
+  SELECT src AS walk_id, src AS cur, CAST(src AS VARCHAR) AS path,
+         0 AS t
+  FROM (SELECT DISTINCT src FROM adj)
+  UNION ALL
+  SELECT w.walk_id, i.dst,
+         w.path || ',' || CAST(i.dst AS VARCHAR), w.t + 1
+  FROM walk w JOIN idx i
+    ON i.src = w.cur
+   AND i.idx = CAST(concat('0x', substr(md5(
+         'w:' || CAST(w.walk_id AS VARCHAR) || ':'
+         || CAST(w.t + 1 AS VARCHAR) || ':'
+         || CAST(w.cur AS VARCHAR)), 1, 8)) AS BIGINT) % i.deg
+  WHERE w.t < 4
+)
+SELECT walk_id, path FROM walk WHERE t = 4
+"""
+
+
+@register("random_walks_parts", oracle=RANDOM_WALKS_ORACLE,
+          tags=("graph", "random-walk", "embedding-corpus"))
+def random_walks_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus over the co-purchase graph: one
+    4-step walk per node, neighbor choice = portable md5 hash mod
+    degree (deterministic RNG). Each step is one equi hash join of the
+    |nodes|-row frontier against the indexed adjacency; the DuckDB
+    recursive CTE replays the identical chain."""
+    from gpu_bdb_spark.operators.graph import random_walks
+
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                    hint_broadcast=False)
+    l2 = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("id_1"), F.col("p2").alias("id_2"))
+    )
+    return random_walks(edges, walk_length=4, seed="w")

@@ -223,3 +223,43 @@ def test_triangle_count_plan_equi_joins_only(spark, sf_dir):
     )
     plan = formatted_plan(triangle_count(edges))
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_random_walks_follow_edges_and_are_deterministic(spark):
+    import hashlib
+
+    from gpu_bdb_spark.operators.graph import random_walks
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    df = spark.createDataFrame(edges, "id_1 LONG, id_2 LONG")
+    out = {r.walk_id: r.path
+           for r in random_walks(df, walk_length=3, seed="s").collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert set(out) == set(adj)
+    for wid, path in out.items():
+        nodes = [int(x) for x in path.split(",")]
+        assert nodes[0] == wid and len(nodes) == 4
+        for u, v in zip(nodes, nodes[1:]):
+            assert v in adj[u], f"walk used a non-edge {u}->{v}"
+
+    # replay the portable RNG in plain python: identical chains
+    for wid in adj:
+        cur, expect = wid, [wid]
+        for t in range(1, 4):
+            nbrs = sorted(adj[cur])
+            h = int(hashlib.md5(
+                f"s:{wid}:{t}:{cur}".encode()).hexdigest()[:8], 16)
+            cur = nbrs[h % len(nbrs)]
+            expect.append(cur)
+        assert out[wid] == ",".join(str(x) for x in expect)
+
+    again = {r.walk_id: r.path
+             for r in random_walks(df, walk_length=3, seed="s").collect()}
+    assert again == out
+    other_seed = {r.walk_id: r.path
+                  for r in random_walks(df, walk_length=3, seed="t")
+                  .collect()}
+    assert other_seed != out
