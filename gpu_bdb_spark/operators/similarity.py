@@ -635,3 +635,60 @@ def hard_negative_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (the standard
+    hybrid-search combiner): fused(q, d) = Σ_lists 1/(rrf_k + rank),
+    missing membership contributing 0, re-ranked per query.
+
+    RRF is the production answer to hybrid lexical+vector search
+    because it needs NO score calibration — only ranks cross the
+    fusion boundary, so the float cosine scores (which differ in their
+    last bits across engines) never touch the comparison; each
+    reciprocal term is a deterministic double of an integer, quantized
+    to 1e-9 and decimal-summed (exact for any list count), rounded to 6
+    at the edge, ties broken by doc id.
+
+    Scale: both inputs are already top-k-per-query (tiny relative to
+    their corpora); the fuse is a full outer join on (query, doc) and
+    one window — dimension-sized work.
+    """
+    def side(df, alias):
+        return df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.round(F.lit(1.0)
+                    / (F.lit(int(rrf_k)) + F.col(rank_col).cast("double")),
+                    9).cast("decimal(28,9)").alias(alias),
+        )
+
+    fused = (
+        side(lexical, "_l")
+        .join(side(semantic, "_s"), ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id", "doc_id",
+            (F.coalesce(F.col("_l"), F.lit(0).cast("decimal(28,9)"))
+             + F.coalesce(F.col("_s"), F.lit(0).cast("decimal(28,9)")))
+            .alias("_sum"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sum"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(topk))
+        .select(
+            "query_id", "doc_id",
+            F.round(F.col("_sum").cast("double"), 6).alias("rrf_score"),
+            "rank",
+        )
+    )

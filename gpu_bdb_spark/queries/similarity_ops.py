@@ -292,3 +292,77 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 10 == 0)
     return hard_negative_topk(q, e, k=5).select(
         "query_id", "neighbor_id", "rank")
+
+
+def _hybrid_oracle() -> str:
+    from gpu_bdb_spark.queries.text_ops import BM25_ORACLE
+
+    return f"""
+WITH l AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank
+  FROM ({BM25_ORACLE})
+),
+s AS (
+  WITH q2 AS (
+    SELECT vec_id AS query_id, embedding AS q_vec
+    FROM embeddings WHERE vec_id IN (1, 2, 3)
+  ),
+  c2 AS (
+    SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings
+  ),
+  sc2 AS (
+    SELECT query_id, neighbor_id,
+           list_cosine_similarity(CAST(q_vec AS DOUBLE[]),
+                                  CAST(c_vec AS DOUBLE[])) AS cosine
+    FROM q2, c2 WHERE query_id <> neighbor_id
+  )
+  SELECT query_id, neighbor_id AS doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sc2 QUALIFY rank <= 10
+),
+f AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE(CAST(round(1.0 / (60 + l.rank), 9) AS DECIMAL(28,9)),
+                  CAST(0 AS DECIMAL(28,9)))
+         + COALESCE(CAST(round(1.0 / (60 + s.rank), 9) AS DECIMAL(28,9)),
+                    CAST(0 AS DECIMAL(28,9))) AS ssum
+  FROM l FULL OUTER JOIN s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, round(CAST(ssum AS DOUBLE), 6) AS rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY ssum DESC, doc_id) AS BIGINT)
+         AS rank
+FROM f QUALIFY rank <= 10
+"""
+
+
+@register("hybrid_search_rrf", oracle=_hybrid_oracle(),
+          tags=("similarity", "ir", "rrf", "hybrid"))
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 term ranking fused with exact cosine
+    ranking by reciprocal-rank fusion (k=60). Only integer ranks cross
+    the fusion boundary, so engine-variant float scores never touch the
+    hash; reciprocal terms are 1e-9-quantized and decimal-summed. Query
+    ids 1-3 anchor on embeddings 1-3 and the fixed BM25 term sets."""
+    from gpu_bdb_spark.operators.similarity import (brute_force_topk,
+                                                    rrf_fuse)
+    from gpu_bdb_spark.operators.text import bm25_scores
+    from gpu_bdb_spark.queries.text_ops import BM25_QUERIES
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    qterms = spark.createDataFrame(
+        list(BM25_QUERIES), "query_id int, term string")
+    lexical = bm25_scores(d, qterms, "text", "doc_id", k1=1.2, b=0.75,
+                          k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "rank")
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    anchors = e.filter(F.col("vec_id").isin(1, 2, 3))
+    semantic = brute_force_topk(anchors, e, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(lexical, semantic, rrf_k=60, topk=10)

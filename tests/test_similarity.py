@@ -315,3 +315,21 @@ def test_hard_negative_topk_matches_bruteforce(spark):
         order = cand[np.lexsort((cand, -S[qi][cand]))][:4]
         for rank, nb in enumerate(order, 1):
             assert got[(qi, rank)] == nb
+
+
+def test_rrf_fuse_semantics(spark):
+    from gpu_bdb_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id LONG, doc_id LONG, rank LONG")
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id LONG, doc_id LONG, rank LONG")
+    out = {r.doc_id: (r.rrf_score, r.rank)
+           for r in rrf_fuse(lex, sem, rrf_k=60, topk=10).collect()}
+    # doc 11 appears in both lists: 1/62 + 1/61 ≈ 0.032524 → rank 1
+    assert out[11][1] == 1
+    assert out[11][0] == round(round(1 / 62, 9) + round(1 / 61, 9), 6)
+    # singles order by reciprocal rank: 10 (1/61) > 13 (1/62) > 12 (1/63)
+    assert out[10][1] == 2 and out[13][1] == 3 and out[12][1] == 4
