@@ -470,3 +470,51 @@ def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey",
             F.col("_lo1"), F.col("_hi1"),
             F.col("_lo2"), F.col("_hi2"), 10).alias("zkey"))
+
+
+CMS_ORACLE = """
+WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+h AS (
+  SELECT key, d,
+         CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || key),
+                                  1, 8)) AS BIGINT) % 256 AS b
+  FROM keys, unnest([0, 1, 2, 3]) t(d)
+),
+sk AS (SELECT d, b, COUNT(*) AS c FROM h GROUP BY 1, 2),
+cand AS (SELECT DISTINCT key FROM keys),
+ch AS (
+  SELECT key, d,
+         CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || key),
+                                  1, 8)) AS BIGINT) % 256 AS b
+  FROM cand, unnest([0, 1, 2, 3]) t(d)
+),
+est AS (
+  SELECT key, MIN(c) AS est_cnt
+  FROM ch JOIN sk USING (d, b) GROUP BY key
+),
+tru AS (SELECT key, COUNT(*) AS true_cnt FROM keys GROUP BY key)
+SELECT e.key, e.est_cnt, t.true_cnt
+FROM est e JOIN tru t USING (key)
+"""
+
+
+@register("cms_user_counts", oracle=CMS_ORACLE,
+          tags=("sketch", "count-min", "heavy-hitters"))
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 × width 256, md5 hash family) built
+    over event user ids, point-estimated for every distinct user and
+    joined to true counts. Because the hash family is md5-portable the
+    whole sketch is replayed exactly by the DuckDB oracle — an
+    exact-hash sketch check (the HLL tier stays rows-only by nature).
+    The sketch is a constant depth×width frame however large the input;
+    estimates broadcast-join it."""
+    from gpu_bdb_spark.operators.sketch import cms_build, cms_estimate
+
+    e = read_table(spark, sf_dir, "events", ["user_id"],
+                   hint_broadcast=False)
+    keys = e.select(F.col("user_id").cast("string").alias("key"))
+    sketch = cms_build(keys, F.col("key"), depth=4, width=256)
+    cand = keys.distinct()
+    est = cms_estimate(sketch, cand, "key", depth=4, width=256)
+    tru = keys.groupBy("key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return est.join(tru, "key").select("key", "est_cnt", "true_cnt")

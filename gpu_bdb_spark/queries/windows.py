@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpu_bdb_spark.functions import dec
+from gpu_bdb_spark.functions import dec, micros
 from gpu_bdb_spark.io import read_table
 from gpu_bdb_spark.operators.sessionize import session_stats, sessionize
 from gpu_bdb_spark.operators.stats import regression_sums, slope_intercept
@@ -367,3 +367,41 @@ def sales_slope_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums = regression_sums(daily, ["p_brand"], F.col("day_num"), F.col("day_rev"))
     return slope_intercept(sums).select("p_brand", "n", "slope", "intercept")
+
+
+ROLLING_24H_ORACLE = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_24h,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE), 2)
+         AS sum_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("rolling_user_24h", oracle=ROLLING_24H_ORACLE,
+          tags=("window", "range-frame", "rolling"))
+def rolling_user_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-24-hour activity: count and exact decimal sum
+    of the same user's events in a RANGE frame over epoch micros (the
+    moving-aggregate shape; RANGE — not ROWS — so simultaneous events
+    are full peers in both engines). One shuffle on user_id; the frame
+    is evaluated by Spark's sliding window aggregator, never a
+    self-join."""
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "user_id", "ts", "value"],
+                   hint_broadcast=False)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,4)")).over(w)
+            .cast("double"), 2).alias("sum_24h"),
+    )
