@@ -162,3 +162,61 @@ def streaming_gapfill_locf(events: DataFrame, step_s: int = 3600) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_transitions(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/behavior.transition_matrix: per-user
+    event-type transition counts maintained incrementally with O(1)
+    state per key — only the (ts, event_id, type) of the LAST seen
+    event survives between micro-batches, never a buffer of events.
+
+    Each micro-batch sorts its rows per user by (ts, event_id), chains
+    them onto the carried last event, and emits that batch's
+    (user_id, from_type, to_type, n) increments in append mode.
+    Summing the emitted increments over a drained stream equals the
+    batch operator's per-user transition counts exactly (pinned in
+    tests/test_streaming.py). Caveat (same contract as
+    streaming_gapfill_locf): micro-batches must arrive in
+    non-decreasing event-time order per user — true for replay/tailing
+    sources; out-of-order arrival needs the watermarking twin.
+    """
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        frames = [p for p in pdfs if len(p)]
+        last = state.get() if state.exists else None
+        if not frames:
+            if last is None:
+                return
+            state.update(last)
+            return
+        pdf = _pd.concat(frames).sort_values(["ts", "event_id"])
+        types = list(pdf["event_type"])
+        chain = ([last[2]] if last is not None else []) + types
+        counts = {}
+        for a, b in zip(chain, chain[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        tail = pdf.iloc[-1]
+        state.update((int(tail["ts"].value), int(tail["event_id"]),
+                      str(tail["event_type"])))
+        if counts:
+            ks = sorted(counts)
+            yield _pd.DataFrame({
+                "user_id": [key[0]] * len(ks),
+                "from_type": [a for a, _ in ks],
+                "to_type": [b for _, b in ks],
+                "n": [counts[k] for k in ks],
+            })
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, from_type string, to_type string, n long"),
+            stateStructType="ts long, event_id long, t string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -532,3 +532,39 @@ def test_streaming_gapfill_locf_equals_batch(spark, events_stream):
             | (np.isnan(got["value"].values.astype(float))
                & np.isnan(expect["value"].values.astype(float)))).all()
     assert (got["is_gap"].values == expect["is_gap"].values).all()
+
+
+def test_streaming_transitions_equals_batch(spark, events_stream):
+    """Drained stream: summed transition increments equal the batch
+    lag-window transition counts per (user, from, to) exactly."""
+    from pyspark.sql.window import Window
+
+    from gpu_bdb_spark.streaming.stateful import streaming_transitions
+
+    batch, stream = events_stream
+    got = _run_to_memory_append(
+        spark,
+        streaming_transitions(
+            stream.filter(F.col("user_id").isNotNull())
+            .select("user_id", "ts", "event_id", "event_type")),
+        "transitions_stream")
+    got = (got.groupby(["user_id", "from_type", "to_type"])["n"]
+           .sum().reset_index())
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+    expect = (
+        batch.filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id",
+                F.col("event_type").alias("to_type"))
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("user_id", "from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    key = ["user_id", "from_type", "to_type"]
+    got = got.sort_values(key, ignore_index=True)
+    expect = expect.sort_values(key, ignore_index=True)
+    assert len(got) == len(expect) > 0
+    assert got[key].equals(expect[key])
+    assert (got["n"].values == expect["n"].values).all()
