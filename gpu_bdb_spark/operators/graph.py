@@ -132,6 +132,10 @@ def triangle_count(
     )
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    # consumed three times (wedge left, wedge right, closure) — but do
+    # NOT persist: the identical subtree dedups via ReusedExchange, and
+    # an explicit cache measured SLOWER at sf0.1 (111.7 s → 134.6 s;
+    # InMemoryRelation blocks the reuse and adds memory pressure)
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
@@ -206,6 +210,10 @@ def random_walks(
         e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     w = Window.partitionBy("src").orderBy("dst")
     wd = Window.partitionBy("src")
+    # joined once per step, but NOT persisted: the identical adjacency
+    # subtree dedups via ReusedExchange across all steps (8-step probe
+    # at sf0.1: 17.0 s un-persisted vs 46.8 s persisted — the cache
+    # disabled the reuse and paid 2.4M-row materialization instead)
     indexed = adj.select(
         "src", "dst",
         (F.row_number().over(w) - 1).cast("long").alias("idx"),
