@@ -194,3 +194,65 @@ def decayed_engagement(
             F.round(F.col("_s").cast("double"), 6).alias("decayed_score"),
         )
     )
+
+
+def ab_test_conversion(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    salt: str = "ab1",
+) -> DataFrame:
+    """Two-arm experiment readout: users hash-split into arms A/B by a
+    portable md5 coin (deterministic, re-runnable, engine-independent),
+    conversion = the user emitted `convert_type` at least once; outputs
+    one row with per-arm counts/rates and the pooled two-proportion
+    z-statistic.
+
+    Exactness: every ratio is a double division of exact integers in a
+    FIXED operation order; IEEE-754 requires /, * and sqrt to be
+    correctly rounded, so the z-statistic is bit-identical in any
+    compliant engine — no quantization needed, round-6 at the edge for
+    the hash contract. Layout: per-user any-conversion is one hash
+    aggregate over (user, converted); the readout is a two-row
+    aggregate collapsed to scalars.
+    """
+    coin = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt),
+                                  F.col(user_col).cast("string"))), 1, 8),
+            16, 10).cast("long"),
+        F.lit(2),
+    )
+    per_user = (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.max(F.when(F.col(type_col) == convert_type, 1).otherwise(0))
+            .alias("converted"))
+        .select("user_id", "converted",
+                F.when(coin == 0, "A").otherwise("B").alias("arm"))
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = arms.groupBy().agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    p_pool = ((F.col("conv_a") + F.col("conv_b")).cast("double")
+              / (F.col("n_a") + F.col("n_b")).cast("double"))
+    se = F.sqrt(p_pool * (F.lit(1.0) - p_pool)
+                * (F.lit(1.0) / F.col("n_a").cast("double")
+                   + F.lit(1.0) / F.col("n_b").cast("double")))
+    return wide.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round((rate_a - rate_b) / se, 6).alias("z_score"),
+    )

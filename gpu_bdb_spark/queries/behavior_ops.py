@@ -135,3 +135,53 @@ def decayed_engagement_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_engagement(
         spark, e, _DECAY_ANCHOR,
         half_life_days=_DECAY_HALF_LIFE, max_age_days=_DECAY_MAX_AGE)
+
+
+AB_TEST_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted,
+         CASE WHEN CAST(concat('0x',
+                substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+  FROM per_user GROUP BY arm
+),
+wide AS (
+  SELECT CAST(MAX(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+         CAST(MAX(CASE WHEN arm = 'A' THEN conv END) AS BIGINT) AS conv_a,
+         CAST(MAX(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
+         CAST(MAX(CASE WHEN arm = 'B' THEN conv END) AS BIGINT) AS conv_b
+  FROM arms
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                       + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z_score
+FROM wide
+"""
+
+
+@register("ab_test_conversion", oracle=AB_TEST_ORACLE,
+          tags=("behavior", "experiment", "ab-test"))
+def ab_test_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm conversion experiment readout over the events stream:
+    md5-coin arm assignment, per-user any-purchase conversion, pooled
+    two-proportion z-statistic. IEEE-correctly-rounded /,*,sqrt in a
+    fixed order make the statistic bit-identical cross-engine."""
+    from gpu_bdb_spark.operators.behavior import ab_test_conversion
+
+    e = read_table(spark, sf_dir, "events", ["user_id", "event_type"],
+                   hint_broadcast=False)
+    return ab_test_conversion(e)

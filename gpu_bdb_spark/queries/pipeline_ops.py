@@ -696,3 +696,33 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "n_chars"],
                    hint_broadcast=False)
     return weighted_sample_topk(d, 100, F.col("n_chars"))
+
+
+DELETE_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 0
+"""
+
+
+@register("delete_roundtrip", oracle=DELETE_ORACLE,
+          tags=("pipeline", "maintenance", "delete", "gdpr"))
+def delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write parquet DELETE end to end through real writes
+    (the GDPR-erasure twin of upsert_roundtrip): base = docs with
+    doc_id % 3 != 0; delete batch = doc_id % 7 == 0; the re-read
+    survivor set must match the declarative anti-filter exactly."""
+    import os
+    import tempfile
+
+    from gpu_bdb_spark.sources import delete_keys_parquet
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "lang"],
+                   hint_broadcast=False)
+    work = os.path.join(tempfile.gettempdir(), "gpu_bdb_spark_delete",
+                        os.path.basename(sf_dir.rstrip("/")))
+    base = d.filter(F.col("doc_id") % 3 != 0)
+    base.write.mode("overwrite").parquet(os.path.join(work, "base"))
+    dels = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return delete_keys_parquet(
+        spark, os.path.join(work, "base"), dels, "doc_id",
+        os.path.join(work, "survivors"))

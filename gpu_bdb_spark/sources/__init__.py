@@ -307,3 +307,32 @@ def upsert_parquet(
     merged = keep.select(*cols).unionByName(updates.select(*cols))
     merged.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+def delete_keys_parquet(
+    spark: SparkSession,
+    base_path: str,
+    delete_keys: DataFrame,
+    key_col: str,
+    out_path: str,
+) -> DataFrame:
+    """Copy-on-write DELETE for plain parquet tables — the
+    right-to-erasure / retention-policy maintenance op (lakehouse
+    DELETE FROM, on the format this engine ships): rows whose key
+    appears in `delete_keys` are dropped, everything else is rewritten
+    verbatim.
+
+    One LEFT ANTI join (broadcast — a deletion batch is dimension-sized
+    by nature) + write. Copy-on-write cost is proportional to the BASE
+    table; at 100 TB run it per partition-directory so only partitions
+    containing deleted keys rewrite, and pair with a key→partition
+    index (e.g. the zorder layout) to find them without a full scan.
+
+    Returns the surviving table as re-read from `out_path`.
+    """
+    base = spark.read.parquet(base_path)
+    kept = base.join(
+        F.broadcast(delete_keys.select(key_col).distinct()),
+        key_col, "left_anti")
+    kept.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

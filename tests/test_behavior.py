@@ -111,3 +111,49 @@ def test_registry_has_behavior_entries():
                  "decayed_engagement"):
         assert name in specs
         assert oracle_sql()[name]
+
+
+def test_ab_test_conversion_semantics(spark):
+    import hashlib
+    import math
+
+    from gpu_bdb_spark.operators.behavior import ab_test_conversion
+
+    rows = []
+    for u in range(40):
+        rows.append((u, "view"))
+        if u % 3 == 0:
+            rows.append((u, "purchase"))
+    df = spark.createDataFrame(rows, "user_id LONG, event_type STRING")
+    r = ab_test_conversion(df).collect()[0]
+
+    def arm(u):
+        h = int(hashlib.md5(f"ab1:{u}".encode()).hexdigest()[:8], 16)
+        return "A" if h % 2 == 0 else "B"
+
+    n = {"A": 0, "B": 0}
+    conv = {"A": 0, "B": 0}
+    for u in range(40):
+        a = arm(u)
+        n[a] += 1
+        conv[a] += 1 if u % 3 == 0 else 0
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (
+        n["A"], conv["A"], n["B"], conv["B"])
+    pa, pb = conv["A"] / n["A"], conv["B"] / n["B"]
+    pp = (conv["A"] + conv["B"]) / (n["A"] + n["B"])
+    z = (pa - pb) / math.sqrt(
+        pp * (1.0 - pp) * (1.0 / n["A"] + 1.0 / n["B"]))
+    assert r.z_score == round(z, 6)
+
+
+def test_delete_keys_parquet_roundtrip(spark, tmp_path):
+    from gpu_bdb_spark.sources import delete_keys_parquet
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k LONG, v STRING")
+    base.write.mode("overwrite").parquet(str(tmp_path / "base"))
+    dels = spark.createDataFrame([(i,) for i in range(0, 20, 4)], "k LONG")
+    out = delete_keys_parquet(spark, str(tmp_path / "base"), dels, "k",
+                              str(tmp_path / "out"))
+    got = sorted(r.k for r in out.collect())
+    assert got == [i for i in range(20) if i % 4 != 0]

@@ -72,6 +72,12 @@ QUERIES = [
     "fuzzy_name_pairs",
     "triangle_count_parts",
     "hard_negatives",
+    "random_walks_parts",
+    "hybrid_search_rrf",
+    "rolling_user_24h",
+    "cms_user_counts",
+    "ab_test_conversion",
+    "delete_roundtrip",
 ]
 
 

@@ -60,6 +60,11 @@ QUERIES = [
     "inverted_index",
     "fuzzy_name_pairs",
     "triangle_count_parts",
+    "random_walks_parts",
+    "hybrid_search_rrf",
+    "rolling_user_24h",
+    "cms_user_counts",
+    "ab_test_conversion",
 ]
 
 HOSTILE = {
