@@ -86,3 +86,68 @@ def pair_counts_compact(
         .groupBy(F.col("p.a").alias(c1), F.col("p.b").alias(c2))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def frequent_triples(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+    out_prefix: str = "item",
+) -> DataFrame:
+    """Frequent 3-itemsets with A-priori candidate pruning (Agrawal &
+    Srikant '94): candidate triples are generated ONLY from frequent
+    pairs — (a,b,c) is a candidate iff (a,b), (b,c) AND (a,c) are all
+    min_support-frequent — then counted against the baskets.
+
+    The pruning is the scale story: the naive 3-way basket self-join
+    touches Σ basket³ rows; here the cubic work happens only on the
+    (tiny, downward-closed) frequent-pair lattice, and support counting
+    streams the baskets through three equi joins on (group, item)
+    against the candidate set. The basket frame is consumed three
+    times — identical subtree, deduped by ReusedExchange (measured
+    rule: don't persist, see SCALE.md round 6). Output equals the
+    unpruned count-all-triples semantics exactly (downward closure
+    guarantees no frequent triple is pruned).
+
+    Returns (`{out_prefix}_1..3`, support) with _1 < _2 < _3.
+    """
+    c1, c2, c3 = (f"{out_prefix}_{k}" for k in (1, 2, 3))
+    base = (
+        df.select(F.col(group_col).alias("_g"),
+                  F.col(item_col).alias("_i"))
+        .filter(F.col("_g").isNotNull() & F.col("_i").isNotNull())
+        .distinct()
+    )
+    l2 = (
+        base.alias("x")
+        .join(base.alias("y"),
+              (F.col("x._g") == F.col("y._g"))
+              & (F.col("x._i") < F.col("y._i")))
+        .groupBy(F.col("x._i").alias("a"), F.col("y._i").alias("b"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= F.lit(int(min_support)))
+        .select("a", "b")
+    )
+    # extend (a,b)×(b,c) and prune by the third edge (a,c) ∈ L2
+    cand = (
+        l2.alias("p")
+        .join(l2.alias("q"), F.col("p.b") == F.col("q.a"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+                F.col("q.b").alias("c"))
+        .join(l2.withColumnsRenamed({"b": "c"}), ["a", "c"], "left_semi")
+    )
+    # support counting: stream baskets through three (group, item) joins
+    hits = (
+        base.join(F.broadcast(cand), base["_i"] == cand["a"])
+        .select("_g", "a", "b", "c")
+        .join(base.withColumnsRenamed({"_i": "b"}), ["_g", "b"])
+        .join(base.withColumnsRenamed({"_i": "c"}), ["_g", "c"])
+    )
+    return (
+        hits.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= F.lit(int(min_support)))
+        .select(F.col("a").alias(c1), F.col("b").alias(c2),
+                F.col("c").alias(c3), "support")
+    )

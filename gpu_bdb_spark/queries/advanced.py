@@ -518,3 +518,61 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cms_estimate(sketch, cand, "key", depth=4, width=256)
     tru = keys.groupBy("key").agg(F.count(F.lit(1)).alias("true_cnt"))
     return est.join(tru, "key").select("key", "est_cnt", "true_cnt")
+
+
+OUTLIERS_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         ROUND(ABS(e.value - m.med), 6) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type,
+       ROUND(d.value, 6) AS value,
+       d.med, m.mad,
+       CAST(CASE WHEN ROUND(ABS(d.value - d.med), 6) > 3.0 * m.mad
+                 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM dev d JOIN mad m USING (event_type)
+"""
+
+
+@register("outliers_mad", oracle=OUTLIERS_MAD_ORACLE,
+          tags=("stats", "robust", "outliers", "percentile"))
+def outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags per event type: |value − median| > 3·MAD
+    (median absolute deviation — the robust z-score, immune to the
+    outliers it hunts, unlike stddev). Two exact-percentile passes over
+    a per-type aggregate; the per-type medians/MADs are group-count
+    frames that broadcast back onto the fact scan. Medians and
+    deviations are round-6 quantized BEFORE every comparison (the
+    repo's interpolated-percentile contract)."""
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "event_type", "value"],
+                   hint_broadcast=False)
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med"))
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .select("event_id", "event_type", "value", "med",
+                F.round(F.abs(F.col("value") - F.col("med")), 6)
+                .alias("adev"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id", "event_type",
+            F.round(F.col("value"), 6).alias("value"),
+            "med", "mad",
+            (F.round(F.abs(F.col("value") - F.col("med")), 6)
+             > F.lit(3.0) * F.col("mad")).cast("int").alias("is_outlier"),
+        )
+    )

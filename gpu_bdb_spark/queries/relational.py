@@ -743,3 +743,32 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(t).alias(f"n_{t}") for t in EVENT_TYPES
     ]
     return piv.select(*renames)
+
+
+FREQUENT_TRIPLES_ORACLE = """
+WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+t AS (
+  SELECT b1.i AS item_1, b2.i AS item_2, b3.i AS item_3,
+         COUNT(*) AS support
+  FROM b b1
+  JOIN b b2 ON b1.g = b2.g AND b1.i < b2.i
+  JOIN b b3 ON b1.g = b3.g AND b2.i < b3.i
+  GROUP BY 1, 2, 3
+)
+SELECT item_1, item_2, item_3, support FROM t WHERE support >= 2
+"""
+
+
+@register("frequent_triples", oracle=FREQUENT_TRIPLES_ORACLE,
+          tags=("basket", "apriori", "itemsets"))
+def frequent_triples_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part 3-itemsets (support ≥ 2) across orders. Spark runs
+    A-priori: candidates only from the frequent-pair lattice (all three
+    sub-pairs frequent — downward closure), then three basket joins
+    count support; the oracle is the unpruned cubic self-join, proving
+    pruning loses nothing."""
+    from gpu_bdb_spark.operators.pairs import frequent_triples
+
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                    hint_broadcast=False)
+    return frequent_triples(li, "l_orderkey", "l_partkey", min_support=2)

@@ -78,6 +78,8 @@ QUERIES = [
     "cms_user_counts",
     "ab_test_conversion",
     "delete_roundtrip",
+    "frequent_triples",
+    "outliers_mad",
 ]
 
 

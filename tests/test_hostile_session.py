@@ -65,6 +65,8 @@ QUERIES = [
     "rolling_user_24h",
     "cms_user_counts",
     "ab_test_conversion",
+    "frequent_triples",
+    "outliers_mad",
 ]
 
 HOSTILE = {

@@ -367,3 +367,50 @@ def test_quantile_bins_approx_tracks_exact_deciles(spark, sf_dir):
         assert 0.8 * total / 10 <= r["n"] <= 1.2 * total / 10, rows
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"], "bins overlap"
+
+
+def test_frequent_triples_apriori_equals_bruteforce(spark):
+    import itertools
+    import random
+
+    from gpu_bdb_spark.operators.pairs import frequent_triples
+
+    rng = random.Random(5)
+    rows = []
+    for g in range(60):
+        items = rng.sample(range(12), rng.randint(2, 6))
+        rows += [(g, i) for i in items]
+    df = spark.createDataFrame(rows, "g LONG, i LONG")
+    got = {(r.item_1, r.item_2, r.item_3): r.support
+           for r in frequent_triples(df, "g", "i", min_support=2)
+           .collect()}
+    baskets = {}
+    for g, i in rows:
+        baskets.setdefault(g, set()).add(i)
+    expected = {}
+    for items in baskets.values():
+        for t in itertools.combinations(sorted(items), 3):
+            expected[t] = expected.get(t, 0) + 1
+    expected = {t: s for t, s in expected.items() if s >= 2}
+    assert got == expected
+
+
+def test_outliers_mad_flags_planted_outlier(spark):
+    from gpu_bdb_spark.queries.registry import all_specs
+
+    # semantics sanity on the registered entry output at test SF
+    import os
+    out = all_specs()["outliers_mad"].fn(
+        spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                              "/root/testdata/sf0.001")).toPandas()
+    assert set(out["is_outlier"].unique()) <= {0, 1}
+    flagged = out[out["is_outlier"] == 1]
+    ok = out[out["is_outlier"] == 0]
+    if len(flagged):
+        # every flagged deviation strictly exceeds every same-type
+        # unflagged deviation's bound
+        for et, grp in out.groupby("event_type"):
+            f = grp[grp.is_outlier == 1]
+            if len(f):
+                assert (abs(f["value"] - f["med"])
+                        > 3 * f["mad"]).all()
