@@ -366,3 +366,43 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic = brute_force_topk(anchors, e, k=10).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse(lexical, semantic, rrf_k=60, topk=10)
+
+
+CENTROIDS_ORACLE = """
+WITH u AS (
+  SELECT label, i - 1 AS dim,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(28,9))
+           AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+)
+SELECT CAST(label AS INT) AS label, CAST(dim AS INT) AS dim,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS centroid
+FROM u GROUP BY label, dim
+"""
+
+
+@register("label_centroids", oracle=CENTROIDS_ORACLE,
+          tags=("similarity", "vector-agg", "centroid"))
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label embedding centroids in long form (label, dim, n,
+    centroid): components quantized to 1e-9 and decimal-summed, so the
+    mean is partitioning- and engine-independent — the exact-oracled
+    counterpart of the k-means operator's float-internal centroids.
+    posexplode → one hash aggregate on (label, dim); the shuffle
+    carries (int, int, decimal), never vectors."""
+    e = read_table(spark, sf_dir, "embeddings", ["embedding", "label"],
+                   hint_broadcast=False)
+    u = e.select(
+        F.col("label").cast("int").alias("label"),
+        F.posexplode("embedding").alias("dim", "_x"),
+    ).select(
+        "label", F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("_x").cast("double"), 9)
+        .cast("decimal(28,9)").alias("v"),
+    )
+    return u.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6)
+        .alias("centroid"),
+    )

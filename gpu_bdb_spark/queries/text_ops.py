@@ -1132,3 +1132,69 @@ def cooccurrence_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     return cooccurrence_pmi(d, "text", "doc_id", window=3, min_pair_count=5)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MLM masking (BERT-style 15%) — long-form output
+# ---------------------------------------------------------------------------
+
+MLM_MASK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '') AS ws
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS token
+  FROM t, unnest(generate_series(1, len(ws))) r(i)
+),
+m AS (
+  SELECT doc_id, pos, token,
+         CAST(concat('0x', substr(md5(
+              'mlm:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 15
+           AS hit
+  FROM pos
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       CASE WHEN hit THEN '[MASK]' ELSE token END AS token_out,
+       CAST(CASE WHEN hit THEN 1 ELSE 0 END AS INT) AS is_masked,
+       CASE WHEN hit THEN token END AS target
+FROM m
+"""
+
+
+@register("mask_tokens_mlm", oracle=MLM_MASK_ORACLE,
+          tags=("text", "mlm", "masking", "training-data"))
+def mask_tokens_mlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BERT-style masked-LM corpus: each token position
+    masks with P=15% decided by the portable md5 coin on (doc, pos) —
+    reproducible across runs, engines and partitionings, which is what
+    makes training-data generation auditable. Long-form output
+    (doc_id, pos, token_out, is_masked, target): zero reassembly, the
+    whole pipeline is posexplode + codegen'd column expressions, no
+    interpreted array lambdas."""
+    toks = tokenize("text")
+    pos = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                     hint_broadcast=False).select(
+        "doc_id", F.posexplode(toks).alias("pos", "token"))
+    hit = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        ":", F.lit("mlm"),
+                        F.col("doc_id").cast("string"),
+                        F.col("pos").cast("string"))), 1, 8),
+                16, 10).cast("long"),
+            F.lit(100),
+        ) < 15
+    )
+    return pos.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.when(hit, F.lit("[MASK]")).otherwise(F.col("token"))
+        .alias("token_out"),
+        hit.cast("int").alias("is_masked"),
+        F.when(hit, F.col("token")).alias("target"),
+    )

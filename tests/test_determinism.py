@@ -80,6 +80,8 @@ QUERIES = [
     "delete_roundtrip",
     "frequent_triples",
     "outliers_mad",
+    "label_centroids",
+    "mask_tokens_mlm",
 ]
 
 

@@ -67,6 +67,8 @@ QUERIES = [
     "ab_test_conversion",
     "frequent_triples",
     "outliers_mad",
+    "label_centroids",
+    "mask_tokens_mlm",
 ]
 
 HOSTILE = {

@@ -84,3 +84,40 @@ def test_registry_has_lexical_entries():
     for name in ("inverted_index", "cooccurrence_pmi"):
         assert name in all_specs()
         assert oracle_sql()[name]
+
+
+def test_mask_tokens_mlm_rng_replay_and_rate(spark, sf_dir):
+    import hashlib
+
+    from gpu_bdb_spark.queries.registry import all_specs
+
+    out = all_specs()["mask_tokens_mlm"].fn(spark, sf_dir).toPandas()
+    # replay the coin for a sample of rows
+    for _, r in out.head(200).iterrows():
+        h = int(hashlib.md5(
+            f"mlm:{r.doc_id}:{r.pos}".encode()).hexdigest()[:8], 16)
+        assert (h % 100 < 15) == bool(r.is_masked)
+        if r.is_masked:
+            assert r.token_out == "[MASK]" and r.target is not None
+        else:
+            assert r.token_out != "[MASK]" or r.target is None
+    rate = out["is_masked"].mean()
+    assert 0.10 < rate < 0.20  # 15% coin over tens of thousands of tokens
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.queries.registry import all_specs
+
+    out = all_specs()["label_centroids"].fn(spark, sf_dir).toPandas()
+    e = read_table(spark, sf_dir, "embeddings",
+                   ["embedding", "label"]).toPandas()
+    for lbl, grp in e.groupby("label"):
+        V = np.round(np.vstack(grp["embedding"].to_numpy())
+                     .astype(np.float64), 9)
+        mean = V.mean(axis=0)
+        sub = out[out.label == lbl].sort_values("dim")
+        assert (sub["n"] == len(grp)).all()
+        assert np.allclose(sub["centroid"].to_numpy(), mean, atol=2e-6)
