@@ -772,3 +772,75 @@ def frequent_triples_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
                     hint_broadcast=False)
     return frequent_triples(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+ASSOC_RULES_ORACLE = """
+WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+n AS (SELECT COUNT(DISTINCT g) AS n_baskets FROM b),
+item AS (SELECT i, COUNT(*) AS s FROM b GROUP BY i),
+pair AS (
+  SELECT b1.i AS a, b2.i AS c, COUNT(*) AS s_ab
+  FROM b b1 JOIN b b2 ON b1.g = b2.g AND b1.i <> b2.i
+  GROUP BY 1, 2
+)
+SELECT p.a AS antecedent, p.c AS consequent, p.s_ab AS support_ab,
+       ia.s AS support_a, ic.s AS support_c,
+       ROUND(CAST(p.s_ab AS DOUBLE) / CAST(ia.s AS DOUBLE), 6)
+         AS confidence,
+       ROUND(CAST(p.s_ab AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)
+             / (CAST(ia.s AS DOUBLE) * CAST(ic.s AS DOUBLE)), 6) AS lift
+FROM pair p
+JOIN item ia ON ia.i = p.a
+JOIN item ic ON ic.i = p.c
+CROSS JOIN n
+WHERE p.s_ab >= 3
+"""
+
+
+@register("association_rules", oracle=ASSOC_RULES_ORACLE,
+          tags=("basket", "association-rules", "lift"))
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules a→c over order baskets with
+    confidence = s(ab)/s(a) and lift = N·s(ab)/(s(a)·s(c)), support
+    floor 3. Basket self-join for directed pair counts (both
+    directions — a rule is ordered), item supports re-attach by
+    broadcast (item-dimension-sized), basket count is one scalar. All
+    ratios divide exact integers."""
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                    hint_broadcast=False)
+    b = (
+        li.select(F.col("l_orderkey").alias("g"),
+                  F.col("l_partkey").alias("i"))
+        .filter(F.col("g").isNotNull() & F.col("i").isNotNull())
+        .distinct()
+    )
+    n = b.select(F.countDistinct("g").cast("long").alias("n_baskets"))
+    item = b.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("s"))
+    pair = (
+        b.alias("x").join(b.alias("y"),
+                          (F.col("x.g") == F.col("y.g"))
+                          & (F.col("x.i") != F.col("y.i")))
+        .groupBy(F.col("x.i").alias("antecedent"),
+                 F.col("y.i").alias("consequent"))
+        .agg(F.count(F.lit(1)).alias("support_ab"))
+        .filter(F.col("support_ab") >= 3)
+    )
+    return (
+        pair.join(F.broadcast(item.withColumnsRenamed(
+            {"i": "antecedent", "s": "support_a"})), "antecedent")
+        .join(F.broadcast(item.withColumnsRenamed(
+            {"i": "consequent", "s": "support_c"})), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent", "consequent", "support_ab", "support_a",
+            "support_c",
+            F.round(F.col("support_ab").cast("double")
+                    / F.col("support_a").cast("double"), 6)
+            .alias("confidence"),
+            F.round(F.col("support_ab").cast("double")
+                    * F.col("n_baskets").cast("double")
+                    / (F.col("support_a").cast("double")
+                       * F.col("support_c").cast("double")), 6)
+            .alias("lift"),
+        )
+    )

@@ -405,3 +405,67 @@ def rolling_user_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,4)")).over(w)
             .cast("double"), 2).alias("sum_24h"),
     )
+
+
+SCD2_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM o
+),
+runs AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+         any_value(event_type) AS event_type,
+         MIN(ts) AS valid_from,
+         COUNT(*) AS n_events
+  FROM r GROUP BY user_id, run_id
+)
+SELECT user_id, run_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       n_events
+FROM runs
+"""
+
+
+@register("scd2_intervals", oracle=SCD2_ORACLE,
+          tags=("window", "scd2", "gaps-and-islands"))
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: consecutive
+    same-type runs per user collapse to (valid_from, valid_to)
+    intervals via gaps-and-islands (change flag → running run id → run
+    aggregate → lead for the closing edge). Both windows share the
+    user partitioning, so the whole history build is ONE shuffle."""
+    e = read_table(spark, sf_dir, "events",
+                   ["user_id", "ts", "event_id", "event_type"],
+                   hint_broadcast=False)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    r = e.select(
+        "user_id", "ts", "event_id", "event_type", chg.alias("chg")
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    runs = r.groupBy("user_id", "run_id").agg(
+        F.any_value("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id", "run_id", "event_type", "valid_from",
+        F.lead("valid_from").over(wr).alias("valid_to"),
+        "n_events",
+    )

@@ -69,6 +69,8 @@ QUERIES = [
     "outliers_mad",
     "label_centroids",
     "mask_tokens_mlm",
+    "association_rules",
+    "scd2_intervals",
 ]
 
 HOSTILE = {
