@@ -6,8 +6,6 @@ from __future__ import annotations
 import datetime as dt
 import re
 
-from pyspark.sql import functions as F
-
 from gpu_bdb_spark.operators.behavior import (
     cohort_retention,
     decay_weights,
