@@ -185,3 +185,118 @@ def ab_test_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events", ["user_id", "event_type"],
                    hint_broadcast=False)
     return ab_test_conversion(e)
+
+
+ORDERED_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.view_ts, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id, v.view_ts
+),
+p AS (
+  SELECT e.user_id, c.view_ts, c.click_ts, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id, c.view_ts, c.click_ts
+)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+       CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS completed
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
+@register("ordered_funnel", oracle=ORDERED_FUNNEL_ORACLE,
+          tags=("behavior", "funnel", "ordered-steps"))
+def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered funnel (view → click → purchase, strictly
+    increasing timestamps, earliest completion): each stage is a
+    min-aggregate joined forward — the timestamps are PICKED from the
+    data, never computed, so the result is exact by construction. Per
+    stage one join + one aggregate on user_id; all stages share the
+    user partitioning."""
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_type"],
+                   hint_broadcast=False)
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("view_ts")))
+    c = (e.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter(F.col("ts") > F.col("view_ts"))
+         .groupBy("user_id", "view_ts")
+         .agg(F.min("ts").alias("click_ts")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c.select("user_id", "click_ts"), "user_id")
+         .filter(F.col("ts") > F.col("click_ts"))
+         .groupBy("user_id", "click_ts")
+         .agg(F.min("ts").alias("purchase_ts")))
+    return (
+        v.join(c.select("user_id", "click_ts"), "user_id", "left")
+        .join(p.select("user_id", "purchase_ts"), "user_id", "left")
+        .select(
+            "user_id", "view_ts", "click_ts", "purchase_ts",
+            F.col("purchase_ts").isNotNull().cast("int").alias("completed"),
+        )
+    )
+
+
+CHI_SQUARE_ORACLE = """
+WITH o AS (
+  SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT lang, SUM(obs) AS row_tot FROM o GROUP BY lang),
+ct AS (SELECT source, SUM(obs) AS col_tot FROM o GROUP BY source),
+n AS (SELECT SUM(obs) AS total FROM o)
+SELECT o.lang, o.source, o.obs,
+       ROUND(CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+             / CAST(n.total AS DOUBLE), 6) AS expected,
+       ROUND((CAST(o.obs AS DOUBLE)
+              - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+                / CAST(n.total AS DOUBLE))
+             * (CAST(o.obs AS DOUBLE)
+                - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+                  / CAST(n.total AS DOUBLE))
+             / (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+                / CAST(n.total AS DOUBLE)), 6) AS contrib
+FROM o
+JOIN rt USING (lang)
+JOIN ct USING (source)
+CROSS JOIN n
+"""
+
+
+@register("chi_square_lang_source", oracle=CHI_SQUARE_ORACLE,
+          tags=("stats", "chi-square", "contingency"))
+def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table chi-square cells for lang × source: observed
+    counts, expected under independence, and per-cell (o−e)²/e
+    contributions in a fixed IEEE operation order (identical in the
+    oracle). One scan → cell counts; margins re-attach by broadcast."""
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, sf_dir, "documents", ["lang", "source"],
+                   hint_broadcast=False)
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    n = o.select(F.sum("obs").alias("total"))
+    e = (F.col("row_tot").cast("double") * F.col("col_tot").cast("double")
+         / F.col("total").cast("double"))
+    dev = F.col("obs").cast("double") - e
+    return (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang", "source", "obs",
+            F.round(e, 6).alias("expected"),
+            F.round(dev * dev / e, 6).alias("contrib"),
+        )
+    )

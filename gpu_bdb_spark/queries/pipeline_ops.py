@@ -726,3 +726,36 @@ def delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delete_keys_parquet(
         spark, os.path.join(work, "base"), dels, "doc_id",
         os.path.join(work, "survivors"))
+
+
+MEDIA_DECODE_ORACLE = """
+SELECT doc_id AS item_id,
+       'image' AS media_type,
+       CAST(16 + CAST(concat('0x', substr(sha256(text), 1, 2)) AS INT) % 64
+            AS INT) AS width,
+       CAST(16 + CAST(concat('0x', substr(sha256(text), 3, 2)) AS INT) % 64
+            AS INT) AS height,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@register("media_decode_stats", oracle=MEDIA_DECODE_ORACLE,
+          tags=("multimodal", "decode", "mapInPandas"))
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate row for the multimodal plumbing: utf-8 payloads ride
+    the canonical media struct through the Arrow-batched mapInPandas
+    decoder (deterministic fake codec — sha256-derived dimensions), and
+    the decoded (width, height, n_bytes) are EXACTLY restated by the
+    DuckDB oracle via its own sha256. Features (np RNG floats) are
+    excluded from the hash; the full decode path including them is
+    pinned in tests/test_multimodal.py."""
+    from gpu_bdb_spark.operators.multimodal import attach_media, decode_image
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    media = attach_media(
+        d.select("doc_id", F.col("text").cast("binary").alias("payload")),
+        "payload", "image", "doc_id")
+    return decode_image(media, fake=True).select(
+        "item_id", "media_type", "width", "height", "n_bytes")

@@ -71,6 +71,9 @@ QUERIES = [
     "mask_tokens_mlm",
     "association_rules",
     "scd2_intervals",
+    "media_decode_stats",
+    "ordered_funnel",
+    "chi_square_lang_source",
 ]
 
 HOSTILE = {
