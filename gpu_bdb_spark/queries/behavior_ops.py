@@ -300,3 +300,81 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dev * dev / e, 6).alias("contrib"),
         )
     )
+
+
+USER_360_ORACLE = f"""
+WITH dim(age_days, w) AS (VALUES
+  {_DECAY_VALUES}
+),
+e AS (
+  SELECT user_id, ts, event_type,
+         CAST(value AS DECIMAL(12,4)) AS v,
+         LEAST(GREATEST(datediff('day', CAST(ts AS DATE),
+                                 DATE '{_DECAY_ANCHOR}'), 0),
+               {_DECAY_MAX_AGE}) AS age_days
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       ROUND(CAST(SUM(v) AS DOUBLE), 2) AS total_value,
+       ROUND(CAST(SUM(v * d.w) AS DOUBLE), 6) AS decayed_score,
+       CAST(CASE WHEN MIN(CASE WHEN event_type = 'view' THEN ts END)
+                      < MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                 THEN 1 ELSE 0 END AS INT) AS viewed_then_purchased
+FROM e JOIN dim d USING (age_days)
+GROUP BY user_id
+"""
+
+
+@register("user_360", oracle=USER_360_ORACLE,
+          tags=("behavior", "one-scan", "report"))
+def user_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan per-user 360 report: event counts, purchase counts,
+    first/last timestamps, exact decimal spend, the half-life decayed
+    score, and a view-before-purchase flag — ALL as conditional
+    aggregates in a single hash aggregate after the broadcast weight
+    join. One fact scan, one shuffle (plan-asserted); the composition
+    answer to running five separate per-user queries."""
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "events",
+                   ["user_id", "ts", "event_type", "value"],
+                   hint_broadcast=False)
+    rows = decay_weights(_DECAY_MAX_AGE, _DECAY_HALF_LIFE)
+    dim = spark.createDataFrame(rows, "age_days INT, w STRING").select(
+        "age_days", F.col("w").cast("decimal(12,9)").alias("w"))
+    age = F.least(
+        F.greatest(
+            F.datediff(F.lit(_DECAY_ANCHOR).cast("date"),
+                       F.col("ts").cast("date")).cast("int"),
+            F.lit(0)),
+        F.lit(_DECAY_MAX_AGE))
+    base = (
+        e.select(
+            "user_id", "ts", "event_type",
+            F.col("value").cast("decimal(12,4)").alias("v"),
+            age.alias("age_days"))
+        .join(F.broadcast(dim), "age_days")
+    )
+    return base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("n_purchases"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.sum("v").cast("double"), 2).alias("total_value"),
+        F.round(F.sum(F.col("v") * F.col("w")).cast("double"), 6)
+        .alias("decayed_score"),
+        # coalesce: a user missing either step compares NULL — the
+        # oracle's CASE yields 0 there, so pin the same semantics
+        F.coalesce(
+            (F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+             < F.max(F.when(F.col("event_type") == "purchase",
+                            F.col("ts")))).cast("int"),
+            F.lit(0),
+        ).alias("viewed_then_purchased"),
+    )

@@ -155,3 +155,21 @@ def test_delete_keys_parquet_roundtrip(spark, tmp_path):
                               str(tmp_path / "out"))
     got = sorted(r.k for r in out.collect())
     assert got == [i for i in range(20) if i % 4 != 0]
+
+
+def test_user_360_single_shuffle_and_null_funnel(spark, sf_dir):
+    import re
+
+    from gpu_bdb_spark.plans import formatted_plan
+    from gpu_bdb_spark.queries.registry import all_specs
+
+    df = all_specs()["user_360"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # one broadcast (the weight dim) + ONE shuffle exchange (user agg)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "BroadcastHashJoin" in plan
+
+    # the funnel flag is always 0/1 — never NULL for users missing a step
+    out = df.toPandas()
+    assert out["viewed_then_purchased"].isin([0, 1]).all()
+    assert not out["viewed_then_purchased"].isna().any()

@@ -87,6 +87,7 @@ QUERIES = [
     "media_decode_stats",
     "ordered_funnel",
     "chi_square_lang_source",
+    "user_360",
 ]
 
 

@@ -74,6 +74,7 @@ QUERIES = [
     "media_decode_stats",
     "ordered_funnel",
     "chi_square_lang_source",
+    "user_360",
 ]
 
 HOSTILE = {
