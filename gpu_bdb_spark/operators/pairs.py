@@ -102,13 +102,16 @@ def frequent_triples(
 
     The pruning is the scale story: the naive 3-way basket self-join
     touches Σ basket³ rows; here the cubic work happens only on the
-    (tiny, downward-closed) frequent-pair lattice, and support counting
-    streams the baskets through three equi joins on (group, item)
-    against the candidate set. The basket frame is consumed three
-    times — identical subtree, deduped by ReusedExchange (measured
-    rule: don't persist, see SCALE.md round 6). Output equals the
-    unpruned count-all-triples semantics exactly (downward closure
-    guarantees no frequent triple is pruned).
+    (tiny, downward-closed) frequent-pair lattice. Support counting
+    explodes each candidate into its 3 (triple, item) memberships and
+    BROADCAST-joins the basket stream once on the bare item key — a
+    basket contains the triple iff it matches all 3 memberships (the
+    count==3 aggregate). The fact-sized basket frame is never shuffled
+    on a composite key and is scanned once on the counting side (the
+    original three-renamed-joins formulation planned 9 scans / 16
+    exchanges with zero subtree reuse — renames break ReusedExchange).
+    Output equals the unpruned count-all-triples semantics exactly
+    (downward closure guarantees no frequent triple is pruned).
 
     Returns (`{out_prefix}_1..3`, support) with _1 < _2 < _3.
     """
@@ -119,6 +122,12 @@ def frequent_triples(
         .filter(F.col("_g").isNotNull() & F.col("_i").isNotNull())
         .distinct()
     )
+    # persist: the lattice is SMALL (frequent pairs only) but expensive
+    # (basket self-join), and its three consumers below hash on three
+    # different keys — no exchange reuse is possible, so without the
+    # cache the self-join would run three times. (Contrast with the
+    # measured don't-persist rule for identically-keyed consumers,
+    # SCALE.md round 6: here the subtrees are NOT identical.)
     l2 = (
         base.alias("x")
         .join(base.alias("y"),
@@ -128,6 +137,7 @@ def frequent_triples(
         .agg(F.count(F.lit(1)).alias("s"))
         .filter(F.col("s") >= F.lit(int(min_support)))
         .select("a", "b")
+        .persist()
     )
     # extend (a,b)×(b,c) and prune by the third edge (a,c) ∈ L2
     cand = (
@@ -137,15 +147,20 @@ def frequent_triples(
                 F.col("q.b").alias("c"))
         .join(l2.withColumnsRenamed({"b": "c"}), ["a", "c"], "left_semi")
     )
-    # support counting: stream baskets through three (group, item) joins
-    hits = (
-        base.join(F.broadcast(cand), base["_i"] == cand["a"])
-        .select("_g", "a", "b", "c")
-        .join(base.withColumnsRenamed({"_i": "b"}), ["_g", "b"])
-        .join(base.withColumnsRenamed({"_i": "c"}), ["_g", "c"])
+    # support counting: one broadcast join of the basket stream against
+    # the candidates' exploded (triple, item) memberships, then a
+    # contains-all-three aggregate per (basket, triple)
+    members = cand.select(
+        "a", "b", "c",
+        F.explode(F.array("a", "b", "c")).alias("_i"))
+    per_basket = (
+        base.join(F.broadcast(members), "_i")
+        .groupBy("_g", "a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == 3)
     )
     return (
-        hits.groupBy("a", "b", "c")
+        per_basket.groupBy("a", "b", "c")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= F.lit(int(min_support)))
         .select(F.col("a").alias(c1), F.col("b").alias(c2),
