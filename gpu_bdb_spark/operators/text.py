@@ -936,8 +936,10 @@ def cooccurrence_pmi(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokenize(text_col)).alias("pos", "token"),
     )
-    t_total = pos.select(F.count(F.lit(1)).cast("long").alias("_t"))
     uni = pos.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    # total tokens from the vocabulary-sized aggregate, NOT another pass
+    # over the exploded fact stream (saves one full tokenize+explode scan)
+    t_total = uni.select(F.sum("n_tok").cast("long").alias("_t"))
     left = (
         pos.select(
             "doc_id",
