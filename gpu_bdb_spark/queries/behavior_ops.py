@@ -378,3 +378,78 @@ def user_360(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("viewed_then_purchased"),
     )
+
+
+ATTRIBUTION_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+         CAST(value AS DECIMAL(12,4)) AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT p.purchase_id, p.amount, e.event_type
+  FROM events e JOIN p
+    ON e.user_id = p.user_id
+   AND e.ts < p.p_ts
+   AND e.ts >= p.p_ts - INTERVAL 24 HOUR
+  WHERE e.event_type <> 'purchase'
+),
+n AS (
+  SELECT purchase_id, COUNT(*) AS n_touches FROM touch GROUP BY 1
+),
+credit AS (
+  SELECT t.event_type,
+         CAST(ROUND(CAST(t.amount AS DOUBLE)
+                    / CAST(n.n_touches AS DOUBLE), 9)
+              AS DECIMAL(28,9)) AS c
+  FROM touch t JOIN n USING (purchase_id)
+)
+SELECT event_type, COUNT(*) AS n_credited,
+       ROUND(CAST(SUM(c) AS DOUBLE), 4) AS credited_value
+FROM credit GROUP BY event_type
+"""
+
+
+@register("attribution_linear", oracle=ATTRIBUTION_ORACLE,
+          tags=("behavior", "attribution", "range-join"))
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits its value
+    equally across the same user's non-purchase touches in the
+    preceding 24 h; credit aggregates per event type. The touch join is
+    the bucketed interval join (operators/temporal.range_join — never a
+    nested loop); per-touch credit is round-9-quantized and
+    decimal-summed so the split is exact cross-engine."""
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.functions import micros
+    from gpu_bdb_spark.operators.temporal import range_join
+
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "user_id", "ts", "event_type", "value"],
+                   hint_broadcast=False)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.timestamp_micros(micros("ts")
+                            - F.lit(86_400_000_000).cast("long")))
+        .alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+        F.col("value").cast("decimal(12,4)").alias("amount"),
+    )
+    touches = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_type")
+    t = range_join(touches, p, point_col="ts", start_col="start_ts",
+                   end_col="end_ts", by=("user_id",), strategy="bucket",
+                   bucket_width_s=86_400).select(
+        "purchase_id", "amount", "event_type")
+    n = t.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_touches"))
+    credit = t.join(n, "purchase_id").select(
+        "event_type",
+        F.round(F.col("amount").cast("double")
+                / F.col("n_touches").cast("double"), 9)
+        .cast("decimal(28,9)").alias("c"),
+    )
+    return credit.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_credited"),
+        F.round(F.sum("c").cast("double"), 4).alias("credited_value"),
+    )

@@ -575,13 +575,38 @@ def minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures_portable(d, "text", "doc_id", num_hashes=8)
 
 
+
+def _copurchase_edges(spark, sf_dir):
+    """Support-filtered co-purchase edges: part pairs sharing >= 2
+    orders. The support floor is the production noise filter — it keeps
+    the graph size governed by REPEATED co-occurrence, not by the raw
+    pair explosion of large baskets, which is what lets the downstream
+    graph operators run in bounded memory at any SF (the unfiltered
+    dense graph is kept as a stress probe in SCALE.md round 6)."""
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                    hint_broadcast=False)
+    l2 = li.withColumnsRenamed({"l_partkey": "p2"})
+    return (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .groupBy(F.col("l_partkey").alias("id_1"),
+                 F.col("p2").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .filter(F.col("_s") >= 2)
+        .select("id_1", "id_2")
+    )
+
+
 TRIANGLES_ORACLE = """
-WITH e AS (
-  SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
-         GREATEST(l1.l_partkey, l2.l_partkey) AS b
+WITH e0 AS (
+  SELECT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+         GREATEST(l1.l_partkey, l2.l_partkey) AS b,
+         COUNT(*) AS s
   FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
   WHERE l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2
 ),
+e AS (SELECT a, b FROM e0 WHERE s >= 2),
 tri AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM e e1
@@ -607,24 +632,19 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, an independent restatement of the semantics."""
     from gpu_bdb_spark.operators.graph import triangle_count
 
-    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-                    hint_broadcast=False)
-    l2 = li.withColumnsRenamed({"l_partkey": "p2"})
-    edges = (
-        li.join(l2, "l_orderkey")
-        .filter(F.col("l_partkey") < F.col("p2"))
-        .select(F.col("l_partkey").alias("id_1"), F.col("p2").alias("id_2"))
-    )
-    return triangle_count(edges)
+    return triangle_count(_copurchase_edges(spark, sf_dir))
 
 
 RANDOM_WALKS_ORACLE = """
-WITH RECURSIVE e0 AS (
-  SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
-         GREATEST(l1.l_partkey, l2.l_partkey) AS b
+WITH RECURSIVE es AS (
+  SELECT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+         GREATEST(l1.l_partkey, l2.l_partkey) AS b,
+         COUNT(*) AS s
   FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
   WHERE l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2
 ),
+e0 AS (SELECT a, b FROM es WHERE s >= 2),
 adj AS (
   SELECT a AS src, b AS dst FROM e0
   UNION ALL
@@ -666,12 +686,5 @@ def random_walks_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE replays the identical chain."""
     from gpu_bdb_spark.operators.graph import random_walks
 
-    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-                    hint_broadcast=False)
-    l2 = li.withColumnsRenamed({"l_partkey": "p2"})
-    edges = (
-        li.join(l2, "l_orderkey")
-        .filter(F.col("l_partkey") < F.col("p2"))
-        .select(F.col("l_partkey").alias("id_1"), F.col("p2").alias("id_2"))
-    )
-    return random_walks(edges, walk_length=4, seed="w")
+    return random_walks(_copurchase_edges(spark, sf_dir), walk_length=4,
+                        seed="w")
