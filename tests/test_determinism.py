@@ -88,6 +88,7 @@ QUERIES = [
     "ordered_funnel",
     "chi_square_lang_source",
     "user_360",
+    "attribution_linear",
 ]
 
 
