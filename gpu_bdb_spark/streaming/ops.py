@@ -295,3 +295,50 @@ def dedup_ingest_batches(
             sink(res, batch_id)
 
     return process
+
+
+def cms_ingest_batches(
+    sketch_path: str,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 256,
+):
+    """foreachBatch body: maintain a count-min sketch of a live key
+    stream in a parquet table — the streaming form of
+    `operators.sketch.cms_build`, exploiting the sketch's mergeability:
+    each micro-batch's sketch ADDS onto the standing counters
+    (read → union → sum → overwrite), so state is a constant
+    depth×width-row TABLE, not streaming memory, and the pattern runs
+    forever regardless of stream cardinality. The merged table equals
+    the batch sketch over the full history EXACTLY (counter addition is
+    associative — pinned in tests/test_streaming.py).
+
+    At scale the overwrite is trivial (≤ depth·width rows); for
+    exactly-once under retries pair it with a batch-id high-water mark
+    like the shard sink.
+    """
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.sketch import cms_build
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+
+        delta = cms_build(batch_df, F.col(key_col), depth=depth,
+                          width=width)
+        try:
+            prev = spark.read.parquet(sketch_path)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("d", "b")
+                .agg(F.sum("c").alias("c"))
+            )
+        except AnalysisException:  # first batch: no standing sketch yet
+            merged = delta
+        # materialize before overwriting the input path
+        out = merged.collect()
+        spark.createDataFrame(out, merged.schema).write.mode(
+            "overwrite").parquet(sketch_path)
+
+    return process

@@ -568,3 +568,36 @@ def test_streaming_transitions_equals_batch(spark, events_stream):
     assert len(got) == len(expect) > 0
     assert got[key].equals(expect[key])
     assert (got["n"].values == expect["n"].values).all()
+
+
+def test_cms_ingest_batches_equals_batch_sketch(spark, events_stream,
+                                                tmp_path_factory):
+    """Drained stream through the mergeable-sketch ingest: the standing
+    sketch table equals cms_build over the full batch input exactly."""
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.sketch import cms_build
+    from gpu_bdb_spark.streaming.ops import cms_ingest_batches
+
+    batch, stream = events_stream
+    path = str(tmp_path_factory.mktemp("cms") / "sketch")
+    keyed = stream.select(
+        F.col("user_id").cast("string").alias("key")).filter(
+        F.col("key").isNotNull())
+    q = (
+        keyed.writeStream.foreachBatch(
+            cms_ingest_batches(path, "key", depth=3, width=64))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.d, r.b): r.c for r in spark.read.parquet(path).collect()}
+    expect = {
+        (r.d, r.b): r.c
+        for r in cms_build(
+            batch.select(F.col("user_id").cast("string").alias("key"))
+            .filter(F.col("key").isNotNull()),
+            F.col("key"), depth=3, width=64).collect()
+    }
+    assert got == expect
