@@ -256,3 +256,109 @@ def ab_test_conversion(
         F.round(rate_b, 6).alias("rate_b"),
         F.round((rate_a - rate_b) / se, 6).alias("z_score"),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM customer segmentation: score every customer 1..n_tiles on
+    Recency (latest order), Frequency (order count), and Monetary
+    (exact decimal spend), 1 = best quartile, and combine into the
+    classic 3-digit segment code.
+
+    The per-customer rollup is ONE hash aggregate on the customer key
+    (map-side partials); the three ntile windows then run over the
+    AGGREGATED frame — one row per customer, orders of magnitude
+    smaller than the fact table. Each window carries a full tie-break
+    (metric, customer) so tile assignment is a total order and
+    therefore engine-exact; the single-direction sorts are the
+    inherent cost of exact tiles (the 100 TB path swaps in
+    approx-percentile cuts + broadcast comparison, as in
+    quantile_bins_approx).
+
+    Returns (cust, last_order_us, frequency, monetary, r_score,
+    f_score, m_score, segment).
+    """
+    from gpu_bdb_spark.functions import dec
+
+    per_cust = orders.groupBy(F.col(cust_col).alias("cust")).agg(
+        F.max(micros(date_col)).alias("last_order_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(dec(amount_col)).alias("_mon"),
+    )
+    n = int(n_tiles)
+    r = Window.orderBy(F.desc("last_order_us"), F.col("cust"))
+    f = Window.orderBy(F.desc("frequency"), F.col("cust"))
+    m = Window.orderBy(F.desc("_mon"), F.col("cust"))
+    scored = per_cust.select(
+        "cust", "last_order_us", "frequency",
+        F.round(F.col("_mon").cast("double"), 2).alias("monetary"),
+        F.ntile(n).over(r).alias("r_score"),
+        F.ntile(n).over(f).alias("f_score"),
+        F.ntile(n).over(m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10
+         + F.col("m_score")).cast("int"),
+    )
+
+
+def frequent_sequences(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    min_support: int = 1,
+) -> DataFrame:
+    """Frequent length-3 event SUBSEQUENCES (GSP-style sequential
+    patterns): for each ordered type triple (t1, t2, t3), how many
+    users exhibit t1 then t2 then t3 in time order (positions strictly
+    increasing, gaps allowed)?
+
+    Existence is decided by the GREEDY scan — take the user's earliest
+    t1, the earliest t2 after it, then ask whether any t3 follows:
+    a subsequence embedding exists iff the greedy one does (any
+    embedding's t1 can be moved earlier, then t2, then t3 — the
+    standard exchange argument). That turns an O(L³)-per-user pattern
+    search into two bounded min-aggregates and one semi-join-shaped
+    exists, each with per-user fanout ≤ |types| (resp. |types|²) —
+    never a positional cross product.
+
+    All three legs hash-partition on the user key, so AQE folds them
+    onto one exchange lineage; the final aggregate is |types|³ rows.
+    Ordering ties on ts break by the unique event id, making positions
+    a total order and the result engine-exact.
+
+    Returns (t1, t2, t3, n_users) with n_users ≥ min_support.
+    """
+    pos = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.row_number().over(
+            Window.partitionBy(user_col)
+            .orderBy(micros(ts_col), F.col(id_col))).alias("p"),
+    )
+    s1 = pos.groupBy("u", F.col("t").alias("t1")).agg(F.min("p").alias("p1"))
+    s2 = (
+        pos.join(s1, "u")
+        .filter(F.col("p") > F.col("p1"))
+        .groupBy("u", "t1", F.col("t").alias("t2"))
+        .agg(F.min("p").alias("p2"))
+    )
+    s3 = (
+        pos.join(s2, "u")
+        .filter(F.col("p") > F.col("p2"))
+        .select("u", "t1", "t2", F.col("t").alias("t3"))
+        .distinct()
+    )
+    return (
+        s3.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .filter(F.col("n_users") >= F.lit(int(min_support)))
+    )

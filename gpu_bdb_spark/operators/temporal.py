@@ -445,3 +445,60 @@ def gapfill_locf(
             .alias("is_gap"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average over IRREGULARLY sampled series (the
+    TimescaleDB `time_weight('LOCF', ...)` aggregate): each observation
+    holds until the next one, so its weight is the micros until that
+    next sample — Σ value·Δt / Σ Δt per key. The plain AVG is wrong
+    whenever sampling density correlates with the value (fast-polling
+    during spikes overweights them); the time weight removes that bias.
+
+    One shuffle on the key for the lead() window, then a hash
+    aggregate on the SAME partitioning (no second exchange). Exactness
+    discipline: Δt is integer micros, the value is quantized to
+    DECIMAL(18,6) before the multiply, so the weighted sum is an exact
+    decimal; the final division runs in correctly-rounded double on
+    both engines (cross-engine bit-equal, same argument as the A/B
+    z-score). Ties on ts are ordered by the unique row id — the
+    interleave changes which sample absorbs a zero-width interval, so
+    the tie-break must be part of the contract.
+
+    Last observation per key has no successor and drops out (standard
+    LOCF-until-next semantics); keys whose observations all share one
+    timestamp have zero total weight and are filtered rather than
+    returning inf/NaN.
+
+    Returns (key, n_intervals, span_us, twa).
+    """
+    w = Window.partitionBy(key_col).orderBy(micros(ts_col), tiebreak_col)
+    dt = F.lead(micros(ts_col)).over(w) - micros(ts_col)
+    num = F.sum(F.col("_v") * F.col("_dt"))
+    den = F.sum(F.col("_dt")).cast("long")
+    return (
+        # group on the RAW key column and alias only above the aggregate:
+        # renaming below the window's exchange severs the alias-aware
+        # partitioning propagation and costs a second (pure-overhead)
+        # shuffle on the renamed key (measured — see SCALE.md).
+        df.select(
+            F.col(key_col),
+            F.col(value_col).cast("decimal(18,6)").alias("_v"),
+            dt.alias("_dt"),
+        )
+        .filter(F.col("_dt").isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            den.alias("span_us"),
+            F.round(num.cast("double") / den.cast("double"), 6)
+            .alias("twa"),
+        )
+        .filter(F.col("span_us") > 0)
+    )

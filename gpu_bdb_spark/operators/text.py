@@ -989,3 +989,59 @@ def cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+    max_df: int = 1,
+) -> DataFrame:
+    """C4/CCNet-style boilerplate pruning: segment every document into
+    fixed-size token runs, drop the segments that recur across more
+    than `max_df` documents (headers, footers, nav chrome — boilerplate
+    IS cross-document repetition), and reassemble each document from
+    its surviving segments in order.
+
+    Scale design: segmentation reuses `chunk_documents` (map-side only,
+    zero shuffles); the document-frequency count shuffles bare
+    (md5(segment), doc_id) pairs — never the document text; and the
+    boilerplate set is by definition SMALL (segments repeated across
+    many documents), so membership is a broadcast join, not a shuffle
+    of the corpus. Reassembly is one hash aggregate on the document id
+    with an ordered in-group sort — the second and last shuffle.
+
+    Returns (id, clean_text, n_kept, n_dropped); documents whose every
+    segment was boilerplate survive with clean_text = ''.
+    """
+    from gpu_bdb_spark.operators.packing import chunk_documents
+
+    segs = chunk_documents(df, text_col, id_col, chunk_tokens=seg_tokens,
+                           stride=seg_tokens)
+    keyed = segs.select(
+        F.col(id_col), "chunk_idx", "chunk_text",
+        F.md5(F.col("chunk_text")).alias("_h"))
+    boiler = (
+        keyed.select("_h", id_col).distinct()
+        .groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > F.lit(int(max_df)))
+        .select("_h")
+    )
+    flagged = keyed.join(
+        F.broadcast(boiler.withColumn("_drop", F.lit(True))), "_h", "left"
+    ).select(
+        F.col(id_col), "chunk_idx", "chunk_text",
+        F.col("_drop").isNull().alias("_keep"),
+    )
+    parts = F.sort_array(F.collect_list(F.struct(
+        F.col("chunk_idx"),
+        F.when(F.col("_keep"), F.col("chunk_text")).alias("t"))))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.filter(parts, lambda x: x["t"].isNotNull()),
+                        lambda x: x["t"]),
+            " ").alias("clean_text"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
+    )

@@ -453,3 +453,78 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_credited"),
         F.round(F.sum("c").cast("double"), 4).alias("credited_value"),
     )
+
+
+RFM_ORACLE = """
+WITH pc AS (
+  SELECT o_custkey AS cust,
+         epoch_us(MAX(o_orderdate)) AS last_order_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS mon
+  FROM orders GROUP BY 1
+),
+sc AS (
+  SELECT cust, last_order_us, frequency,
+         ROUND(CAST(mon AS DOUBLE), 2) AS monetary,
+         ntile(4) OVER (ORDER BY last_order_us DESC, cust) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, cust) AS f_score,
+         ntile(4) OVER (ORDER BY mon DESC, cust) AS m_score
+  FROM pc
+)
+SELECT cust, last_order_us, frequency, monetary,
+       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+FROM sc
+"""
+
+
+@register("rfm_segments", oracle=RFM_ORACLE,
+          tags=("behavior", "segmentation", "rfm"))
+def rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of customers from the orders fact:
+    one hash aggregate to a per-customer frame, then three
+    total-order-deterministic ntile windows over that (small) frame."""
+    from gpu_bdb_spark.operators.behavior import rfm_segments
+
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"],
+                   hint_broadcast=False)
+    return rfm_segments(o)
+
+
+SEQUENCES_ORACLE = """
+WITH pos AS (
+  SELECT user_id AS u, event_type AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS p
+  FROM events
+),
+s1 AS (SELECT u, t AS t1, MIN(p) AS p1 FROM pos GROUP BY 1, 2),
+s2 AS (
+  SELECT pos.u, s1.t1, pos.t AS t2, MIN(pos.p) AS p2
+  FROM pos JOIN s1 ON pos.u = s1.u AND pos.p > s1.p1
+  GROUP BY 1, 2, 3
+),
+s3 AS (
+  SELECT DISTINCT pos.u, s2.t1, s2.t2, pos.t AS t3
+  FROM pos JOIN s2 ON pos.u = s2.u AND pos.p > s2.p2
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM s3 GROUP BY 1, 2, 3
+"""
+
+
+@register("frequent_sequences", oracle=SEQUENCES_ORACLE,
+          tags=("behavior", "sequential-patterns"))
+def frequent_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSP-style frequent length-3 event subsequences (gaps allowed):
+    greedy-scan existence via two min-aggregates and a distinct —
+    per-user fanout bounded by |types|², never a positional cross
+    product."""
+    from gpu_bdb_spark.operators.behavior import frequent_sequences
+
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "ts", "user_id", "event_type"],
+                   hint_broadcast=False)
+    return frequent_sequences(e)

@@ -759,3 +759,42 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload", "image", "doc_id")
     return decode_image(media, fake=True).select(
         "item_id", "media_type", "width", "height", "n_bytes")
+
+
+BOILERPLATE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+n AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+e AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(ws[i*8 + 1:i*8 + 8], ' ') AS seg
+  FROM n, unnest(generate_series(
+           0, CAST(ceil(greatest(n - 8, 0) / 8.0) AS INT))) r(i)
+),
+d AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY 1),
+k AS (SELECT e.doc_id, e.chunk_idx, e.seg, d.df <= 1 AS keep
+      FROM e JOIN d USING (seg))
+SELECT doc_id,
+       coalesce(string_agg(seg, ' ' ORDER BY chunk_idx) FILTER (keep),
+                '') AS clean_text,
+       CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_dropped
+FROM k GROUP BY doc_id
+"""
+
+
+@register("remove_boilerplate", oracle=BOILERPLATE_ORACLE,
+          tags=("pipeline", "curation", "boilerplate"))
+def remove_boilerplate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate pruning: drop every 8-token segment that
+    recurs across documents (df > 1) and reassemble the survivors in
+    order — segmentation is map-side, the df count shuffles bare
+    (md5, id) pairs, and the boilerplate set joins back broadcast."""
+    from gpu_bdb_spark.operators.text import remove_boilerplate
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return remove_boilerplate(d, "text", "doc_id", seg_tokens=8, max_df=1)

@@ -176,3 +176,37 @@ def gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ["user_id", "ts", "event_id", "value"],
                    hint_broadcast=False)
     return gapfill_locf(e, "user_id", "ts", "value", step_s=3600)
+
+
+TWA_ORACLE = """
+WITH o AS (
+  SELECT user_id AS key,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt
+  FROM events
+)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dt) AS BIGINT) AS span_us,
+       ROUND(CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
+         AS twa
+FROM o WHERE dt IS NOT NULL
+GROUP BY key HAVING SUM(dt) > 0
+"""
+
+
+@register("time_weighted_avg", oracle=TWA_ORACLE,
+          tags=("temporal", "time-weight", "locf"))
+def time_weighted_avg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average of `value` per user over the
+    irregular event stream (TimescaleDB time_weight semantics): one
+    key shuffle for the lead window, hash aggregate on the same
+    partitioning; exact decimal weighted sums, correctly-rounded final
+    division."""
+    from gpu_bdb_spark.operators.temporal import time_weighted_avg
+
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "ts", "user_id", "value"],
+                   hint_broadcast=False)
+    return time_weighted_avg(e)

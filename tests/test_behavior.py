@@ -173,3 +173,56 @@ def test_user_360_single_shuffle_and_null_funnel(spark, sf_dir):
     out = df.toPandas()
     assert out["viewed_then_purchased"].isin([0, 1]).all()
     assert not out["viewed_then_purchased"].isna().any()
+
+
+def test_rfm_segments_semantics(spark):
+    """8 customers, quartiles of 2: scores follow the (metric desc,
+    cust) total order; monetary is the exact decimal sum."""
+    from gpu_bdb_spark.operators.behavior import rfm_segments
+
+    rows = []
+    for c in range(1, 9):
+        # customer c: c orders, each 100*c, last order on day c
+        for k in range(c):
+            rows.append((c, dt.datetime(2024, 1, c), 100.0 * c))
+    df = spark.createDataFrame(
+        rows, "o_custkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE")
+    out = {r.cust: r for r in rfm_segments(df).collect()}
+    assert len(out) == 8
+    # all three metrics rank customers 8,7,...,1 best-to-worst
+    for c in range(1, 9):
+        tile = (8 - c) // 2 + 1
+        assert out[c].r_score == tile
+        assert out[c].f_score == tile
+        assert out[c].m_score == tile
+        assert out[c].segment == tile * 111
+        assert out[c].frequency == c
+        assert out[c].monetary == round(100.0 * c * c, 2)
+
+
+def test_frequent_sequences_semantics(spark):
+    """Greedy subsequence existence: gaps allowed, order enforced,
+    same-ts ties broken by event id."""
+    from gpu_bdb_spark.operators.behavior import frequent_sequences
+
+    rows = [
+        # u1: A x B y C  → supports (A,B,C) with gaps
+        (1, _ts(1, 1), 10, "A"), (1, _ts(1, 2), 11, "x"),
+        (1, _ts(1, 3), 12, "B"), (1, _ts(1, 4), 13, "y"),
+        (1, _ts(1, 5), 14, "C"),
+        # u2: C B A → no (A,B,C); does support (C,B,A)
+        (2, _ts(1, 1), 20, "C"), (2, _ts(1, 2), 21, "B"),
+        (2, _ts(1, 3), 22, "A"),
+        # u3: A then B,C at the SAME ts — ids order B(31) before C(32),
+        # so (A,B,C) holds but (A,C,B) does not
+        (3, _ts(1, 1), 30, "A"), (3, _ts(1, 2), 31, "B"),
+        (3, _ts(1, 2), 32, "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+    got = {(r.t1, r.t2, r.t3): r.n_users
+           for r in frequent_sequences(df).collect()}
+    assert got[("A", "B", "C")] == 2      # u1 and u3
+    assert ("A", "C", "B") not in got
+    assert got[("C", "B", "A")] == 1      # u2 only
+    assert got[("A", "x", "B")] == 1      # u1, non-adjacent allowed

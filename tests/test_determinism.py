@@ -89,6 +89,12 @@ QUERIES = [
     "chi_square_lang_source",
     "user_360",
     "attribution_linear",
+    # round-7 entries
+    "remove_boilerplate",
+    "jaccard_join_prefix",
+    "rfm_segments",
+    "frequent_sequences",
+    "time_weighted_avg",
 ]
 
 

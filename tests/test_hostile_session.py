@@ -76,6 +76,13 @@ QUERIES = [
     "chi_square_lang_source",
     "user_360",
     "attribution_linear",
+    # round-7: twa/rfm/sequences order by epoch micros (tz-shape);
+    # boilerplate + jaccard pin string segmentation under ANSI
+    "remove_boilerplate",
+    "jaccard_join_prefix",
+    "rfm_segments",
+    "frequent_sequences",
+    "time_weighted_avg",
 ]
 
 HOSTILE = {

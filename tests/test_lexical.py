@@ -121,3 +121,44 @@ def test_label_centroids_match_numpy(spark, sf_dir):
         sub = out[out.label == lbl].sort_values("dim")
         assert (sub["n"] == len(grp)).all()
         assert np.allclose(sub["centroid"].to_numpy(), mean, atol=2e-6)
+
+
+def test_remove_boilerplate_semantics(spark):
+    """Shared segments drop at max_df=1, unique segments survive in
+    order, and an all-boilerplate document keeps a row with empty
+    text."""
+    from gpu_bdb_spark.operators.text import remove_boilerplate
+
+    d = _docs(spark, [
+        "a b c d x1 x2 x3 x4 u1 u2",   # boiler, unique, short-tail
+        "a b c d y1 y2 y3 y4",          # boiler + unique
+        "a b c d",                      # all boilerplate
+        "q r s t q r s t q r",          # self-repeat within ONE doc only
+    ])
+    out = {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+           for r in remove_boilerplate(d, seg_tokens=4, max_df=1)
+           .collect()}
+    assert out[0] == ("x1 x2 x3 x4 u1 u2", 2, 1)
+    assert out[1] == ("y1 y2 y3 y4", 1, 1)
+    assert out[2] == ("", 0, 1)
+    # within-doc repetition is NOT cross-document boilerplate (df=1),
+    # but two identical segments inside one doc share a hash: df counts
+    # distinct docs, so both copies survive
+    assert out[3] == ("q r s t q r s t q r", 3, 0)
+    assert len(out) == 4
+
+
+def test_remove_boilerplate_middle_segment_order(spark):
+    """Reassembly preserves original segment order when the dropped
+    segment sits in the middle."""
+    from gpu_bdb_spark.operators.text import remove_boilerplate
+
+    d = _docs(spark, [
+        "h1 h2 h3 h4 a b c d t1 t2 t3 t4",
+        "x1 x2 x3 x4 a b c d z1 z2 z3 z4",
+    ])
+    out = {r.doc_id: r.clean_text
+           for r in remove_boilerplate(d, seg_tokens=4, max_df=1)
+           .collect()}
+    assert out[0] == "h1 h2 h3 h4 t1 t2 t3 t4"
+    assert out[1] == "x1 x2 x3 x4 z1 z2 z3 z4"

@@ -71,3 +71,56 @@ def test_registry_has_linkage_entry():
 
     assert "fuzzy_name_pairs" in all_specs()
     assert oracle_sql()["fuzzy_name_pairs"]
+
+
+def test_jaccard_set_join_equals_exhaustive(spark):
+    """Prefix-filtered set-similarity join ≡ brute-force quadratic
+    Jaccard on a corpus engineered with near-threshold pairs on BOTH
+    sides of the cut (recall 1.0 + precision via the exact verify)."""
+    random.seed(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    base = vocab[:20]
+    # clusters of near-identical sets + unrelated sets
+    for i in range(30):
+        s = set(base)
+        for _ in range(random.randint(0, 2)):
+            s.discard(random.choice(base))
+        for _ in range(random.randint(0, 2)):
+            s.add(random.choice(vocab[20:]))
+        docs.append((i, sorted(s)))
+    for i in range(30, 50):
+        docs.append((i, sorted(random.sample(vocab, random.randint(5, 15)))))
+    df = spark.createDataFrame(docs, "doc_id LONG, toks ARRAY<STRING>")
+    from gpu_bdb_spark.operators.linkage import jaccard_set_join
+
+    num, den = 4, 5  # t = 0.8
+    got = {(r.id_a, r.id_b): (r.inter_n, r.union_n)
+           for r in jaccard_set_join(df, "doc_id", "toks", num, den)
+           .collect()}
+    expect = {}
+    for i, a in docs:
+        for j, b in docs:
+            if i < j:
+                inter = len(set(a) & set(b))
+                un = len(set(a) | set(b))
+                if inter * den >= un * num:
+                    expect[(i, j)] = (inter, un)
+    assert got == expect
+    assert len(expect) > 10  # fixture actually exercises the join
+
+
+def test_jaccard_set_join_threshold_boundary(spark):
+    """Rational threshold is inclusive and integer-exact: jaccard
+    exactly AT num/den is kept, one element short is dropped."""
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b", "c", "d", "e"]),   # J vs 1 = 4/5 exactly
+        (3, ["a", "b", "c", "e", "f"]),   # J vs 1 = 3/6 = 0.5
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, toks ARRAY<STRING>")
+    from gpu_bdb_spark.operators.linkage import jaccard_set_join
+
+    got = {(r.id_a, r.id_b) for r in
+           jaccard_set_join(df, "doc_id", "toks", 4, 5).collect()}
+    assert got == {(1, 2)}

@@ -240,3 +240,52 @@ def test_gapfill_partial_aggregates_and_broadcast(spark, sf_dir):
     assert has_partial_aggregate(plan), plan
     # spine joins the aggregated per-bucket side via broadcast
     assert has_broadcast_join(plan), plan
+
+
+def test_time_weighted_avg_single_exchange(spark, sf_dir):
+    """Window shuffle on the key feeds the aggregate directly —
+    grouping on the raw key (aliasing above the agg) keeps the
+    alias-aware partitioning; a rename below the window was measured
+    to cost a second full shuffle."""
+    import re
+
+    plan = formatted_plan(all_specs()["time_weighted_avg"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_remove_boilerplate_broadcasts_boiler_set(spark, sf_dir):
+    """The frequent-segment set joins back broadcast (it is small by
+    definition); the corpus is never shuffled for membership."""
+    import re
+
+    plan = formatted_plan(all_specs()["remove_boilerplate"].fn(spark, sf_dir))
+    assert has_broadcast_join(plan), plan
+    # df-count (2: pair-distinct + hash-count) + reassembly = 3 exchanges
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
+def test_jaccard_join_candidates_are_bare_ids(spark, sf_dir):
+    """The candidate distinct must shuffle bare id pairs — the ranked
+    token arrays re-attach only AFTER the distinct (wide arrays never
+    ride the candidate exchange)."""
+    import re
+
+    plan = formatted_plan(all_specs()["jaccard_join_prefix"].fn(spark, sf_dir))
+    # find the exchange feeding the candidate-pair distinct: its input
+    # schema must be exactly the two id columns
+    m = re.findall(r"\(\d+\) Exchange\nInput \[(\d+)\]: \[([^\]]*)\]", plan)
+    cand = [cols for n, cols in m if "id_a" in cols and "id_b" in cols]
+    assert cand and all("_rtoks" not in c for c in cand), plan
+
+
+def test_rfm_single_fact_aggregate_before_tiles(spark, sf_dir):
+    """One hash aggregate on the customer key precedes the ntile
+    windows; the single-partition sort runs over the aggregated frame
+    only (one row per customer), never the fact table."""
+    import re
+
+    plan = formatted_plan(all_specs()["rfm_segments"].fn(spark, sf_dir))
+    assert has_partial_aggregate(plan)
+    assert len(re.findall(r"SinglePartition", plan)) >= 1
+    # exactly one hashpartitioning exchange (the per-customer rollup)
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan

@@ -258,3 +258,38 @@ class TestGapfillLocf:
             "event_id long, ts timestamp, user_id long, value double")
         rows = gapfill_locf(df).collect()
         assert len(rows) == 1 and rows[0]["value"] == 9.0
+
+
+def test_time_weighted_avg_semantics(spark):
+    """Hand-computed LOCF weights; single-sample and zero-span keys
+    drop; same-ts tie resolved by the id column."""
+    import datetime as dt
+
+    from gpu_bdb_spark.operators.temporal import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # u1: value 10 holds 10s, value 20 holds 20s → (100+400)/30
+        (1, ts(0), 10, 10.0), (1, ts(10), 11, 20.0), (1, ts(30), 12, 0.0),
+        # u2: single sample → no interval → dropped
+        (2, ts(0), 20, 5.0),
+        # u3: both samples at the same ts → span 0 → dropped
+        (3, ts(0), 30, 1.0), (3, ts(0), 31, 2.0),
+        # u4: tie at ts(0): id 40 pairs with the zero-width interval,
+        # id 41 holds until ts(10) → twa = v(41) = 7.0 exactly
+        (4, ts(0), 40, 3.0), (4, ts(0), 41, 7.0), (4, ts(10), 42, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_id LONG, value DOUBLE")
+    out = {r.key: r for r in time_weighted_avg(df).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].n_intervals == 2
+    assert out[1].span_us == 30_000_000
+    assert out[1].twa == round(500.0 / 30.0, 6)
+    assert out[4].n_intervals == 2
+    assert out[4].span_us == 10_000_000
+    assert out[4].twa == 7.0
