@@ -28,7 +28,7 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state):
         import pandas as _pd
 
-        n, total = state.get() if state.exists else (0, 0.0)
+        n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
@@ -120,7 +120,7 @@ def streaming_gapfill_locf(events: DataFrame, step_s: int = 3600) -> DataFrame:
 
         rows = []
         last_bucket, last_value = (
-            state.get() if state.exists else (None, None))
+            state.get if state.exists else (None, None))
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
             for ts, eid, v in zip(pdf["ts"], pdf["event_id"],
@@ -185,7 +185,7 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
         import pandas as _pd
 
         frames = [p for p in pdfs if len(p)]
-        last = state.get() if state.exists else None
+        last = state.get if state.exists else None
         if not frames:
             if last is None:
                 return
@@ -217,6 +217,83 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
                 "user_id long, from_type string, to_type string, n long"),
             stateStructType="ts long, event_id long, t string",
             outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_time_weighted(events: DataFrame) -> DataFrame:
+    """Streaming twin of `operators.temporal.time_weighted_avg`: per-user
+    LOCF time-weight SUFFICIENT STATISTICS maintained with O(1) state
+    per key — only (last ts, last id, last value) plus three running
+    counters survive between micro-batches, never an event buffer.
+
+    Exactness across the Python/JVM boundary: the value is quantized to
+    6 decimals exactly as Spark's double→decimal(18,6) cast does
+    (shortest-repr string → HALF_UP, the Cast semantics), and the
+    weighted numerator accumulates as an arbitrary-precision integer in
+    1e-6 units (Python int — never a float), carried in state as a
+    string because int64 would overflow at wide spans. A drained stream
+    therefore reproduces the batch operator's decimal numerator EXACTLY;
+    applying the batch finishing expression (decimal ÷ 1e6 → double
+    division → round 6) to the final emitted row per key equals
+    `time_weighted_avg` output bit-for-bit (pinned in
+    tests/test_streaming.py).
+
+    Emits the RUNNING (n_intervals, span_us, wsum_e6) per key per
+    micro-batch in update mode; downstream keeps the latest per key.
+    Same ordering contract as the other stateful twins: micro-batches
+    arrive in non-decreasing event-time order per key.
+    """
+
+    def update(key, pdfs, state):
+        import decimal as _dec
+
+        import pandas as _pd
+
+        if state.exists:
+            last_ts, last_eid, last_v6, n, den, num_s = state.get
+            num = int(num_s)
+        else:
+            last_ts = last_eid = last_v6 = None
+            n = den = num = 0
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = _pd.concat(frames).sort_values(["ts", "event_id"])
+            for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                us = int(_pd.Timestamp(ts).value // 1000)
+                if _pd.isna(v):
+                    v6 = None
+                else:
+                    # Spark Cast(double→decimal(18,6)): shortest repr,
+                    # then HALF_UP at scale 6
+                    v6 = int(_dec.Decimal(repr(float(v))).quantize(
+                        _dec.Decimal("1e-6"),
+                        rounding=_dec.ROUND_HALF_UP).scaleb(6))
+                if last_ts is not None:
+                    dt = us - last_ts
+                    n += 1
+                    den += dt
+                    if last_v6 is not None:
+                        num += last_v6 * dt
+                last_ts, last_eid, last_v6 = us, int(eid), v6
+        state.update((last_ts, last_eid, last_v6, n, den, str(num)))
+        yield _pd.DataFrame({
+            "key": [key[0]], "n_intervals": [n], "span_us": [den],
+            "wsum_e6": [str(num)],
+        })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "key long, n_intervals long, span_us long, wsum_e6 string"),
+            stateStructType=("last_ts long, last_eid long, last_v6 long, "
+                             "n long, den long, num string"),
+            outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

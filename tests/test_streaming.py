@@ -601,3 +601,175 @@ def test_cms_ingest_batches_equals_batch_sketch(spark, events_stream,
             F.col("key"), depth=3, width=64).collect()
     }
     assert got == expect
+
+
+def test_streaming_time_weighted_equals_batch(spark, events_stream):
+    """Drained stream: the stateful time-weight statistics, finished
+    with the batch operator's own decimal→double→round expression,
+    equal `time_weighted_avg` bit-for-bit per key."""
+    from gpu_bdb_spark.operators.temporal import time_weighted_avg
+    from gpu_bdb_spark.streaming.stateful import streaming_time_weighted
+
+    batch, stream = events_stream
+    got = _run_to_memory_update(
+        spark,
+        streaming_time_weighted(
+            stream.filter(F.col("user_id").isNotNull())
+            .select("user_id", "ts", "event_id", "value")),
+        "twa_stream")
+    # update mode: keep the LAST emitted running row per key
+    got = got.groupby("key", as_index=False).last()
+    got = got[got["span_us"] > 0]
+    # finish with the batch expression: exact decimal ÷ 1e6 → correctly
+    # rounded double division → round 6 (identical pipeline both sides)
+    fin = spark.createDataFrame(got).select(
+        "key", "n_intervals", "span_us",
+        F.round(
+            (F.col("wsum_e6").cast("decimal(38,6)") / F.lit(1000000))
+            .cast("double") / F.col("span_us").cast("double"),
+            6).alias("twa"),
+    ).toPandas()
+    expect = time_weighted_avg(
+        batch.filter(F.col("user_id").isNotNull())).toPandas()
+    fin = fin.sort_values("key", ignore_index=True)
+    expect = expect.sort_values("key", ignore_index=True)
+    assert len(fin) == len(expect) > 0
+    assert fin["key"].equals(expect["key"])
+    assert (fin["n_intervals"].values == expect["n_intervals"].values).all()
+    assert (fin["span_us"].values == expect["span_us"].values).all()
+    assert (fin["twa"].values == expect["twa"].values).all()
+
+
+def test_streaming_time_weighted_multi_batch_state_carry(spark, sf_dir,
+                                                         tmp_path_factory):
+    """Three time-ordered micro-batches (maxFilesPerTrigger=1): the
+    carried (last ts, last value, running integer numerator) state must
+    stitch intervals ACROSS batch boundaries — final statistics equal
+    the batch operator over the full input exactly."""
+    import numpy as np
+
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.temporal import time_weighted_avg
+    from gpu_bdb_spark.streaming.stateful import streaming_time_weighted
+
+    batch = (read_table(spark, sf_dir, "events")
+             .filter(F.col("user_id").isNotNull())
+             .select("user_id", "ts", "event_id", "value"))
+    # split on global event-time thirds so every key's timeline spans files
+    lo, hi = batch.select(F.min("ts"), F.max("ts")).first()
+    import datetime as dt
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+    d = tmp_path_factory.mktemp("twa_batches")
+    batch.filter(F.col("ts") <= F.lit(cut1)).coalesce(1)\
+        .write.parquet(str(d / "f0"))
+    batch.filter((F.col("ts") > F.lit(cut1)) & (F.col("ts") <= F.lit(cut2)))\
+        .coalesce(1).write.parquet(str(d / "f1"))
+    batch.filter(F.col("ts") > F.lit(cut2)).coalesce(1)\
+        .write.parquet(str(d / "f2"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "f*"))
+    )
+    got = _run_to_memory_update(
+        spark, streaming_time_weighted(stream), "twa_multi")
+    got = got.groupby("key", as_index=False).last()
+    got = got[got["span_us"] > 0]
+    fin = spark.createDataFrame(got).select(
+        "key", "n_intervals", "span_us",
+        F.round(
+            (F.col("wsum_e6").cast("decimal(38,6)") / F.lit(1000000))
+            .cast("double") / F.col("span_us").cast("double"),
+            6).alias("twa"),
+    ).toPandas().sort_values("key", ignore_index=True)
+    expect = time_weighted_avg(batch).toPandas()\
+        .sort_values("key", ignore_index=True)
+    assert len(fin) == len(expect) > 0
+    assert fin["key"].equals(expect["key"])
+    assert (fin["n_intervals"].values == expect["n_intervals"].values).all()
+    assert (fin["span_us"].values == expect["span_us"].values).all()
+    assert (fin["twa"].values == expect["twa"].values).all()
+
+
+@pytest.fixture()
+def events_stream_3batches(spark, sf_dir, tmp_path_factory):
+    """Events split into three time-ordered files streamed one per
+    micro-batch — exercises CROSS-BATCH state carry (the single-file
+    fixture drains in one batch and never re-enters existing state;
+    GroupState.get being a property, not a method, only bites here)."""
+    from gpu_bdb_spark.io import read_table
+
+    batch = (read_table(spark, sf_dir, "events")
+             .filter(F.col("user_id").isNotNull()))
+    lo, hi = batch.select(F.min("ts"), F.max("ts")).first()
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+    d = tmp_path_factory.mktemp("events_3b")
+    batch.filter(F.col("ts") <= F.lit(cut1)).coalesce(1)\
+        .write.parquet(str(d / "f0"))
+    batch.filter((F.col("ts") > F.lit(cut1)) & (F.col("ts") <= F.lit(cut2)))\
+        .coalesce(1).write.parquet(str(d / "f1"))
+    batch.filter(F.col("ts") > F.lit(cut2)).coalesce(1)\
+        .write.parquet(str(d / "f2"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "f*"))
+    )
+    return batch, stream
+
+
+def test_streaming_gapfill_multi_batch_state_carry(spark,
+                                                   events_stream_3batches):
+    """Gap-filler across three micro-batches: carried (last_bucket,
+    last_value) stitches gaps over batch boundaries; keeping the latest
+    row per (user, bucket) equals the batch operator exactly."""
+    import numpy as np
+
+    from gpu_bdb_spark.operators.temporal import gapfill_locf
+    from gpu_bdb_spark.streaming.stateful import streaming_gapfill_locf
+
+    batch, stream = events_stream_3batches
+    got = _run_to_memory_append(
+        spark,
+        streaming_gapfill_locf(
+            stream.select("user_id", "ts", "event_id", "value")),
+        "gapfill_3b")
+    # boundary-spanning buckets re-emit (append can't retract):
+    # downstream contract = latest per (user, bucket)
+    got = got.groupby(["user_id", "bucket"], as_index=False).last()
+    expect = gapfill_locf(batch).toPandas()
+    key = ["user_id", "bucket"]
+    got = got.sort_values(key, ignore_index=True)
+    expect = expect.sort_values(key, ignore_index=True)
+    assert len(got) == len(expect) > 0
+    assert got[key].equals(expect[key])
+    assert ((got["value"].values == expect["value"].values)
+            | (np.isnan(got["value"].values.astype(float))
+               & np.isnan(expect["value"].values.astype(float)))).all()
+
+
+def test_streaming_transitions_multi_batch_state_carry(
+        spark, events_stream_3batches):
+    """Transition increments summed over three micro-batches equal the
+    batch lag-window counts — including the transitions whose endpoints
+    live in DIFFERENT batches."""
+    from gpu_bdb_spark.operators.behavior import transition_matrix
+    from gpu_bdb_spark.streaming.stateful import streaming_transitions
+
+    batch, stream = events_stream_3batches
+    got = _run_to_memory_append(
+        spark,
+        streaming_transitions(
+            stream.select("user_id", "ts", "event_id", "event_type")),
+        "trans_3b")
+    got = (got.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+           .sort_values(["from_type", "to_type"], ignore_index=True))
+    expect = (transition_matrix(batch)
+              .select("from_type", "to_type", "n_transitions").toPandas()
+              .sort_values(["from_type", "to_type"], ignore_index=True))
+    assert len(got) == len(expect) > 0
+    assert got["from_type"].equals(expect["from_type"])
+    assert got["to_type"].equals(expect["to_type"])
+    assert (got["n"].values == expect["n_transitions"].values).all()
