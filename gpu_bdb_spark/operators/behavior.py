@@ -351,11 +351,18 @@ def frequent_sequences(
         .groupBy("u", "t1", F.col("t").alias("t2"))
         .agg(F.min("p").alias("p2"))
     )
+    # leg 3 needs only EXISTENCE after p2: some t3 occurrence follows p2
+    # iff the LAST occurrence of t3 does. Joining the per-(user, type)
+    # max-position frame (≤ |types| rows/user) replaces a third
+    # fact-table pass whose |types|²-fanout distinct dominated the probe
+    # (measured 122.7 s → see SCALE.md); s2 × tmax pairs are unique by
+    # construction, so no distinct at all.
+    tmax = pos.groupBy("u", F.col("t").alias("t3")).agg(
+        F.max("p").alias("p3max"))
     s3 = (
-        pos.join(s2, "u")
-        .filter(F.col("p") > F.col("p2"))
-        .select("u", "t1", "t2", F.col("t").alias("t3"))
-        .distinct()
+        s2.join(tmax, "u")
+        .filter(F.col("p3max") > F.col("p2"))
+        .select("u", "t1", "t2", "t3")
     )
     return (
         s3.groupBy("t1", "t2", "t3")
