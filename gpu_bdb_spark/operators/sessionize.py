@@ -104,3 +104,50 @@ def last_n_before(
             F.filter(F.col("prev_events"), lambda e: e["ts_us"] >= bound),
         )
     return out
+
+
+def session_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    timeout_s: int = 3600,
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+    depth: int = 3,
+    min_sessions: int = 1,
+) -> DataFrame:
+    """Top session-opening paths: sessionize, take each session's first
+    `depth` events in time order, join their types into a path string,
+    and count sessions per path — the entry-path report behind every
+    product-analytics "user flows" screen.
+
+    Plan: the sessionize window is one exchange on the user key; the
+    per-session row_number and the (user, session) aggregate both reuse
+    that partitioning (HashPartitioning(user) satisfies the clustered
+    distribution of the superset key), so the only other exchange is
+    the final count on the path string. Path assembly keeps order by
+    sorting the (position, type) structs INSIDE the group — no
+    order-dependent aggregation crosses a shuffle.
+
+    Returns (path, depth, n_sessions).
+    """
+    s = sessionize(df, user_col, ts_col, timeout_s, tiebreak_col)
+    w = Window.partitionBy(user_col, "session_seq").orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    first_n = (
+        s.withColumn("_pos", F.row_number().over(w))
+        .filter(F.col("_pos") <= F.lit(int(depth)))
+    )
+    paths = first_n.groupBy(user_col, "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", type_col))),
+                lambda x: x[type_col]),
+            ">").alias("path"),
+        F.count(F.lit(1)).cast("int").alias("depth"),
+    )
+    return (
+        paths.groupBy("path", "depth")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= F.lit(int(min_sessions)))
+    )

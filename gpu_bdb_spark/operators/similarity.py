@@ -692,3 +692,46 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def mutual_knn(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_groups: int = 32,
+) -> DataFrame:
+    """Reciprocal nearest neighbors: unordered pairs (a, b) where b is
+    in a's exact cosine top-k AND a is in b's — the standard
+    high-precision filter on top of plain kNN (used for near-dup
+    mining, translation-pair mining, and cluster seeding: asymmetric
+    hub vectors that appear in everyone's top-k but reciprocate nothing
+    are exactly what the mutual condition removes).
+
+    Built on `brute_force_topk` self-search (corpus streams once
+    through the sharded numpy scorer); the N×k neighbor frame is then
+    self-joined on the swapped id pair. The frame is persisted — its
+    two consumers join on (query, neighbor) vs (neighbor, query), so
+    exchange reuse cannot deduplicate them. At corpus scale, swap the
+    brute-force stage for `lsh_topk`/`ivf_topk` candidates; the mutual
+    filter composes unchanged.
+
+    Returns (id_a, id_b, rank_ab, rank_ba) with id_a < id_b; ranks are
+    each side's position in the other's top-k (ties broken by id, same
+    contract as brute_force_topk — floats never cross the hash).
+    """
+    topk = brute_force_topk(corpus, corpus, k, id_col, vec_col,
+                            n_groups).persist()
+    fwd = topk.select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("rank").alias("rank_ab"))
+    rev = topk.select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        F.col("rank").alias("rank_ba"))
+    return (
+        fwd.join(rev, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "rank_ab", "rank_ba")
+    )

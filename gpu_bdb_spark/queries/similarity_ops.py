@@ -406,3 +406,42 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6)
         .alias("centroid"),
     )
+
+
+MUTUAL_KNN_ORACLE = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT qa, qb,
+         row_number() OVER (PARTITION BY qa
+                            ORDER BY cos DESC, qb) AS rank
+  FROM scored
+),
+k AS (SELECT qa, qb, rank FROM ranked WHERE rank <= 5)
+SELECT x.qa AS id_a, x.qb AS id_b,
+       CAST(x.rank AS BIGINT) AS rank_ab,
+       CAST(y.rank AS BIGINT) AS rank_ba
+FROM k x JOIN k y ON x.qa = y.qb AND x.qb = y.qa
+WHERE x.qa < x.qb
+"""
+
+
+@register("mutual_knn", oracle=MUTUAL_KNN_ORACLE,
+          tags=("similarity", "reciprocal-knn", "ann"))
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal cosine top-5 pairs over the embedding corpus: hub
+    vectors that never reciprocate drop out. Sharded numpy self-search
+    + swapped-pair self-join; ids/ranks hash-compared against the
+    exhaustive quadratic ranking, floats excluded as everywhere in the
+    ANN family."""
+    from gpu_bdb_spark.operators.similarity import mutual_knn
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    return mutual_knn(e, k=5)

@@ -469,3 +469,52 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wr).alias("valid_to"),
         "n_events",
     )
+
+
+SESSION_PATHS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+              > 3600 * 1000000::BIGINT
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+pos AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS p
+  FROM sess
+),
+p3 AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY p) AS path,
+         CAST(COUNT(*) AS INT) AS depth
+  FROM pos WHERE p <= 3 GROUP BY 1, 2
+)
+SELECT path, depth, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p3 GROUP BY 1, 2
+"""
+
+
+@register("session_paths", oracle=SESSION_PATHS_ORACLE,
+          tags=("sessionize", "paths", "funnel"))
+def session_paths_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths (first 3 event types per 1-hour-gap
+    session): the sessionize window, per-session row_number, and
+    (user, session) aggregate all share ONE user-key exchange; the
+    only other shuffle is the final path count."""
+    from gpu_bdb_spark.operators.sessionize import session_paths
+
+    e = read_table(spark, sf_dir, "events",
+                   ["user_id", "ts", "event_id", "event_type"],
+                   hint_broadcast=False)
+    return session_paths(e, timeout_s=3600, depth=3)

@@ -226,3 +226,26 @@ def test_frequent_sequences_semantics(spark):
     assert ("A", "C", "B") not in got
     assert got[("C", "B", "A")] == 1      # u2 only
     assert got[("A", "x", "B")] == 1      # u1, non-adjacent allowed
+
+
+def test_session_paths_semantics(spark):
+    """Two users sharing an opening path, a short session, and a
+    session split by the timeout gap."""
+    from gpu_bdb_spark.operators.sessionize import session_paths
+
+    rows = [
+        # u1 session 1: view > click > purchase (plus a 4th event,
+        # ignored at depth 3)
+        (1, _ts(1, 1), 10, "view"), (1, _ts(1, 1), 11, "click"),
+        (1, _ts(1, 2), 12, "purchase"), (1, _ts(1, 3), 13, "error"),
+        # u1 session 2 after a >1h gap: single-event path
+        (1, _ts(2, 9), 14, "view"),
+        # u2: same opening path as u1 session 1
+        (2, _ts(1, 1), 20, "view"), (2, _ts(1, 1), 21, "click"),
+        (2, _ts(1, 2), 22, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+    got = {(r.path, r.depth): r.n_sessions
+           for r in session_paths(df, timeout_s=3600).collect()}
+    assert got == {("view>click>purchase", 3): 2, ("view", 1): 1}

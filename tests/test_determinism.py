@@ -95,6 +95,8 @@ QUERIES = [
     "rfm_segments",
     "frequent_sequences",
     "time_weighted_avg",
+    "mutual_knn",
+    "session_paths",
 ]
 
 

@@ -289,3 +289,13 @@ def test_rfm_single_fact_aggregate_before_tiles(spark, sf_dir):
     assert len(re.findall(r"SinglePartition", plan)) >= 1
     # exactly one hashpartitioning exchange (the per-customer rollup)
     assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
+
+
+def test_session_paths_two_exchanges(spark, sf_dir):
+    """Sessionize window, per-session row_number, and (user, session)
+    aggregate share one user-key exchange (HashPartitioning(user)
+    satisfies the superset clustering); only the path count adds one."""
+    import re
+
+    plan = formatted_plan(all_specs()["session_paths"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan

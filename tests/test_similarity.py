@@ -333,3 +333,45 @@ def test_rrf_fuse_semantics(spark):
     assert out[11][0] == round(round(1 / 62, 9) + round(1 / 61, 9), 6)
     # singles order by reciprocal rank: 10 (1/61) > 13 (1/62) > 12 (1/63)
     assert out[10][1] == 2 and out[13][1] == 3 and out[12][1] == 4
+
+
+def test_mutual_knn_semantics(spark):
+    """Reciprocity filter: a hub vector sits in everyone's top-k but
+    only its own true neighbors reciprocate — verified against a numpy
+    brute-force mutual computation."""
+    import numpy as np
+
+    from gpu_bdb_spark.operators.similarity import mutual_knn
+
+    rng = np.random.RandomState(5)
+    # 3 tight clusters of 4 + 8 scattered points, dim 16
+    base = rng.randn(3, 16)
+    vecs = []
+    for c in range(3):
+        for _ in range(4):
+            vecs.append(base[c] + 0.01 * rng.randn(16))
+    vecs.extend(rng.randn(8, 16))
+    vecs = np.array(vecs, dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    k = 3
+    got = {(r.id_a, r.id_b): (r.rank_ab, r.rank_ba)
+           for r in mutual_knn(df, k=k, n_groups=4).collect()}
+    # numpy reference
+    x = vecs.astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sim = x @ x.T
+    np.fill_diagonal(sim, -np.inf)
+    expect = {}
+    topk = {}
+    for i in range(len(vecs)):
+        order = sorted(range(len(vecs)),
+                       key=lambda j: (-sim[i, j], j))[:k]
+        topk[i] = {j: r + 1 for r, j in enumerate(order)}
+    for i in range(len(vecs)):
+        for j, r_ij in topk[i].items():
+            if i < j and i in topk[j]:
+                expect[(i, j)] = (r_ij, topk[j][i])
+    assert got == expect
+    assert len(expect) >= 6  # the planted clusters actually reciprocate
