@@ -576,3 +576,54 @@ def outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
              > F.lit(3.0) * F.col("mad")).cast("int").alias("is_outlier"),
         )
     )
+
+
+SKEW_REPORT_ORACLE = """
+WITH k AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+)
+SELECT CAST(SUM(c) AS BIGINT) AS total_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         AS top1_share,
+       ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_key_rows,
+       ROUND(quantile_cont(c, 0.5), 6) AS p50_key_rows,
+       ROUND(quantile_cont(c, 0.99), 6) AS p99_key_rows,
+       ROUND(CAST(MAX(c) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 6) AS skew_factor
+FROM k
+"""
+
+
+@register("skew_report", oracle=SKEW_REPORT_ORACLE,
+          tags=("profiling", "skew", "diagnostics"))
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for events.user_id — the pre-flight
+    check before shuffling on a key at 100 TB (max/mean 'skew factor'
+    ≫ 1 means AQE skew-join or salting territory, operators/skew.py).
+    Two hash aggregates: per-key counts (map-side partials), then one
+    single-row rollup with exact percentiles over the (small) per-key
+    count frame."""
+    e = read_table(spark, sf_dir, "events", ["user_id"],
+                   hint_broadcast=False)
+    k = (e.filter(F.col("user_id").isNotNull())
+         .groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    total = F.sum("c").cast("long")
+    nk = F.count(F.lit(1)).cast("long")
+    mx = F.max("c").cast("long")
+    return k.agg(
+        total.alias("total_rows"),
+        nk.alias("n_keys"),
+        mx.alias("max_key_rows"),
+        F.round(mx.cast("double") / total.cast("double"), 6)
+        .alias("top1_share"),
+        F.round(total.cast("double") / nk.cast("double"), 6)
+        .alias("mean_key_rows"),
+        F.round(F.percentile("c", F.lit(0.5)), 6).alias("p50_key_rows"),
+        F.round(F.percentile("c", F.lit(0.99)), 6).alias("p99_key_rows"),
+        F.round(mx.cast("double") * nk.cast("double")
+                / total.cast("double"), 6).alias("skew_factor"),
+    )

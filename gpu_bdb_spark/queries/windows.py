@@ -518,3 +518,72 @@ def session_paths_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ["user_id", "ts", "event_id", "event_type"],
                    hint_broadcast=False)
     return session_paths(e, timeout_s=3600, depth=3)
+
+
+ROLLING_ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT event_id, user_id, value,
+         COUNT(value) OVER w AS n_prev,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))
+                  * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_id, user_id, n_prev,
+         CASE WHEN n_prev >= 2
+                   AND (sxx - sx * sx / CAST(n_prev AS DOUBLE))
+                       / CAST(n_prev - 1 AS DOUBLE) > 0
+              THEN (value - sx / CAST(n_prev AS DOUBLE))
+                   / sqrt((sxx - sx * sx / CAST(n_prev AS DOUBLE))
+                          / CAST(n_prev - 1 AS DOUBLE))
+         END AS zraw
+  FROM s
+)
+SELECT event_id, user_id, CAST(n_prev AS BIGINT) AS n_prev,
+       ROUND(zraw, 6) AS z,
+       CAST(CASE WHEN zraw IS NOT NULL AND abs(zraw) > 3
+                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM z
+"""
+
+
+@register("rolling_zscore", oracle=ROLLING_ZSCORE_ORACLE,
+          tags=("window", "anomaly", "zscore"))
+def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline anomaly flag: each event's value scored
+    against the SAME USER'S prior 7 days (exclusive RANGE frame — peers
+    at the current instant are excluded in both engines). Sufficient
+    statistics are exact decimal window sums; the finishing
+    mean/variance/z arithmetic runs in correctly-rounded double in ONE
+    fixed order on identical inputs, so even the |z| > 3 cut compares
+    bit-identical doubles cross-engine (ab_test_conversion argument);
+    degenerate baselines (n < 2 or non-positive variance from float
+    cancellation) yield NULL deterministically. One shuffle on the
+    user key; the frame is a sliding aggregate, never a self-join."""
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "user_id", "ts", "value"],
+                   hint_broadcast=False)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros("ts"))
+        .rangeBetween(-604_800_000_000, -1)
+    )
+    v6 = F.col("value").cast("decimal(18,6)")
+    n = F.count("value").over(w)
+    sx = F.sum(v6).over(w).cast("double")
+    sxx = F.sum(v6 * v6).over(w).cast("double")
+    nd = n.cast("double")
+    var = (sxx - sx * sx / nd) / (n - 1).cast("double")
+    zraw = F.when(
+        (n >= 2) & (var > 0),
+        (F.col("value") - sx / nd) / F.sqrt(var))
+    return e.select(
+        "event_id", "user_id",
+        n.cast("long").alias("n_prev"),
+        F.round(zraw, 6).alias("z"),
+        F.when(zraw.isNotNull() & (F.abs(zraw) > 3), 1).otherwise(0)
+        .cast("int").alias("is_anomaly"),
+    )

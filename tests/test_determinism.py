@@ -97,6 +97,8 @@ QUERIES = [
     "time_weighted_avg",
     "mutual_knn",
     "session_paths",
+    "rolling_zscore",
+    "skew_report",
 ]
 
 

@@ -85,6 +85,8 @@ QUERIES = [
     "time_weighted_avg",
     "mutual_knn",
     "session_paths",
+    "rolling_zscore",
+    "skew_report",
 ]
 
 HOSTILE = {

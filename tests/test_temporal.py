@@ -293,3 +293,47 @@ def test_time_weighted_avg_semantics(spark):
     assert out[4].n_intervals == 2
     assert out[4].span_us == 10_000_000
     assert out[4].twa == 7.0
+
+
+def test_rolling_zscore_semantics(spark):
+    """Exclusive trailing frame: baseline = prior week's values, peers
+    at the current instant excluded; degenerate baselines yield NULL."""
+    import datetime as dt
+
+    from gpu_bdb_spark.queries.registry import all_specs  # noqa: F401
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 10)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        (1, ts(0), 10, 10.0),   # no baseline → NULL
+        (1, ts(1), 11, 12.0),   # n_prev=1 → NULL
+        (1, ts(2), 12, 11.0),   # baseline {10, 12}: mean 11, sd sqrt(2)
+        (1, ts(2), 13, 99.0),   # PEER of event 12 — excluded from its
+                                # own baseline too: same {10, 12} base
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_id LONG, value DOUBLE")
+    w = (
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        .partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-604_800_000_000, -1)
+    )
+    v6 = F.col("value").cast("decimal(18,6)")
+    n = F.count("value").over(w)
+    sx = F.sum(v6).over(w).cast("double")
+    sxx = F.sum(v6 * v6).over(w).cast("double")
+    var = (sxx - sx * sx / n.cast("double")) / (n - 1).cast("double")
+    z = F.when((n >= 2) & (var > 0),
+               (F.col("value") - sx / n.cast("double")) / F.sqrt(var))
+    out = {r.event_id: r.z for r in
+           df.select("event_id", F.round(z, 6).alias("z")).collect()}
+    assert out[10] is None and out[11] is None
+    import math
+    sd = math.sqrt(2.0)
+    assert out[12] == round((11.0 - 11.0) / sd, 6) == 0.0
+    assert out[13] == round((99.0 - 11.0) / sd, 6)
