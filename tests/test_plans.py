@@ -270,6 +270,9 @@ def test_jaccard_join_candidates_are_bare_ids(spark, sf_dir):
     ride the candidate exchange)."""
     import re
 
+    # an earlier test may have materialized this query's persisted
+    # ranked-sets frame; cached plans replace the exchanges under audit
+    spark.catalog.clearCache()
     plan = formatted_plan(all_specs()["jaccard_join_prefix"].fn(spark, sf_dir))
     # find the exchange feeding the candidate-pair distinct: its input
     # schema must be exactly the two id columns
