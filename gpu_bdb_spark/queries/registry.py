@@ -61,6 +61,21 @@ def register(
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_runtime_conf(spark)
+            # Cache lifecycle: operators persist() reused intermediates
+            # (pair lattices, ranked sets, top-k frames) and the driver
+            # runs EVERY entry in one long-lived session. Spark's
+            # CacheManager strong-references cached plans until an
+            # explicit unpersist, so without a boundary those caches
+            # accumulate across entries and starve the (arbitrarily
+            # small) driver heap — an sf0.1 all-entry sweep OOM'd at
+            # entry ~84 on blocks from the previous 83. Each registry
+            # query therefore starts with a clean cache (bounding
+            # residency to one entry) and a GC nudge so ContextCleaner
+            # can reap the previous entry's broadcast/shuffle state.
+            import gc
+
+            spark.catalog.clearCache()
+            gc.collect()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
