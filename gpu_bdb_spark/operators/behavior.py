@@ -369,3 +369,55 @@ def frequent_sequences(
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .filter(F.col("n_users") >= F.lit(int(min_support)))
     )
+
+
+def conversion_lag(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Time-to-convert report: per user, the lag from the FIRST
+    `from_type` event to the first `to_type` event strictly after it,
+    rolled up into a one-row funnel-timing summary (conversion rate +
+    exact interpolated lag percentiles) — the "how long does a
+    purchase take" number next to `ordered_funnel`'s how-many.
+
+    Two per-user min-aggregates joined on the user key (the second leg
+    filters to events strictly after the user's first trigger — a
+    purchase BEFORE the first view does not convert it), then one
+    single-row rollup. Lags are integer micros end-to-end; percentiles
+    interpolate over exact integers identically in both engines.
+
+    Returns (n_users_from, n_converted, conversion_rate,
+    p25_lag_s, p50_lag_s, p90_lag_s).
+    """
+    us = micros(ts_col)
+    first_from = (
+        events.filter(F.col(type_col) == from_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(us).alias("f_us"))
+    )
+    converted = (
+        events.filter(F.col(type_col) == to_type)
+        .select(F.col(user_col).alias("u"), us.alias("t_us"))
+        .join(first_from, "u")
+        .filter(F.col("t_us") > F.col("f_us"))
+        .groupBy("u", "f_us")
+        .agg(F.min("t_us").alias("t_us"))
+        .select("u", ((F.col("t_us") - F.col("f_us")) / F.lit(1_000_000.0))
+                .alias("lag_s"))
+    )
+    joined = first_from.join(converted, "u", "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_from"),
+        F.count("lag_s").cast("long").alias("n_converted"),
+        F.round(F.count("lag_s").cast("double")
+                / F.count(F.lit(1)).cast("double"), 6)
+        .alias("conversion_rate"),
+        F.round(F.percentile("lag_s", F.lit(0.25)), 6).alias("p25_lag_s"),
+        F.round(F.percentile("lag_s", F.lit(0.5)), 6).alias("p50_lag_s"),
+        F.round(F.percentile("lag_s", F.lit(0.9)), 6).alias("p90_lag_s"),
+    )

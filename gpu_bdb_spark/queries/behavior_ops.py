@@ -528,3 +528,40 @@ def frequent_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ["event_id", "ts", "user_id", "event_type"],
                    hint_broadcast=False)
     return frequent_sequences(e)
+
+
+CONVERSION_LAG_ORACLE = """
+WITH f AS (
+  SELECT user_id AS u, MIN(epoch_us(ts)) AS f_us
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id AS u,
+         (MIN(epoch_us(e.ts)) - f.f_us) / 1000000.0 AS lag_s
+  FROM events e JOIN f ON e.user_id = f.u
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f.f_us
+  GROUP BY 1, f.f_us
+),
+j AS (SELECT f.u, c.lag_s FROM f LEFT JOIN c ON f.u = c.u)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users_from,
+       CAST(COUNT(lag_s) AS BIGINT) AS n_converted,
+       ROUND(CAST(COUNT(lag_s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS conversion_rate,
+       ROUND(quantile_cont(lag_s, 0.25), 6) AS p25_lag_s,
+       ROUND(quantile_cont(lag_s, 0.5), 6) AS p50_lag_s,
+       ROUND(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s
+FROM j
+"""
+
+
+@register("conversion_lag", oracle=CONVERSION_LAG_ORACLE,
+          tags=("behavior", "funnel", "timing"))
+def conversion_lag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view → first-subsequent-purchase timing report: two
+    user-key min-aggregates + one single-row rollup; lags stay integer
+    micros until the final seconds division."""
+    from gpu_bdb_spark.operators.behavior import conversion_lag
+
+    e = read_table(spark, sf_dir, "events",
+                   ["user_id", "ts", "event_type"], hint_broadcast=False)
+    return conversion_lag(e)

@@ -249,3 +249,27 @@ def test_session_paths_semantics(spark):
     got = {(r.path, r.depth): r.n_sessions
            for r in session_paths(df, timeout_s=3600).collect()}
     assert got == {("view>click>purchase", 3): 2, ("view", 1): 1}
+
+
+def test_conversion_lag_semantics(spark):
+    """Purchase BEFORE the first view does not convert; the first
+    purchase strictly after it does; never-viewing users are excluded
+    from the denominator."""
+    from gpu_bdb_spark.operators.behavior import conversion_lag
+
+    rows = [
+        # u1: purchase at t-1h, first view at t, purchase at t+30s
+        (1, _ts(1, 1), 10, "purchase"), (1, _ts(1, 2), 11, "view"),
+        (1, _ts(1, 2) + dt.timedelta(seconds=30), 12, "purchase"),
+        # u2: view only
+        (2, _ts(1, 1), 20, "view"),
+        # u3: purchase only (no view → not in denominator)
+        (3, _ts(1, 1), 30, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+    r = conversion_lag(df).first()
+    assert r.n_users_from == 2
+    assert r.n_converted == 1
+    assert r.conversion_rate == 0.5
+    assert r.p50_lag_s == 30.0

@@ -99,6 +99,7 @@ QUERIES = [
     "session_paths",
     "rolling_zscore",
     "skew_report",
+    "conversion_lag",
 ]
 
 

@@ -87,6 +87,7 @@ QUERIES = [
     "session_paths",
     "rolling_zscore",
     "skew_report",
+    "conversion_lag",
 ]
 
 HOSTILE = {
