@@ -421,3 +421,42 @@ def conversion_lag(
         F.round(F.percentile("lag_s", F.lit(0.5)), 6).alias("p50_lag_s"),
         F.round(F.percentile("lag_s", F.lit(0.9)), 6).alias("p90_lag_s"),
     )
+
+
+def new_vs_returning(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 86_400 * 1_000_000,
+) -> DataFrame:
+    """Daily active users split into new vs returning (the top strip of
+    every growth dashboard): a user is NEW on their first-ever active
+    period, RETURNING on every later active period.
+
+    Same layout discipline as `cohort_retention`: dedup to (user,
+    period) pairs first — the only fact-cardinality shuffle carries two
+    longs — then a per-user min window over the deduped pairs and one
+    period rollup. Returns (period, n_active, n_new, n_returning,
+    returning_share).
+    """
+    us = micros(ts_col)
+    period = ((us - F.pmod(us, F.lit(period_us).cast("long")))
+              / F.lit(period_us).cast("long")).cast("long")
+    up = (
+        events.filter(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("user_id"), period.alias("period"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    flagged = up.select(
+        "period",
+        (F.col("period") == F.min("period").over(w)).alias("_new"),
+    )
+    return flagged.groupBy("period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum(F.col("_new").cast("long")).alias("n_new"),
+        F.sum((~F.col("_new")).cast("long")).alias("n_returning"),
+        F.round(F.sum((~F.col("_new")).cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"), 6)
+        .alias("returning_share"),
+    )

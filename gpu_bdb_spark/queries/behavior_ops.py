@@ -565,3 +565,36 @@ def conversion_lag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events",
                    ["user_id", "ts", "event_type"], hint_broadcast=False)
     return conversion_lag(e)
+
+
+NEW_RETURNING_ORACLE = f"""
+WITH up AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS period
+  FROM events WHERE user_id IS NOT NULL
+),
+f AS (
+  SELECT user_id, period,
+         period = MIN(period) OVER (PARTITION BY user_id) AS is_new
+  FROM up
+)
+SELECT CAST(period AS BIGINT) AS period,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(COUNT(*) FILTER (is_new) AS BIGINT) AS n_new,
+       CAST(COUNT(*) FILTER (NOT is_new) AS BIGINT) AS n_returning,
+       ROUND(CAST(COUNT(*) FILTER (NOT is_new) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS returning_share
+FROM f GROUP BY period
+"""
+
+
+@register("new_vs_returning", oracle=NEW_RETURNING_ORACLE,
+          tags=("behavior", "dau", "growth"))
+def new_vs_returning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active-user split: dedup to (user, day)
+    pairs first (the only fact-cardinality shuffle carries two longs),
+    per-user min window over the deduped pairs, one day rollup."""
+    from gpu_bdb_spark.operators.behavior import new_vs_returning
+
+    e = read_table(spark, sf_dir, "events", ["user_id", "ts"],
+                   hint_broadcast=False)
+    return new_vs_returning(e)

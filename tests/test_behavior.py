@@ -273,3 +273,19 @@ def test_conversion_lag_semantics(spark):
     assert r.n_converted == 1
     assert r.conversion_rate == 0.5
     assert r.p50_lag_s == 30.0
+
+
+def test_new_vs_returning_semantics(spark):
+    from gpu_bdb_spark.operators.behavior import new_vs_returning
+
+    rows = [
+        (1, _ts(1)), (1, _ts(1, 5)),   # u1 new on day1 (dedup within day)
+        (1, _ts(3)),                    # u1 returning on day3
+        (2, _ts(3)),                    # u2 new on day3
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    got = {r.period: (r.n_active, r.n_new, r.n_returning)
+           for r in new_vs_returning(df).collect()}
+    d1 = (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).days
+    assert got[d1] == (1, 1, 0)
+    assert got[d1 + 2] == (2, 1, 1)

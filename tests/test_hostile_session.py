@@ -88,6 +88,7 @@ QUERIES = [
     "rolling_zscore",
     "skew_report",
     "conversion_lag",
+    "new_vs_returning",
 ]
 
 HOSTILE = {
