@@ -297,3 +297,76 @@ def streaming_time_weighted(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_session_paths(
+    events: DataFrame,
+    timeout_s: int = 3600,
+    depth: int = 3,
+) -> DataFrame:
+    """Streaming twin of `operators.sessionize.session_paths`: per-user
+    O(1) state — the OPEN session's (last event time, first ≤ depth
+    event types) — emitting a (path, depth, n=1-aggregated) increment
+    whenever a timeout gap CLOSES a session.
+
+    Contract (append mode cannot retract): only COMPLETED sessions are
+    emitted; each user's still-open tail session stays in state. On a
+    drained stream the summed increments equal the batch operator run
+    over the input MINUS each user's final session (pinned in
+    tests/test_streaming.py). Same ordering contract as the other
+    stateful twins: micro-batches arrive in non-decreasing event-time
+    order per user.
+    """
+
+    timeout_us = int(timeout_s) * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        if state.exists:
+            last_ts, d, path = state.get
+        else:
+            last_ts, d, path = None, 0, ""
+        counts = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, t in zip(pdf["ts"], pdf["event_type"]):
+                us = int(_pd.Timestamp(ts).value // 1000)
+                if last_ts is None:
+                    d, path = 1, ("" if t is None else str(t))
+                elif us - last_ts > timeout_us:
+                    k = (path, d)
+                    counts[k] = counts.get(k, 0) + 1
+                    d, path = 1, ("" if t is None else str(t))
+                elif d < depth:
+                    # array_join semantics: null types contribute no
+                    # segment (and no separator) in the batch operator
+                    if t is not None:
+                        path = f"{path}>{t}" if path else str(t)
+                    d += 1
+                else:
+                    pass  # session continues past the recorded prefix
+                last_ts = us
+        state.update((last_ts, d, path))
+        if counts:
+            ks = sorted(counts)
+            yield _pd.DataFrame({
+                "path": [p for p, _ in ks],
+                "depth": [dd for _, dd in ks],
+                "n_sessions": [counts[k] for k in ks],
+            })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="path string, depth int, n_sessions long",
+            stateStructType="last_ts long, d int, path string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -773,3 +773,38 @@ def test_streaming_transitions_multi_batch_state_carry(
     assert got["from_type"].equals(expect["from_type"])
     assert got["to_type"].equals(expect["to_type"])
     assert (got["n"].values == expect["n_transitions"].values).all()
+
+
+def test_streaming_session_paths_completed_equals_batch(
+        spark, events_stream_3batches):
+    """Completed-sessions contract across three micro-batches: summed
+    path increments equal the batch operator over the input MINUS each
+    user's final (still-open) session."""
+    from pyspark.sql.window import Window
+
+    from gpu_bdb_spark.operators.sessionize import session_paths, sessionize
+    from gpu_bdb_spark.streaming.stateful import streaming_session_paths
+
+    batch, stream = events_stream_3batches
+    got = _run_to_memory_append(
+        spark,
+        streaming_session_paths(
+            stream.select("user_id", "ts", "event_id", "event_type"),
+            timeout_s=3600, depth=3),
+        "paths_3b")
+    got = (got.groupby(["path", "depth"], as_index=False)["n_sessions"]
+           .sum().sort_values(["path", "depth"], ignore_index=True))
+    s = sessionize(batch.select("user_id", "ts", "event_id", "event_type"),
+                   "user_id", "ts", 3600, "event_id")
+    closed = s.withColumn(
+        "_mx", F.max("session_seq").over(Window.partitionBy("user_id"))
+    ).filter(F.col("session_seq") < F.col("_mx"))
+    expect = (session_paths(
+        closed.select("user_id", "ts", "event_id", "event_type"),
+        timeout_s=3600, depth=3)
+        .toPandas()
+        .sort_values(["path", "depth"], ignore_index=True))
+    assert len(got) == len(expect) > 0
+    assert got["path"].equals(expect["path"])
+    assert (got["depth"].values == expect["depth"].values).all()
+    assert (got["n_sessions"].values == expect["n_sessions"].values).all()
