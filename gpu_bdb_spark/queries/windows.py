@@ -587,3 +587,66 @@ def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(zraw.isNotNull() & (F.abs(zraw) > 3), 1).otherwise(0)
         .cast("int").alias("is_anomaly"),
     )
+
+
+EXPANDING_ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT event_id, user_id, value,
+         COUNT(value) OVER w AS n_prev,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))
+                  * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_id, user_id, n_prev,
+         CASE WHEN n_prev >= 2
+                   AND (sxx - sx * sx / CAST(n_prev AS DOUBLE))
+                       / CAST(n_prev - 1 AS DOUBLE) > 0
+              THEN (value - sx / CAST(n_prev AS DOUBLE))
+                   / sqrt((sxx - sx * sx / CAST(n_prev AS DOUBLE))
+                          / CAST(n_prev - 1 AS DOUBLE))
+         END AS zraw
+  FROM s
+)
+SELECT event_id, user_id, CAST(n_prev AS BIGINT) AS n_prev,
+       ROUND(zraw, 6) AS z
+FROM z
+"""
+
+
+@register("expanding_zscore", oracle=EXPANDING_ZSCORE_ORACLE,
+          tags=("window", "anomaly", "expanding"))
+def expanding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-history z-score: each event's value against the SAME USER'S
+    entire prior stream (expanding ROWS frame over the (ts, event_id)
+    total order) — the companion to `rolling_zscore`'s trailing-window
+    baseline, and the batch twin of
+    `streaming.streaming_expanding_zscore` (whose drained output equals
+    this bit-for-bit; the streaming state is just (n, Σx, Σx²) as exact
+    integers). Same exactness argument: decimal sufficient statistics,
+    fixed IEEE finishing order."""
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "user_id", "ts", "value"],
+                   hint_broadcast=False)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    v6 = F.col("value").cast("decimal(18,6)")
+    n = F.count("value").over(w)
+    sx = F.sum(v6).over(w).cast("double")
+    sxx = F.sum(v6 * v6).over(w).cast("double")
+    nd = n.cast("double")
+    var = (sxx - sx * sx / nd) / (n - 1).cast("double")
+    zraw = F.when(
+        (n >= 2) & (var > 0),
+        (F.col("value") - sx / nd) / F.sqrt(var))
+    return e.select(
+        "event_id", "user_id",
+        n.cast("long").alias("n_prev"),
+        F.round(zraw, 6).alias("z"),
+    )

@@ -370,3 +370,78 @@ def streaming_session_paths(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_expanding_zscore(events: DataFrame) -> DataFrame:
+    """Streaming twin of the `expanding_zscore` entry: per-event
+    anomaly score against the user's ENTIRE prior stream, with O(1)
+    state — (n, Σx, Σx²) as exact integers in 1e-6 / 1e-12 units,
+    carried as strings (Σx² overflows int64 fast). Each incoming event
+    is scored from the state BEFORE it, then folded in; values are
+    quantized with Spark's double→decimal(18,6) cast semantics
+    (shortest repr, HALF_UP), and the finishing mean/var/z runs the
+    SAME fixed IEEE-double expression order as the batch operator —
+    Python and JVM doubles are both correctly-rounded IEEE 754, so a
+    drained stream equals the batch entry bit-for-bit after the shared
+    ROUND(z, 6) (pinned in tests/test_streaming.py; rounding itself is
+    applied Spark-side in both pipelines because Python's round is
+    HALF_EVEN while Spark's is HALF_UP).
+    """
+
+    def update(key, pdfs, state):
+        import decimal as _dec
+        import math as _math
+
+        import pandas as _pd
+
+        if state.exists:
+            n, sx_s, sxx_s = state.get
+            sx_i, sxx_i = int(sx_s), int(sxx_s)
+        else:
+            n, sx_i, sxx_i = 0, 0, 0
+        out_eid, out_n, out_z = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                z = None
+                if not _pd.isna(v) and n >= 2:
+                    sx = float(_dec.Decimal(sx_i).scaleb(-6))
+                    sxx = float(_dec.Decimal(sxx_i).scaleb(-12))
+                    nd = float(n)
+                    var = (sxx - sx * sx / nd) / float(n - 1)
+                    if var > 0:
+                        z = (float(v) - sx / nd) / _math.sqrt(var)
+                out_eid.append(int(eid))
+                out_n.append(n)
+                out_z.append(z)
+                if not _pd.isna(v):
+                    v6 = int(_dec.Decimal(repr(float(v))).quantize(
+                        _dec.Decimal("1e-6"),
+                        rounding=_dec.ROUND_HALF_UP).scaleb(6))
+                    n += 1
+                    sx_i += v6
+                    sxx_i += v6 * v6
+        state.update((n, str(sx_i), str(sxx_i)))
+        if out_eid:
+            yield _pd.DataFrame({
+                "event_id": out_eid,
+                "key": [key[0]] * len(out_eid),
+                "n_prev": out_n,
+                "zraw": _pd.array(out_z, dtype="float64"),
+            })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "event_id long, key long, n_prev long, zraw double"),
+            stateStructType="n long, sx string, sxx string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

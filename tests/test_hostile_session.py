@@ -89,6 +89,7 @@ QUERIES = [
     "skew_report",
     "conversion_lag",
     "new_vs_returning",
+    "expanding_zscore",
 ]
 
 HOSTILE = {

@@ -808,3 +808,37 @@ def test_streaming_session_paths_completed_equals_batch(
     assert got["path"].equals(expect["path"])
     assert (got["depth"].values == expect["depth"].values).all()
     assert (got["n_sessions"].values == expect["n_sessions"].values).all()
+
+
+def test_streaming_expanding_zscore_equals_batch(spark,
+                                                 events_stream_3batches):
+    """Drained three-batch stream: per-event all-history z-scores equal
+    the expanding_zscore batch entry bit-for-bit (rounding applied
+    Spark-side in both pipelines)."""
+    import numpy as np
+
+    from gpu_bdb_spark.queries.registry import all_specs
+    from gpu_bdb_spark.streaming.stateful import streaming_expanding_zscore
+
+    batch, stream = events_stream_3batches
+    got = _run_to_memory_append(
+        spark,
+        streaming_expanding_zscore(
+            stream.select("user_id", "ts", "event_id", "value")),
+        "exp_z_3b")
+    fin = spark.createDataFrame(got).select(
+        "event_id", F.col("key").alias("user_id"), "n_prev",
+        F.round("zraw", 6).alias("z")).toPandas()
+    # the batch entry reads raw parquet; restrict to the same
+    # user-filtered rows the fixture streams
+    expect = all_specs()["expanding_zscore"].fn(
+        spark, __import__("os").environ.get(
+            "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")).toPandas()
+    expect = expect[expect["user_id"].notna()]
+    key = ["user_id", "event_id"]
+    fin = fin.sort_values(key, ignore_index=True)
+    expect = expect.sort_values(key, ignore_index=True)
+    assert len(fin) == len(expect) > 0
+    assert (fin["n_prev"].values == expect["n_prev"].values).all()
+    gz, ez = fin["z"].values.astype(float), expect["z"].values.astype(float)
+    assert ((gz == ez) | (np.isnan(gz) & np.isnan(ez))).all()
