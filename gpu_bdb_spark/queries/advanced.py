@@ -627,3 +627,48 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mx.cast("double") * nk.cast("double")
                 / total.cast("double"), 6).alias("skew_factor"),
     )
+
+
+ROBUST_SCALE_ORACLE = """
+WITH st AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5) AS med,
+         quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(CASE WHEN st.iqr > 0
+                  THEN (e.value - st.med) / st.iqr END, 6) AS scaled
+FROM events e JOIN st USING (event_type)
+"""
+
+
+@register("robust_scale", oracle=ROBUST_SCALE_ORACLE,
+          tags=("ml-prep", "scaling", "robust"))
+def robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling of event values per event type (the
+    outlier-insensitive standardization for ML feature prep). Two-pass:
+    one grouped exact-percentile aggregate over |types| groups, joined
+    back BROADCAST onto the fact scan — the fact table is never
+    shuffled. Exact interpolated percentiles are cross-engine identical
+    (value_percentiles precedent); the (x − med)/iqr finish is one
+    fixed-order double expression; zero-IQR groups scale to NULL
+    deterministically."""
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "event_type", "value"],
+                   hint_broadcast=False)
+    st = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        (F.percentile("value", F.lit(0.75))
+         - F.percentile("value", F.lit(0.25))).alias("iqr"),
+    )
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .select(
+            "event_id", "event_type",
+            F.round(
+                F.when(F.col("iqr") > 0,
+                       (F.col("value") - F.col("med")) / F.col("iqr")),
+                6).alias("scaled"),
+        )
+    )

@@ -102,6 +102,7 @@ QUERIES = [
     "conversion_lag",
     "new_vs_returning",
     "expanding_zscore",
+    "robust_scale",
 ]
 
 
