@@ -672,3 +672,72 @@ def robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6).alias("scaled"),
         )
     )
+
+
+HEATMAP_ORACLE = """
+SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
+       CAST((epoch_us(ts) % 86400000000) // 3600000000 AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("traffic_heatmap", oracle=HEATMAP_ORACLE,
+          tags=("behavior", "seasonality", "heatmap"))
+def traffic_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour traffic heatmap (events + distinct users per
+    cell): buckets derive from integer epoch-micros arithmetic — a
+    TZ-FREE UTC definition (epoch day 0 = Thursday → +4 mod 7), so the
+    hostile-session suite pins that no session time zone can move a
+    cell. One hash aggregate; 168 output rows."""
+    from gpu_bdb_spark.functions import micros
+
+    e = read_table(spark, sf_dir, "events", ["ts", "user_id"],
+                   hint_broadcast=False)
+    us = micros("ts")
+    day_us = 86_400_000_000
+    return e.groupBy(
+        ((us / F.lit(day_us)).cast("long") % 7 + 4).cast("int") % 7,
+        ((us % day_us) / F.lit(3_600_000_000)).cast("int"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    ).toDF("dow", "hour", "n_events", "n_users")
+
+
+CUME_DIST_ORACLE = """
+WITH pc AS (
+  SELECT o_custkey AS cust,
+         SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS spend
+  FROM orders GROUP BY 1
+)
+SELECT cust, ROUND(CAST(spend AS DOUBLE), 2) AS spend,
+       ROUND(cume_dist() OVER (ORDER BY spend), 6) AS spend_cume
+FROM pc
+"""
+
+
+@register("spend_cume_dist", oracle=CUME_DIST_ORACLE,
+          tags=("window", "cume-dist", "rank-family"))
+def spend_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's cumulative-distribution position by exact
+    decimal spend — completes the rank-family surface (rank /
+    dense_rank / percent_rank / ntile elsewhere). cume_dist is
+    tie-safe BY VALUE (peers share a position), so no tiebreak suffix
+    is needed for cross-engine determinism; the window runs over the
+    per-customer aggregate, not the fact table."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   hint_broadcast=False)
+
+    pc = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(dec("o_totalprice")).alias("_spend"))
+    w = Window.orderBy("_spend")
+    return pc.select(
+        "cust",
+        F.round(F.col("_spend").cast("double"), 2).alias("spend"),
+        F.round(F.cume_dist().over(w), 6).alias("spend_cume"),
+    )

@@ -103,6 +103,8 @@ QUERIES = [
     "new_vs_returning",
     "expanding_zscore",
     "robust_scale",
+    "traffic_heatmap",
+    "spend_cume_dist",
 ]
 
 

@@ -91,6 +91,8 @@ QUERIES = [
     "new_vs_returning",
     "expanding_zscore",
     "robust_scale",
+    "traffic_heatmap",
+    "spend_cume_dist",
 ]
 
 HOSTILE = {
