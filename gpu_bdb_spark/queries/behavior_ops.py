@@ -598,3 +598,108 @@ def new_vs_returning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events", ["user_id", "ts"],
                    hint_broadcast=False)
     return new_vs_returning(e)
+
+
+INTERPURCHASE_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey AS cust,
+         (epoch_us(o_orderdate)
+          - lag(epoch_us(o_orderdate))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+         / 86400000000.0 AS gap_days
+  FROM orders
+)
+SELECT CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap_days, 0.25), 6) AS p25_days,
+       ROUND(quantile_cont(gap_days, 0.5), 6) AS p50_days,
+       ROUND(quantile_cont(gap_days, 0.9), 6) AS p90_days
+FROM gaps WHERE gap_days IS NOT NULL
+"""
+
+
+@register("interpurchase_time", oracle=INTERPURCHASE_ORACLE,
+          tags=("behavior", "cadence", "retention"))
+def interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: exact percentiles of the gap between a
+    customer's consecutive orders — the reorder-cycle number behind
+    replenishment and churn models. One customer-key shuffle for the
+    lag window (ties broken by order key), integer-micros gaps until
+    the final days division, single-row rollup."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from gpu_bdb_spark.functions import micros
+
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey"],
+                   hint_broadcast=False)
+    w = W.partitionBy("o_custkey").orderBy(micros("o_orderdate"),
+                                           "o_orderkey")
+    gap = ((micros("o_orderdate") - F.lag(micros("o_orderdate")).over(w))
+           / F.lit(86_400_000_000.0)).alias("gap_days")
+    g = o.select(gap).filter(F.col("gap_days").isNotNull())
+    return g.agg(
+        F.count("gap_days").cast("long").alias("n_gaps"),
+        F.round(F.percentile("gap_days", F.lit(0.25)), 6).alias("p25_days"),
+        F.round(F.percentile("gap_days", F.lit(0.5)), 6).alias("p50_days"),
+        F.round(F.percentile("gap_days", F.lit(0.9)), 6).alias("p90_days"),
+    )
+
+
+PARETO_ORACLE = """
+WITH pc AS (
+  SELECT o_custkey AS cust,
+         SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS spend
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT spend,
+         row_number() OVER (ORDER BY spend DESC, cust) AS rn,
+         COUNT(*) OVER () AS n
+  FROM pc
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) FILTER (rn * 10 <= n) AS BIGINT) AS n_top_decile,
+       ROUND(CAST(SUM(spend) FILTER (rn * 10 <= n) AS DOUBLE), 2)
+         AS top_decile_spend,
+       ROUND(CAST(SUM(spend) AS DOUBLE), 2) AS total_spend,
+       ROUND(CAST(SUM(spend) FILTER (rn * 10 <= n) AS DOUBLE)
+             / CAST(SUM(spend) AS DOUBLE), 6) AS top_decile_share
+FROM r
+"""
+
+
+@register("pareto_share", oracle=PARETO_ORACLE,
+          tags=("behavior", "concentration", "pareto"))
+def pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the top spend decile's share of total
+    spend (the 80/20 health metric). Membership is the all-integer cut
+    rn·10 ≤ n over a (spend desc, cust) total order; decimal spend
+    sums; the single-partition rank runs over the per-customer
+    aggregate only."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from gpu_bdb_spark.functions import dec
+
+    o = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   hint_broadcast=False)
+    pc = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(dec("o_totalprice")).alias("spend"))
+    w = W.orderBy(F.desc("spend"), F.col("cust"))
+    r = pc.select(
+        "spend",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    top = F.col("rn") * 10 <= F.col("n")
+    return r.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum(top.cast("long")).alias("n_top_decile"),
+        F.round(F.sum(F.when(top, F.col("spend"))).cast("double"), 2)
+        .alias("top_decile_spend"),
+        F.round(F.sum("spend").cast("double"), 2).alias("total_spend"),
+        F.round(F.sum(F.when(top, F.col("spend"))).cast("double")
+                / F.sum("spend").cast("double"), 6)
+        .alias("top_decile_share"),
+    )

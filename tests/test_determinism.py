@@ -105,6 +105,8 @@ QUERIES = [
     "robust_scale",
     "traffic_heatmap",
     "spend_cume_dist",
+    "interpurchase_time",
+    "pareto_share",
 ]
 
 

@@ -93,6 +93,8 @@ QUERIES = [
     "robust_scale",
     "traffic_heatmap",
     "spend_cume_dist",
+    "interpurchase_time",
+    "pareto_share",
 ]
 
 HOSTILE = {
