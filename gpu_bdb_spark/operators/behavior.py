@@ -254,7 +254,12 @@ def ab_test_conversion(
         "n_a", "conv_a", "n_b", "conv_b",
         F.round(rate_a, 6).alias("rate_a"),
         F.round(rate_b, 6).alias("rate_b"),
-        F.round((rate_a - rate_b) / se, 6).alias("z_score"),
+        # Degenerate splits (an empty arm, pooled rate 0 or 1) make
+        # se 0/NULL; dividing would yield Inf/NaN whose serialization
+        # is engine-dependent — guard so they deterministically NULL,
+        # with the same CASE mirrored in the oracle.
+        F.when(se > F.lit(0.0),
+               F.round((rate_a - rate_b) / se, 6)).alias("z_score"),
     )
 
 

@@ -576,6 +576,11 @@ def hard_negative_topk(
     wrong, since a shard's top-k can be all same-label, evicting true
     cross-label winners. Returns (query_id, neighbor_id, rank, cosine);
     ranks tie-break by neighbor id so ids/ranks are engine-stable.
+
+    NULL labels are dropped on BOTH sides before the scorer, pinning
+    SQL three-valued semantics (`q_label <> c_label` excludes NULLs
+    entirely): numpy's `!=` would instead treat a None label as
+    unequal to everything and emit rows the SQL oracle never would.
     """
     k = int(k)
 
@@ -616,16 +621,17 @@ def hard_negative_topk(
                              "neighbor_id": np.concatenate(out_n),
                              "cosine": np.concatenate(out_c)})
 
-    corpus_g = corpus.select(
+    corpus_g = corpus.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),
         F.col(label_col).alias("c_label"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).alias("gid"))
     queries_g = corpus.sparkSession.range(n_groups).select(
         F.col("id").alias("gid")).join(
-        queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_emb"),
-                       F.col(label_col).alias("q_label")))
+        queries.filter(F.col(label_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_emb"),
+                F.col(label_col).alias("q_label")))
     scored = corpus_g.groupBy("gid").cogroup(
         queries_g.groupBy("gid")).applyInPandas(score, _SCORE_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(

@@ -87,3 +87,60 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min("c").alias("est_cnt"))
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    key,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group distinct-count estimate from a K-Minimum-Values sketch
+    (Bar-Yossef et al., RANDOM'02) over an md5-portable hash — like
+    `cms_build`, the whole sketch is deterministic and engine-portable,
+    so the DuckDB oracle replays construction AND estimation exactly
+    and the usual error-bound check becomes an exact hash match.
+
+    Estimator: hash keys uniformly into [0, 16^12); if h_(k) is the
+    k-th smallest DISTINCT hash in a group, est = (k-1)·16^12 / h_(k)
+    (the classical unbiased KMV form); groups with fewer than k
+    distinct hashes report their exact distinct count. Relative error
+    ~ 1/sqrt(k-2).
+
+    Layout: one narrow (group, hash) projection, a per-group dense_rank
+    (duplicate hashes collapse — no distinct pre-pass, ONE exchange),
+    filter to rank ≤ k, tiny per-group aggregate. The rank window sorts
+    each group's hashes, so this is a PORTABILITY tier, not a memory
+    saver — when only the estimate matters and cross-engine replay
+    doesn't, approx_count_distinct (HLL, constant memory) is the
+    native path; KMV's value is that the sketch itself is a verifiable,
+    mergeable artifact (union of two groups' sketches = k smallest of
+    the concatenation).
+
+    Returns (group_col, approx_distinct DOUBLE round-6).
+    """
+    from pyspark.sql import Window
+
+    k = int(k)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("kmv"), key.cast("string"))),
+            1, 12),
+        16, 10).cast("long")
+    ranked = df.select(F.col(group_col), h.alias("_h")).withColumn(
+        "_dr",
+        F.dense_rank().over(
+            Window.partitionBy(group_col).orderBy("_h")))
+    est = F.when(
+        F.col("_cnt") < k, F.col("_cnt").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(16 ** 12))
+        / F.col("_hk").cast("double"))
+    return (
+        ranked.filter(F.col("_dr") <= k)
+        .groupBy(group_col)
+        .agg(F.max("_dr").cast("long").alias("_cnt"),
+             F.max("_h").alias("_hk"))
+        .select(F.col(group_col),
+                F.round(est, 6).alias("approx_distinct"))
+    )

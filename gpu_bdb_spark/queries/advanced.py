@@ -6,7 +6,7 @@ the claim is checked, not asserted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpu_bdb_spark.functions import dec
@@ -173,23 +173,61 @@ def array_agg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-APPROX_DISTINCT_ORACLE = None  # approximate by construction — rows-only
+APPROX_DISTINCT_ORACLE = """
+WITH h AS (
+  SELECT l_returnflag AS flag,
+         CAST(concat('0x', substr(md5('kmv:' || CAST(l_partkey AS VARCHAR)),
+                                  1, 12)) AS BIGINT) AS h
+  FROM lineitem
+),
+r AS (
+  SELECT flag, h,
+         dense_rank() OVER (PARTITION BY flag ORDER BY h) AS dr
+  FROM h
+),
+kk AS (
+  SELECT flag, CAST(MAX(dr) AS BIGINT) AS cnt, MAX(h) AS hk
+  FROM r WHERE dr <= 256 GROUP BY flag
+),
+x AS (
+  SELECT l_returnflag AS flag,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT x.flag AS l_returnflag,
+       ROUND(CASE WHEN kk.cnt < 256 THEN CAST(kk.cnt AS DOUBLE)
+                  ELSE CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                       / CAST(kk.hk AS DOUBLE)
+             END, 6) AS approx_parts,
+       x.exact_parts
+FROM x JOIN kk ON x.flag = kk.flag
+"""
 
 
-@register("approx_distinct_parts", tags=("approx-agg",))
+@register("approx_distinct_parts", oracle=APPROX_DISTINCT_ORACLE,
+          tags=("approx-agg", "sketch", "portable"))
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) vs exact, per returnflag —
-    the constant-memory cardinality path for 100 TB scale. No oracle
-    (estimator internals are engine-specific); the relative-error bound is
-    asserted in tests/test_smoke.py."""
+    """Approximate distinct partkeys per returnflag vs exact, via an
+    md5-portable K-Minimum-Values sketch (operators/sketch.py
+    kmv_distinct): the entire sketch — hash family, k-th minimum,
+    estimator arithmetic — is deterministic and engine-portable, so the
+    DuckDB oracle replays it EXACTLY (the cms_user_counts pattern; the
+    usual error-bound-only check becomes a hash match). Relative error
+    ~1/sqrt(k-2) ≈ 6% at k=256, asserted in tests/test_smoke.py; the
+    engine-native constant-memory path (approx_count_distinct / HLL)
+    stays the 100 TB default when replayability isn't needed."""
+    from gpu_bdb_spark.operators.sketch import kmv_distinct
+
     l = read_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_partkey"],
                    hint_broadcast=False)
+    kmv = kmv_distinct(l, "l_returnflag", F.col("l_partkey"), k=256)
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"))
     return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
+        exact.join(kmv, "l_returnflag")
+        .select("l_returnflag",
+                F.col("approx_distinct").alias("approx_parts"),
+                "exact_parts")
     )
 
 
@@ -368,35 +406,85 @@ def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quantile_bins_approx", tags=("binning", "approx", "scale-path"))
+QUANTILE_BINS_APPROX_ORACLE = """
+WITH s AS (
+  SELECT l_extendedprice AS v, l_orderkey AS ok, l_linenumber AS ln
+  FROM lineitem
+  WHERE CAST(concat('0x',
+          substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 8))
+        AS BIGINT) < 1073741824
+),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v, ok, ln) AS r,
+         COUNT(*) OVER () AS m
+  FROM s
+),
+cuts AS (
+  SELECT r.v FROM r JOIN range(1, 10) t(i) ON r.r = (i * r.m + 9) // 10
+),
+pc AS (
+  SELECT l_extendedprice AS x, CAST(COUNT(*) AS BIGINT) AS nx
+  FROM lineitem GROUP BY l_extendedprice
+),
+xb AS (
+  SELECT pc.x, pc.nx,
+         CAST(1 + COUNT(c.v) AS INT) AS bin
+  FROM pc LEFT JOIN cuts c ON c.v < pc.x
+  GROUP BY pc.x, pc.nx
+)
+SELECT bin, CAST(SUM(nx) AS BIGINT) AS n,
+       CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi
+FROM xb GROUP BY bin
+"""
+
+
+@register("quantile_bins_approx", oracle=QUANTILE_BINS_APPROX_ORACLE,
+          tags=("binning", "approx", "scale-path", "portable"))
 def quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-frequency binning, SCALE PATH: decile cut points from
-    approx_percentile (one aggregate — a mergeable quantile sketch, no
-    global sort), broadcast back as a literal-free crossJoin of ONE
-    row, rows assigned to bins by comparison against the cuts. At
-    100 TB this replaces `quantile_bins`' total-order window, whose
-    single-direction sort is the inherent cost of exact ntile.
-    Rows-only for the driver (the sketch is engine-specific);
-    per-bin-count tolerance vs the exact deciles is pinned in
-    tests/test_oracle_parity-adjacent unit tests."""
-    d = read_table(spark, sf_dir, "lineitem", ["l_extendedprice"],
+    """Equal-frequency binning, SCALE PATH: decile cuts estimated from
+    a DETERMINISTIC 1/4 content-hash sample (md5 of the row key — the
+    repo's portable-sampling contract), so unlike a quantile sketch the
+    whole estimate is engine-replayable and the DuckDB oracle matches
+    it exactly. Cut i = the PICKED sample value at rank ceil(i·m/10)
+    (integer arithmetic, no interpolation — no float on the cut line);
+    rows then bin by counting cuts below them via a broadcast
+    inequality join over distinct prices (all codegen — the former
+    interpreted F.aggregate lambda is gone). The only total-order sort
+    runs over the SAMPLE (m ≈ N/4; tune the rate down at 100 TB — any
+    rate keeps the oracle exact), vs `quantile_bins`' full-table ntile
+    window. Per-bin-count tolerance vs the exact deciles is pinned in
+    tests/test_properties.py."""
+    d = read_table(spark, sf_dir, "lineitem",
+                   ["l_extendedprice", "l_orderkey", "l_linenumber"],
                    hint_broadcast=False)
-    cuts = d.agg(
-        F.percentile_approx(
-            "l_extendedprice",
-            [i / 10.0 for i in range(1, 10)], 10000).alias("cuts"))
-    binned = d.crossJoin(F.broadcast(cuts)).select(
-        "l_extendedprice",
-        (F.aggregate(
-            F.col("cuts"), F.lit(1),
-            lambda acc, c: acc + F.when(F.col("l_extendedprice") > c, 1)
-            .otherwise(0))).cast("int").alias("bin"))
-    return (
-        binned.groupBy("bin")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"),
-             F.min("l_extendedprice").cast("double").alias("lo"),
-             F.max("l_extendedprice").cast("double").alias("hi"))
+    hn = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("l_orderkey"),
+                              F.col("l_linenumber"))), 1, 8),
+        16, 10).cast("long")
+    s = d.filter(hn < F.lit(1073741824))  # 16^8 / 4: keep ~1/4 of rows
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = (
+        s.withColumn("r", F.row_number().over(w).cast("long"))
+        .withColumn("m", F.count(F.lit(1)).over(
+            Window.partitionBy()).cast("long"))
     )
+    cuts = ranked.filter(
+        F.expr("array_contains(transform(sequence(1, 9), "
+               "i -> (CAST(i AS BIGINT) * m + 9) DIV 10), r)")
+    ).select(F.col("l_extendedprice").alias("v"))
+    pc = d.groupBy(F.col("l_extendedprice").alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("nx"))
+    xb = (
+        pc.join(F.broadcast(cuts), F.col("v") < F.col("x"), "left")
+        .groupBy("x", "nx")
+        .agg((F.lit(1) + F.count("v")).cast("int").alias("bin"))
+    )
+    return xb.groupBy("bin").agg(
+        F.sum("nx").cast("long").alias("n"),
+        F.min("x").cast("double").alias("lo"),
+        F.max("x").cast("double").alias("hi"))
 
 
 @register("variant_props", oracle=JSON_PROPS_ORACLE,

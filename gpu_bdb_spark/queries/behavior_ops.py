@@ -157,19 +157,24 @@ wide AS (
          CAST(MAX(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
          CAST(MAX(CASE WHEN arm = 'B' THEN conv END) AS BIGINT) AS conv_b
   FROM arms
+),
+stats AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
+         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb,
+         sqrt((CAST(conv_a + conv_b AS DOUBLE)
+               / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 / CAST(n_a AS DOUBLE)
+                 + 1.0 / CAST(n_b AS DOUBLE))) AS se
+  FROM wide
 )
 SELECT n_a, conv_a, n_b, conv_b,
-       ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
-       ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
-       ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-             / sqrt((CAST(conv_a + conv_b AS DOUBLE)
-                     / CAST(n_a + n_b AS DOUBLE))
-                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
-                             / CAST(n_a + n_b AS DOUBLE))
-                    * (1.0 / CAST(n_a AS DOUBLE)
-                       + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z_score
-FROM wide
+       ROUND(ra, 6) AS rate_a,
+       ROUND(rb, 6) AS rate_b,
+       CASE WHEN se > 0 THEN ROUND((ra - rb) / se, 6) END AS z_score
+FROM stats
 """
 
 

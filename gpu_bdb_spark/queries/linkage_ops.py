@@ -14,9 +14,10 @@ from gpu_bdb_spark.operators.linkage import fuzzy_pairs
 from gpu_bdb_spark.queries.registry import register
 
 FUZZY_ORACLE = """
+WITH names AS (SELECT DISTINCT c_name FROM customer)
 SELECT a.c_name AS name_1, b.c_name AS name_2,
        CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-FROM customer a JOIN customer b ON a.c_name < b.c_name
+FROM names a JOIN names b ON a.c_name < b.c_name
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 

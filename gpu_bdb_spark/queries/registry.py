@@ -72,6 +72,16 @@ def register(
             # query therefore starts with a clean cache (bounding
             # residency to one entry) and a GC nudge so ContextCleaner
             # can reap the previous entry's broadcast/shuffle state.
+            #
+            # CONTRACT (strictly sequential construct-then-collect):
+            # because the clear happens at DataFrame-CONSTRUCTION time,
+            # callers must fully collect entry A before constructing
+            # entry B. Interleaving (construct B, then collect A) is
+            # still CORRECT — uncaching only forces recomputation — but
+            # A's persisted intermediates (pair lattices, ranked sets,
+            # top-k frames) would silently recompute once per consumer.
+            # The driver and driver_sim both run sequentially; keep any
+            # new harness that way.
             import gc
 
             spark.catalog.clearCache()

@@ -297,6 +297,37 @@ def dedup_ingest_batches(
     return process
 
 
+def cms_latest_version(sketch_path: str):
+    """(version, dir) of the newest committed sketch under
+    `sketch_path`, or (None, None) if no batch has committed yet.
+    Committed versions are directories named ``v<batch_id>``; anything
+    else (in-flight ``.tmp-*`` writes) is ignored."""
+    import os
+
+    if not os.path.isdir(sketch_path):
+        return None, None
+    versions = [
+        int(name[1:])
+        for name in os.listdir(sketch_path)
+        if name.startswith("v") and name[1:].isdigit()
+    ]
+    if not versions:
+        return None, None
+    v = max(versions)
+    return v, os.path.join(sketch_path, f"v{v}")
+
+
+def cms_read(spark, sketch_path: str) -> DataFrame:
+    """Read the newest committed standing sketch (see
+    `cms_ingest_batches`). Raises FileNotFoundError before the first
+    commit."""
+    _, path = cms_latest_version(sketch_path)
+    if path is None:
+        raise FileNotFoundError(
+            f"no committed sketch version under {sketch_path}")
+    return spark.read.parquet(path)
+
+
 def cms_ingest_batches(
     sketch_path: str,
     key_col: str = "key",
@@ -307,38 +338,64 @@ def cms_ingest_batches(
     stream in a parquet table — the streaming form of
     `operators.sketch.cms_build`, exploiting the sketch's mergeability:
     each micro-batch's sketch ADDS onto the standing counters
-    (read → union → sum → overwrite), so state is a constant
+    (read → union → sum → commit), so state is a constant
     depth×width-row TABLE, not streaming memory, and the pattern runs
     forever regardless of stream cardinality. The merged table equals
     the batch sketch over the full history EXACTLY (counter addition is
     associative — pinned in tests/test_streaming.py).
 
-    At scale the overwrite is trivial (≤ depth·width rows); for
-    exactly-once under retries pair it with a batch-id high-water mark
-    like the shard sink.
+    Exactly-once under retries: the batch id IS the high-water mark.
+    Each commit is a whole directory ``{sketch_path}/v{batch_id}``,
+    written to a ``.tmp-`` sibling first and atomically renamed into
+    place, so a crash mid-write never clobbers the standing sketch
+    (the newest committed version stays readable) and a micro-batch
+    RETRY after a successful commit is detected (batch_id ≤ newest
+    version) and skipped instead of double-adding counters. Read the
+    standing sketch with `cms_read`. The two newest versions are kept;
+    older ones are pruned. Directory-rename commit assumes a
+    driver-visible filesystem with atomic rename (local/HDFS); on an
+    object store swap the rename for a pointer-file commit.
     """
     from pyspark.sql import functions as F
 
     from gpu_bdb_spark.operators.sketch import cms_build
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        from pyspark.errors import AnalysisException
+        import os
+        import shutil
 
+        spark = batch_df.sparkSession
+        batch_id = int(batch_id)
+        latest, prev_path = cms_latest_version(sketch_path)
+        if latest is not None and batch_id <= latest:
+            return  # retry of an already-committed batch: no-op
         delta = cms_build(batch_df, F.col(key_col), depth=depth,
                           width=width)
-        try:
-            prev = spark.read.parquet(sketch_path)
+        if prev_path is not None:
             merged = (
-                prev.unionByName(delta)
+                spark.read.parquet(prev_path)
+                .unionByName(delta)
                 .groupBy("d", "b")
                 .agg(F.sum("c").alias("c"))
             )
-        except AnalysisException:  # first batch: no standing sketch yet
+        else:
             merged = delta
-        # materialize before overwriting the input path
-        out = merged.collect()
-        spark.createDataFrame(out, merged.schema).write.mode(
-            "overwrite").parquet(sketch_path)
+        os.makedirs(sketch_path, exist_ok=True)
+        tmp = os.path.join(sketch_path, f".tmp-v{batch_id}")
+        final = os.path.join(sketch_path, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # concurrent/duplicate commit of the same batch: keep the
+            # winner, drop our tmp
+            shutil.rmtree(tmp, ignore_errors=True)
+        for v in [
+            int(n[1:]) for n in os.listdir(sketch_path)
+            if n.startswith("v") and n[1:].isdigit()
+        ]:
+            if v < batch_id and v != latest:
+                shutil.rmtree(os.path.join(sketch_path, f"v{v}"),
+                              ignore_errors=True)
 
     return process

@@ -144,6 +144,19 @@ def test_ab_test_conversion_semantics(spark):
     assert r.z_score == round(z, 6)
 
 
+def test_ab_test_degenerate_split_nulls_z(spark):
+    """Pooled rate 1 (every user converts) makes se = 0: the z-score
+    must deterministically NULL instead of emitting engine-variant
+    Inf/NaN — the same CASE is mirrored in the DuckDB oracle."""
+    from gpu_bdb_spark.operators.behavior import ab_test_conversion
+
+    rows = [(u, "purchase") for u in range(20)]
+    df = spark.createDataFrame(rows, "user_id LONG, event_type STRING")
+    r = ab_test_conversion(df).collect()[0]
+    assert r.rate_a == 1.0 and r.rate_b == 1.0
+    assert r.z_score is None
+
+
 def test_delete_keys_parquet_roundtrip(spark, tmp_path):
     from gpu_bdb_spark.sources import delete_keys_parquet
 

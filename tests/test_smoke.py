@@ -28,7 +28,9 @@ def test_no_oracle_queries_run(name, spark, sf_dir):
 
 
 def test_approx_count_distinct_error_bound(spark, sf_dir):
-    rows = NO_ORACLE["approx_distinct_parts"].fn(spark, sf_dir).collect()
+    from gpu_bdb_spark.queries.registry import all_specs
+
+    rows = all_specs()["approx_distinct_parts"].fn(spark, sf_dir).collect()
     for r in rows:
         rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
         assert rel_err <= 0.10, f"{r.l_returnflag}: rel err {rel_err:.3f}"

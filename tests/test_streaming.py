@@ -577,22 +577,23 @@ def test_cms_ingest_batches_equals_batch_sketch(spark, events_stream,
     from pyspark.sql import functions as F
 
     from gpu_bdb_spark.operators.sketch import cms_build
-    from gpu_bdb_spark.streaming.ops import cms_ingest_batches
+    from gpu_bdb_spark.streaming.ops import (
+        cms_ingest_batches, cms_latest_version, cms_read)
 
     batch, stream = events_stream
     path = str(tmp_path_factory.mktemp("cms") / "sketch")
     keyed = stream.select(
         F.col("user_id").cast("string").alias("key")).filter(
         F.col("key").isNotNull())
+    process = cms_ingest_batches(path, "key", depth=3, width=64)
     q = (
-        keyed.writeStream.foreachBatch(
-            cms_ingest_batches(path, "key", depth=3, width=64))
+        keyed.writeStream.foreachBatch(process)
         .trigger(availableNow=True)
         .option("checkpointLocation", path + "_ckpt")
         .start()
     )
     q.awaitTermination(120)
-    got = {(r.d, r.b): r.c for r in spark.read.parquet(path).collect()}
+    got = {(r.d, r.b): r.c for r in cms_read(spark, path).collect()}
     expect = {
         (r.d, r.b): r.c
         for r in cms_build(
@@ -601,6 +602,17 @@ def test_cms_ingest_batches_equals_batch_sketch(spark, events_stream,
             F.col("key"), depth=3, width=64).collect()
     }
     assert got == expect
+    # Retry idempotency: replaying an already-committed micro-batch is
+    # a no-op — counters are NOT double-added and the version pointer
+    # does not advance.
+    latest, _ = cms_latest_version(path)
+    keyed_batch = batch.select(
+        F.col("user_id").cast("string").alias("key")).filter(
+        F.col("key").isNotNull())
+    process(keyed_batch, latest)
+    assert cms_latest_version(path)[0] == latest
+    replay = {(r.d, r.b): r.c for r in cms_read(spark, path).collect()}
+    assert replay == expect
 
 
 def test_streaming_time_weighted_equals_batch(spark, events_stream):
