@@ -112,6 +112,88 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(shingled, num_hashes=32, bands=16, threshold=0.6)
 
 
+def _lsh_verified_oracle(num_hashes: int = 32, bands: int = 16) -> str:
+    """DuckDB replay of the ENTIRE portable LSH pipeline — signatures,
+    banding, candidate join, exact integer verify — stage by stage. The
+    gate is therefore deterministic at any SF (LSH recall is the
+    operator's contract, not a hash-compare hazard; equality/recall vs
+    the exhaustive join is pinned separately in tests/test_dedup.py)."""
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        "MIN(CAST(concat('0x', substr(md5('{i}:' || shingle), 1, 8)) "
+        "AS BIGINT)) AS sig_{i}".format(i=i) for i in range(num_hashes))
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT id, {b} AS band, {bh} AS bh FROM sig".format(
+            b=b,
+            bh=" || ',' || ".join(
+                f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)))
+        for b in range(bands))
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t
+),
+sh AS (SELECT DISTINCT doc_id AS id, toks[i] || ' ' || toks[i + 1] AS shingle
+       FROM idx),
+sig AS (
+  SELECT id,
+         """ + mins + """
+  FROM sh GROUP BY id
+),
+bandv AS (
+  """ + band_rows + """
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_1, b.id AS id_2
+  FROM bandv a JOIN bandv b
+    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_1, c.id_2, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.id = c.id_1
+  JOIN sh b ON b.id = c.id_2 AND b.shingle = a.shingle
+  GROUP BY c.id_1, c.id_2
+)
+SELECT i.id_1, i.id_2,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / CAST(s1.sz + s2.sz - i.n_inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.id_1 = s1.id
+JOIN sizes s2 ON i.id_2 = s2.id
+WHERE i.n_inter * 5 >= (s1.sz + s2.sz - i.n_inter) * 3
+"""
+
+
+@register("dedup_lsh_verified", oracle=_lsh_verified_oracle(),
+          tags=("dedup", "minhash", "lsh", "portable", "pipeline"))
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation dedup pipeline — MinHash-band LSH candidate
+    generation + exact integer-Jaccard verify (threshold 3/5) — with a
+    portable md5 hash family so a DuckDB oracle replays EVERY stage
+    exactly. This is the canonical scale formulation (LSH generates,
+    exact Jaccard verifies): `dedup_ngram_jaccard`'s posting-list
+    self-join is the verify tier only, and this entry is the documented
+    fallback when AllPairs prefix filtering degenerates on uniform-df
+    corpora (SCALE.md "jaccard_join_prefix"). Candidates collapse to
+    bare id pairs before shingle arrays re-attach (plan-asserted);
+    recall vs the exhaustive quadratic join = LSH's 1−(1−j²)¹⁶ contract,
+    measured in tests/test_dedup.py; false positives are impossible
+    (exact verify), so output ⊆ exhaustive always."""
+    from gpu_bdb_spark.operators.dedup import minhash_lsh_verified_portable
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return minhash_lsh_verified_portable(
+        d, "text", "doc_id", num_hashes=32, bands=16,
+        threshold_num=3, threshold_den=5)
+
+
 @register("dedup_simhash", tags=("dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (boilerplate screen). No oracle

@@ -35,6 +35,34 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
         assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
 
 
+def test_lsh_verified_portable_matches_exact_jaccard(spark, sf_dir):
+    """The composed portable pipeline (md5 LSH candidates + integer
+    verify) is ⊆ exhaustive always (exact verify ⇒ no false positives),
+    with LSH-contract recall, and agrees with the exhaustive join on
+    every jaccard value it emits."""
+    from gpu_bdb_spark.operators.dedup import minhash_lsh_verified_portable
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    exact = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in jaccard_pairs(
+            shingle_sets(d, "text", "doc_id", n=2), threshold=0.6).collect()
+    }
+    got = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in minhash_lsh_verified_portable(
+            d, "text", "doc_id", num_hashes=32, bands=16,
+            threshold_num=3, threshold_den=5).collect()
+    }
+    assert set(got) <= set(exact), sorted(set(got) - set(exact))[:5]
+    for k, v in got.items():
+        assert v == exact[k]
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+
+
 def test_simhash_deterministic_and_discriminative(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)

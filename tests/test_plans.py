@@ -281,6 +281,23 @@ def test_jaccard_join_candidates_are_bare_ids(spark, sf_dir):
     assert cand and all("_rtoks" not in c for c in cand), plan
 
 
+def test_lsh_verified_candidates_are_bare_ids(spark, sf_dir):
+    """dedup_lsh_verified: the candidate distinct shuffles bare id
+    pairs — shingle arrays re-attach only after the distinct."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = formatted_plan(all_specs()["dedup_lsh_verified"].fn(spark, sf_dir))
+    # the distinct aggregate keyed on (id_1, id_2) must see EXACTLY the
+    # two id columns — wide arrays attach only downstream of it
+    m = re.findall(
+        r"\(\d+\) HashAggregate\nInput \[(\d+)\]: \[([^\]]*)\]"
+        r"\nKeys \[2\]: \[(id_1[^\]]*)\]", plan)
+    assert m, plan
+    for n, cols, keys in m:
+        assert int(n) == 2 and "shingles" not in cols, plan
+
+
 def test_rfm_single_fact_aggregate_before_tiles(spark, sf_dir):
     """One hash aggregate on the customer key precedes the ntile
     windows; the single-partition sort runs over the aggregated frame
