@@ -283,6 +283,7 @@ def farthest_point_sample(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     checkpoint_dir: str | None = None,
+    strategy: str = "exact",
 ) -> DataFrame:
     """Greedy k-center (farthest-point-first) coreset selection over an
     embedding column — the classic diversity-sampling pass of a
@@ -306,6 +307,13 @@ def farthest_point_sample(
     the first k centers.
     """
     from gpu_bdb_spark.operators.dedup import _lineage_cut
+
+    if strategy == "parallel":
+        return farthest_point_sample_parallel(
+            df, k, vec_col=vec_col, id_col=id_col,
+            checkpoint_dir=checkpoint_dir)
+    if strategy != "exact":
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     pts = df.select(F.col(id_col).alias("id"), vd.alias("v"))
@@ -335,6 +343,106 @@ def farthest_point_sample(
         [(int(r), int(i), float(d)) for r, i, d in picked],
         "rank bigint, id bigint, dist double",
     ).withColumnsRenamed({"id": id_col})
+
+
+def parallel_fps_schedule(k: int, oversample: float = 4.0) -> tuple[int, int]:
+    """(rounds, ℓ) for the parallel k-center strategy: ⌈log₂k⌉ rounds
+    sampling ~ℓ = ⌈oversample·k/rounds⌉ points each — the O(log k)
+    round bound is structural (pinned in tests/test_graph.py), and the
+    candidate pool is ≈ oversample·k points in expectation."""
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max(int(k), 2))))
+    return rounds, max(1, math.ceil(oversample * k / rounds))
+
+
+def farthest_point_sample_parallel(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    oversample: float = 4.0,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Scale path for greedy k-center: O(log k) distributed rounds
+    instead of k driver round-trips — k-means‖ (Bahmani et al.,
+    VLDB'12) with the RNG replaced by an md5 content hash so every
+    round is deterministic and ENGINE-REPLAYABLE. Each round samples
+    points with probability min(1, ℓ·d²/Σd²) (d = running quantized
+    min-distance to the pool; mass re-concentrates on uncovered
+    regions each round, which is what spreads the pool across far
+    clusters where a deterministic top-ℓ would collapse onto the
+    single farthest one), plus the top-1 farthest as a guaranteed
+    progress pick; all sampled centers fold into d in ONE scan. After
+    ⌈log₂k⌉ rounds, the EXACT greedy `farthest_point_sample` runs over
+    the ≈oversample·k-point pool — a trivially small frame — reusing
+    the exact tier's quantized arithmetic (and oracle formulation).
+
+    Cross-engine exactness of the sampling cut: d is round-6; the
+    per-row mass r6 = round(d²·10⁶) and its BIGINT sum Σr6 are exact
+    integers, and the cut  h·Σr6 < ℓ·2³²·r6  (h = 32-bit md5 slot of
+    (round, id)) is evaluated in DECIMAL — no float ever crosses the
+    comparison. (BIGINT Σr6 caps the exact-replay form at ~10¹² rows
+    of unit-scale embeddings; beyond that drop to DOUBLE sums — the
+    sampling only needs approximate mass, but the oracle then can't
+    replay bit-exactly.)
+
+    vs exact FPS: the final argmax ranges over the pool, not the full
+    corpus — the formal 2-approximation is traded for the k-means‖
+    guarantee; the coverage-radius ratio vs exact FPS is pinned ≤ 2 in
+    tests/test_graph.py. Same contract: (rank, id_col, dist).
+    """
+    from gpu_bdb_spark.operators.dedup import _lineage_cut
+
+    rounds, ell = parallel_fps_schedule(k, oversample)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = df.select(F.col(id_col).alias("id"), vd.alias("v"))
+
+    def dist_to(center: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in center])
+        return F.round(
+            F.sqrt(F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, x: a + x)),
+            6)
+
+    r6 = F.round(F.col("d") * F.col("d") * F.lit(1000000.0), 0).cast("long")
+
+    seed = pts.orderBy("id").limit(1).collect()[0]
+    pool: dict[int, list[float]] = {seed["id"]: list(seed["v"])}
+    state = _lineage_cut(
+        pts.withColumn("d", dist_to(seed["v"])), checkpoint_dir)
+    for r in range(rounds):
+        tot6 = state.agg(F.sum(r6).alias("t")).collect()[0]["t"] or 0
+        batch = state.orderBy(F.desc("d"), F.col("id")).limit(1).collect()
+        if tot6 > 0:
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("fpsp"), F.lit(r),
+                                      F.col("id"))), 1, 8),
+                16, 10).cast("long")
+            cut = (
+                h.cast("decimal(19,0)")
+                * F.lit(int(tot6)).cast("decimal(19,0)")
+                < F.lit(int(ell) * 4294967296).cast("decimal(19,0)")
+                * r6.cast("decimal(19,0)"))
+            batch = batch + state.filter(cut).collect()
+        new = [row for row in batch if row["id"] not in pool]
+        for row in new:
+            pool[row["id"]] = list(row["v"])
+        if r < rounds - 1 and new:
+            folded = F.col("d")
+            for row in new:
+                folded = F.least(folded, dist_to(row["v"]))
+            state = _lineage_cut(
+                state.withColumn("d", folded), checkpoint_dir)
+    spark = df.sparkSession
+    pool_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in sorted(pool.items())],
+        f"{id_col} bigint, {vec_col} array<double>",
+    )
+    return farthest_point_sample(
+        pool_df, k=min(int(k), len(pool)), vec_col=vec_col, id_col=id_col)
 
 
 def weighted_sample_topk(

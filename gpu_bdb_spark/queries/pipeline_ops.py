@@ -528,6 +528,92 @@ def diversity_sample_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return farthest_point_sample(e, k=6)
 
 
+def _fps_parallel_oracle(k: int = 8, rounds: int = 3, ell: int = 11) -> str:
+    """Unrolled replay of the PARALLEL k-center strategy: per round,
+    the top-1 far point plus the md5-uniform d²-mass sample (the
+    decimal cut h·Σr6 < ℓ·2³²·r6 — no float crosses a comparison),
+    min-distance folded per round, then the exact greedy FPS unrolled
+    over the pool — the same arithmetic as `_fps_oracle`, so the whole
+    scale path is hash-verified stage by stage."""
+    r6 = "CAST(round(d * d * 1000000, 0) AS BIGINT)"
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM e "
+        "WHERE vec_id = (SELECT MIN(vec_id) FROM e))",
+        "s1 AS MATERIALIZED (SELECT e.vec_id, e.v, "
+        "round(list_distance(e.v, c1.v), 6) AS d FROM e, c1)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"t{r} AS (SELECT SUM({r6}) AS t6 FROM s{r})")
+        ctes.append(
+            f"b{r} AS MATERIALIZED ("
+            f"SELECT vec_id, v FROM "
+            f"(SELECT vec_id, v FROM s{r} ORDER BY d DESC, vec_id LIMIT 1) "
+            f"UNION "
+            f"SELECT vec_id, v FROM s{r}, t{r} "
+            f"WHERE t6 > 0 AND "
+            f"CAST(CAST(concat('0x', substr(md5('fpsp:{r - 1}:' "
+            f"|| CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+            f"AS DECIMAL(19,0)) * CAST(t6 AS DECIMAL(19,0)) "
+            f"< CAST({ell * 4294967296} AS DECIMAL(19,0)) "
+            f"* CAST({r6} AS DECIMAL(19,0)))")
+        if r < rounds:
+            # join + group-by fold (a correlated MIN subquery here makes
+            # DuckDB re-inline the whole upstream CTE chain per row —
+            # measured exponential; the cross-join fold is linear)
+            ctes.append(
+                f"s{r + 1} AS MATERIALIZED (SELECT p.vec_id, p.v, "
+                f"least(p.d, MIN(round(list_distance(p.v, b.v), 6))) AS d "
+                f"FROM s{r} p CROSS JOIN b{r} b "
+                f"GROUP BY p.vec_id, p.v, p.d)")
+    pool_sel = " UNION ALL ".join(
+        ["SELECT vec_id, v FROM c1"]
+        + [f"SELECT vec_id, v FROM b{r}" for r in range(1, rounds + 1)])
+    ctes.append(f"pool AS MATERIALIZED "
+                f"(SELECT DISTINCT vec_id, v FROM ({pool_sel}))")
+    ctes += [
+        "p1 AS (SELECT vec_id, v FROM pool "
+        "WHERE vec_id = (SELECT MIN(vec_id) FROM pool))",
+        "q1 AS MATERIALIZED (SELECT p.vec_id, p.v, "
+        "round(list_distance(p.v, p1.v), 6) AS d FROM pool p, p1)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT vec_id, v, d FROM q{i - 1} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)")
+        if i < k:
+            ctes.append(
+                f"q{i} AS MATERIALIZED (SELECT p.vec_id, p.v, LEAST(p.d, "
+                f"round(list_distance(p.v, p{i}.v), 6)) AS d "
+                f"FROM q{i - 1} p, p{i})")
+    sel = ["SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS dist FROM p1"]
+    sel += [f"SELECT CAST({i} AS BIGINT), vec_id, d FROM p{i}"
+            for i in range(2, k + 1)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sel)
+
+
+@register("diversity_sample_parallel", oracle=_fps_parallel_oracle(8, 3, 11),
+          tags=("pipeline", "sampling", "embedding", "coreset",
+                "scale-path"))
+def diversity_sample_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset, SCALE PATH: deterministic k-means‖ — ⌈log₂k⌉
+    distributed rounds each sampling points with md5-uniform
+    probability ℓ·d²/Σd² (plus the top-1 far point) and folding them
+    into the running min-distance in one scan — then exact greedy FPS
+    over the ≈4k-point pool. Replaces `diversity_sample_fps`' k driver
+    round-trips with O(log k) rounds; the DuckDB oracle replays both
+    phases exactly (round-6 distances, decimal sampling cut — no float
+    crosses a comparison). Coverage-ratio vs exact FPS pinned in
+    tests/test_graph.py."""
+    from gpu_bdb_spark.operators.sampling import farthest_point_sample
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    return farthest_point_sample(e, k=8, strategy="parallel")
+
+
 SHARD_ROUNDTRIP_ORACLE = """
 WITH t AS (
   SELECT doc_id,

@@ -88,6 +88,54 @@ def test_farthest_point_sample_matches_reference(spark):
     assert sorted(got) == _ref_fps(f32, 5)
 
 
+def test_fps_parallel_coverage_within_2x_of_exact(spark):
+    """strategy='parallel' (log-round oversampled pool + exact FPS over
+    the pool) must cover the dataset within 2× the exact greedy FPS
+    coverage radius — the scale path trades driver round-trips for a
+    bounded approximation loss."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    # 6 well-separated cluster centers + noise: far-structure that a
+    # bad pool would miss
+    centers = [[rng.uniform(-10, 10) for _ in range(6)] for _ in range(6)]
+    vecs = {}
+    for i in range(120):
+        c = centers[i % 6]
+        vecs[i] = [x + rng.uniform(-0.5, 0.5) for x in c]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<double>")
+
+    def radius(center_ids):
+        cs = [vecs[i] for i in center_ids]
+        return max(
+            min(math.dist(v, c) for c in cs) for v in vecs.values())
+
+    exact = [r["vec_id"]
+             for r in farthest_point_sample(df, k=6).collect()]
+    par = [r["vec_id"]
+           for r in farthest_point_sample(
+               df, k=6, strategy="parallel").collect()]
+    assert len(par) == 6
+    assert radius(par) <= 2.0 * radius(exact), (radius(par), radius(exact))
+
+
+def test_fps_parallel_round_bound_is_log_k(spark):
+    """The distributed round count is ⌈log₂k⌉ — the structural O(log k)
+    bound that replaces exact FPS's k driver round-trips — and the
+    candidate pool stays ≈ oversample·k."""
+    import math
+
+    from gpu_bdb_spark.operators.sampling import parallel_fps_schedule
+
+    for k in (2, 6, 8, 64, 1024):
+        rounds, ell = parallel_fps_schedule(k)
+        assert rounds == max(1, math.ceil(math.log2(k)))
+        assert rounds * ell <= 4.0 * k + rounds  # pool ≈ oversample·k
+
+
 def test_farthest_point_selection_dists_decrease(spark, sf_dir):
     from gpu_bdb_spark.io import read_table
 
