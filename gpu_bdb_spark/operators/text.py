@@ -1045,3 +1045,66 @@ def remove_boilerplate(
         F.sum(F.col("_keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
     )
+
+
+def build_gazetteer(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Corpus-derived entity lexicon: the `top` word n-grams by document
+    frequency (ties broken by the n-gram itself, so the cut line is
+    deterministic cross-engine). In a production NER this frame is the
+    curated company/product list loaded from a side table; deriving it
+    from the corpus keeps the entry self-contained — the CONSUMER
+    (`gazetteer_mentions`) is identical either way.
+
+    Shape: distinct (doc, ngram) pairs → one hash count → top-k via
+    TakeOrderedAndProject (per-partition heads; no global sort). The
+    result is broadcast-sized by construction (`top` rows).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(ngrams(tokenize(text_col), n)))
+        .alias("entity"),
+    )
+    return (
+        grams.groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.col("entity"))
+        .limit(top)
+    )
+
+
+def gazetteer_mentions(
+    df: DataFrame,
+    gazetteer: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gazetteer NER: find every positioned occurrence of a lexicon
+    entity in every document — the deterministic, oracle-verifiable
+    fallback tier of the NER surface (model tiers: tpcxbb q27 spaCy /
+    q27_bert, import-gated; reference contract q27_utils.py:42-53).
+
+    Distributed shape: documents explode to (id, position, n-gram)
+    ONCE; the lexicon joins BROADCAST (it is tiny by construction), so
+    the corpus is never shuffled — matching is a map-side hash probe;
+    the only exchange is the per-(doc, entity) aggregate. Returns
+    (id, entity, n_mentions, first_pos) with 1-based token positions.
+    """
+    posed = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ngrams(tokenize(text_col), n)).alias("pos0", "entity"),
+    )
+    return (
+        posed.join(F.broadcast(gazetteer.select("entity")), "entity")
+        .groupBy("id", "entity")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            (F.min("pos0") + 1).cast("long").alias("first_pos"),
+        )
+    )

@@ -1198,3 +1198,49 @@ def mask_tokens_mlm(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit.cast("int").alias("is_masked"),
         F.when(hit, F.col("token")).alias("target"),
     )
+
+
+NER_GAZETTEER_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i + 1] AS entity
+  FROM t, unnest(generate_series(1, len(toks) - 1)) r(i)
+),
+dfreq AS (
+  SELECT entity, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM g GROUP BY entity
+),
+gaz AS (SELECT entity FROM dfreq ORDER BY df DESC, entity LIMIT 20)
+SELECT g.doc_id, g.entity,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(MIN(g.pos) AS BIGINT) AS first_pos
+FROM g JOIN gaz USING (entity)
+GROUP BY g.doc_id, g.entity
+"""
+
+
+@register("ner_orgs", oracle=NER_GAZETTEER_ORACLE,
+          tags=("text", "ner", "gazetteer"))
+def ner_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer NER — the exact-oracle tier of the NER surface
+    (model tiers: tpcxbb q27 spaCy / q27_bert, import-gated; reference
+    contract q27_utils.py:42-53): every positioned lexicon-entity
+    mention per document. The lexicon here is corpus-derived (top-20
+    bigrams by document frequency, deterministic ties) because the
+    synthetic corpus has no curated company list — in production the
+    gazetteer frame IS that curated list and the consumer is unchanged.
+    Plumbing under grade: documents explode to positioned n-grams ONCE,
+    the lexicon joins BROADCAST (map-side probe — the corpus never
+    shuffles for matching), one (doc, entity) aggregate."""
+    from gpu_bdb_spark.operators.text import (build_gazetteer,
+                                              gazetteer_mentions)
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    gaz = build_gazetteer(d, "text", "doc_id", n=2, top=20)
+    return gazetteer_mentions(d, gaz, "text", "doc_id", n=2) \
+        .withColumnsRenamed({"id": "doc_id"})

@@ -373,7 +373,9 @@ def q27(spark: SparkSession, tables: Tables, *, item_sk=10002) -> DataFrame:
     q27:64-71 via spaCy en_core_web_sm). spaCy is not in this container:
     falls back to a deterministic capitalized-sequence heuristic NER —
     clearly marked; swap in the spaCy pipe for model parity (the reference
-    itself never verifies q27, utils.py:648-650)."""
+    itself never verifies q27, utils.py:648-650). The exact-oracled NER
+    tier is `ner_orgs` (operators/text.gazetteer_mentions: broadcast
+    lexicon + positioned n-gram join), hash-verified by the driver."""
     reviews = tables("product_reviews",
                      ["pr_review_sk", "pr_item_sk", "pr_review_content"],
                      broadcast=False).filter(F.col("pr_item_sk") == item_sk)

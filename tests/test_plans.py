@@ -281,6 +281,17 @@ def test_jaccard_join_candidates_are_bare_ids(spark, sf_dir):
     assert cand and all("_rtoks" not in c for c in cand), plan
 
 
+def test_ner_gazetteer_joins_broadcast(spark, sf_dir):
+    """ner_orgs: the lexicon joins broadcast — the exploded corpus is
+    never shuffled for matching; the only hash exchanges are the df
+    count and the final (doc, entity) aggregate."""
+    import re
+
+    plan = formatted_plan(all_specs()["ner_orgs"].fn(spark, sf_dir))
+    assert has_broadcast_join(plan), plan
+    assert len(re.findall(r"hashpartitioning", plan)) <= 2, plan
+
+
 def test_lsh_verified_candidates_are_bare_ids(spark, sf_dir):
     """dedup_lsh_verified: the candidate distinct shuffles bare id
     pairs — shingle arrays re-attach only after the distinct."""
