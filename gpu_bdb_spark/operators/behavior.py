@@ -295,6 +295,15 @@ def rfm_segments(
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(dec(amount_col)).alias("_mon"),
     )
+    return rfm_score(per_cust, n_tiles)
+
+
+def rfm_score(per_cust: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """Scoring tail of `rfm_segments` over an already-aggregated
+    (cust, last_order_us, frequency, _mon DECIMAL) frame — shared with
+    the streaming twin (`streaming.stateful.streaming_rfm_state`
+    maintains the per-customer frame incrementally; this identical
+    expression then makes drained ≡ batch bit-exact)."""
     n = int(n_tiles)
     r = Window.orderBy(F.desc("last_order_us"), F.col("cust"))
     f = Window.orderBy(F.desc("frequency"), F.col("cust"))
@@ -416,7 +425,17 @@ def conversion_lag(
                 .alias("lag_s"))
     )
     joined = first_from.join(converted, "u", "left")
-    return joined.agg(
+    return conversion_lag_rollup(joined)
+
+
+def conversion_lag_rollup(per_user: DataFrame) -> DataFrame:
+    """Single-row finishing aggregate of `conversion_lag` over the
+    per-user (u, ..., lag_s NULLABLE DOUBLE) frame — shared with the
+    streaming twin (`streaming.stateful.streaming_conversion_lag`
+    maintains per-user first-view/first-conversion state; applying this
+    identical expression to the drained frame makes drained ≡ batch
+    bit-exact)."""
+    return per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n_users_from"),
         F.count("lag_s").cast("long").alias("n_converted"),
         F.round(F.count("lag_s").cast("double")
@@ -457,6 +476,15 @@ def new_vs_returning(
         "period",
         (F.col("period") == F.min("period").over(w)).alias("_new"),
     )
+    return new_vs_returning_rollup(flagged)
+
+
+def new_vs_returning_rollup(flagged: DataFrame) -> DataFrame:
+    """Period rollup of `new_vs_returning` over the flagged
+    (period, _new BOOLEAN) frame — shared with the streaming twin
+    (`streaming.stateful.streaming_new_vs_returning` emits exactly-once
+    (user, period, is_new) increments; this identical expression over
+    the drained increments makes drained ≡ batch bit-exact)."""
     return flagged.groupBy("period").agg(
         F.count(F.lit(1)).cast("long").alias("n_active"),
         F.sum(F.col("_new").cast("long")).alias("n_new"),

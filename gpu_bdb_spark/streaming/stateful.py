@@ -445,3 +445,180 @@ def streaming_expanding_zscore(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_conversion_lag(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Streaming twin of `operators.behavior.conversion_lag`'s per-user
+    stage: first-`from_type` timestamp and first `to_type` strictly
+    after it, maintained as TWO LONGS of state per user (-1 = unseen) —
+    O(keys) state regardless of stream length.
+
+    Emits the running (u, f_us, lag_s) per user per micro-batch in
+    update mode; downstream keeps the latest row per user and applies
+    `conversion_lag_rollup` — on a drained stream that equals the batch
+    operator bit-for-bit (pinned in tests/test_streaming.py; lag is an
+    integer-micros difference divided once, the identical IEEE op in
+    both paths). Same ordering contract as the other stateful twins:
+    micro-batches arrive in non-decreasing event-time order per user (a
+    `to_type` event never precedes the `from_type` that converts it
+    across batch boundaries; within a batch order is irrelevant).
+    """
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        f_us, conv_us = state.get if state.exists else (-1, -1)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.dropna(subset=["ts"])
+            us = (_pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+                  .astype("int64") // 1000)
+            types = pdf["event_type"]
+            vmask = types == from_type
+            if vmask.any():
+                mv = int(us[vmask].min())
+                f_us = mv if f_us < 0 else min(f_us, mv)
+            if f_us >= 0:
+                pmask = (types == to_type) & (us > f_us)
+                if pmask.any():
+                    mp = int(us[pmask].min())
+                    conv_us = mp if conv_us < 0 else min(conv_us, mp)
+        state.update((f_us, conv_us))
+        if f_us >= 0:
+            lag = ((conv_us - f_us) / 1_000_000.0
+                   if conv_us >= 0 else None)
+            yield _pd.DataFrame(
+                {"u": [key[0]], "f_us": [f_us], "lag_s": [lag]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="u long, f_us long, lag_s double",
+            stateStructType="f_us long, conv long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_new_vs_returning(
+    events: DataFrame,
+    period_us: int = 86_400 * 1_000_000,
+) -> DataFrame:
+    """Streaming twin of `operators.behavior.new_vs_returning`'s flagged
+    stage: per user, emit each active period EXACTLY ONCE with its
+    new/returning flag. State is two longs per user (first and last
+    emitted period); a period is emitted iff greater than the last —
+    exactly-once increments under the non-decreasing event-time
+    contract, so APPEND mode composes (nothing is ever retracted).
+
+    Drained increments → `new_vs_returning_rollup` equals the batch
+    operator bit-for-bit (pinned in tests/test_streaming.py).
+    """
+    step = int(period_us)
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        first_p, last_p = state.get if state.exists else (-1, -1)
+        fresh = set()
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.dropna(subset=["ts"])
+            us = (_pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+                  .astype("int64") // 1000)
+            for p in (us // step).unique():
+                p = int(p)
+                if last_p < 0 or p > last_p:
+                    fresh.add(p)
+        if fresh:
+            ps = sorted(fresh)
+            if first_p < 0:
+                first_p = ps[0]
+            last_p = max(last_p, ps[-1])
+            state.update((first_p, last_p))
+            yield _pd.DataFrame({
+                "user_id": [key[0]] * len(ps),
+                "period": ps,
+                "is_new": [p == first_p for p in ps],
+            })
+        else:
+            state.update((first_p, last_p))
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, period long, is_new boolean",
+            stateStructType="first_p long, last_p long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_rfm_state(orders: DataFrame) -> DataFrame:
+    """Streaming twin of `operators.behavior.rfm_segments`' per-customer
+    aggregate: (last_order_us, frequency, exact decimal monetary)
+    maintained incrementally. Monetary accumulates as a Python Decimal
+    quantized per value exactly as Spark's double→decimal(12,4) cast
+    (shortest repr, HALF_UP — `gpu_bdb_spark.functions.dec`) and is
+    carried/emitted as a STRING so no float ever enters the sum; the
+    scoring tail (`rfm_score`: the three ntile windows) runs as a batch
+    finishing step over the drained frame — ntile is a global total
+    order, inherently not incremental, and the per-customer frame it
+    needs is exactly what this operator maintains.
+
+    Emits the running (cust, last_order_us, frequency, mon) per
+    customer per micro-batch in update mode; downstream keeps the
+    latest row per customer. Drained + rfm_score ≡ batch bit-for-bit
+    (pinned in tests/test_streaming.py).
+    """
+
+    def update(key, pdfs, state):
+        import decimal as _dec
+
+        import pandas as _pd
+
+        last_us, freq, mon = (state.get if state.exists
+                              else (-1, 0, "0.0000"))
+        total = _dec.Decimal(mon)
+        q4 = _dec.Decimal("1e-4")
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for d, v in zip(pdf["o_orderdate"], pdf["o_totalprice"]):
+                # DATE arrives as date or Timestamp depending on the
+                # Arrow conversion; Timestamp() normalizes both to
+                # midnight (the forced-UTC batch cast semantics)
+                us = int(_pd.Timestamp(d).value // 1000)
+                last_us = max(last_us, us)
+                freq += 1
+                # Spark Cast(double→decimal(12,4)): shortest repr,
+                # then HALF_UP at scale 4 (functions.dec)
+                total += _dec.Decimal(repr(float(v))).quantize(
+                    q4, rounding=_dec.ROUND_HALF_UP)
+        state.update((last_us, freq, str(total)))
+        yield _pd.DataFrame({
+            "cust": [key[0]], "last_order_us": [last_us],
+            "frequency": [freq], "mon": [str(total)],
+        })
+
+    return (
+        orders.groupBy("o_custkey")
+        .applyInPandasWithState(
+            update,
+            outputStructType="cust long, last_order_us long, "
+                             "frequency long, mon string",
+            stateStructType="last_us long, freq long, mon string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

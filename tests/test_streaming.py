@@ -854,3 +854,110 @@ def test_streaming_expanding_zscore_equals_batch(spark,
     assert (fin["n_prev"].values == expect["n_prev"].values).all()
     gz, ez = fin["z"].values.astype(float), expect["z"].values.astype(float)
     assert ((gz == ez) | (np.isnan(gz) & np.isnan(ez))).all()
+
+
+def test_streaming_conversion_lag_equals_batch(spark,
+                                               events_stream_3batches):
+    """Three micro-batches through the conversion-lag state machine:
+    drained per-user (f_us, lag_s) + the shared batch rollup equals
+    conversion_lag bit-for-bit."""
+    from gpu_bdb_spark.operators.behavior import (conversion_lag,
+                                                  conversion_lag_rollup)
+    from gpu_bdb_spark.streaming.stateful import streaming_conversion_lag
+
+    batch, stream = events_stream_3batches
+    got = _run_to_memory_update(
+        spark,
+        streaming_conversion_lag(
+            stream.select("user_id", "ts", "event_type")),
+        "convlag_3b")
+    # running rows per user: f_us only decreases, lag only tightens once
+    # set — the FINAL state per user is order-free (min f_us, min lag)
+    final = got.groupby("u", as_index=False).agg(
+        f_us=("f_us", "min"), lag_s=("lag_s", "min"))
+    per_user = spark.createDataFrame(
+        final, "u long, f_us long, lag_s double")
+    expect = conversion_lag(
+        batch.select("user_id", "ts", "event_type")).toPandas()
+    got_roll = conversion_lag_rollup(per_user).toPandas()
+    assert expect["n_converted"][0] > 0
+    assert got_roll.equals(expect), (got_roll, expect)
+
+
+def test_streaming_new_vs_returning_equals_batch(spark,
+                                                 events_stream_3batches):
+    """Exactly-once (user, period, is_new) increments across three
+    micro-batches + the shared period rollup equal new_vs_returning
+    bit-for-bit."""
+    from gpu_bdb_spark.operators.behavior import (new_vs_returning,
+                                                  new_vs_returning_rollup)
+    from gpu_bdb_spark.streaming.stateful import streaming_new_vs_returning
+
+    batch, stream = events_stream_3batches
+    got = _run_to_memory_append(
+        spark,
+        streaming_new_vs_returning(stream.select("user_id", "ts")),
+        "nvr_3b")
+    # exactly-once contract: no (user, period) may repeat
+    assert not got.duplicated(["user_id", "period"]).any()
+    flagged = spark.createDataFrame(
+        got[["period", "is_new"]], "period long, is_new boolean"
+    ).select("period", F.col("is_new").alias("_new"))
+    got_roll = (new_vs_returning_rollup(flagged)
+                .orderBy("period").toPandas())
+    expect = (new_vs_returning(batch.select("user_id", "ts"))
+              .orderBy("period").toPandas())
+    assert len(got_roll) == len(expect) > 1
+    assert got_roll.equals(expect), (got_roll, expect)
+
+
+@pytest.fixture()
+def orders_stream_3batches(spark, sf_dir, tmp_path_factory):
+    """Orders split into three date-ordered files streamed one per
+    micro-batch (state-carry coverage for the RFM twin)."""
+    from gpu_bdb_spark.io import read_table
+
+    batch = read_table(spark, sf_dir, "orders",
+                       ["o_custkey", "o_orderdate", "o_totalprice"])
+    lo, hi = batch.select(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    span = (hi - lo).days
+    cut1 = lo + __import__("datetime").timedelta(days=span // 3)
+    cut2 = lo + __import__("datetime").timedelta(days=2 * span // 3)
+    d = tmp_path_factory.mktemp("orders_3b")
+    batch.filter(F.col("o_orderdate") <= F.lit(cut1)).coalesce(1)\
+        .write.parquet(str(d / "f0"))
+    batch.filter((F.col("o_orderdate") > F.lit(cut1))
+                 & (F.col("o_orderdate") <= F.lit(cut2)))\
+        .coalesce(1).write.parquet(str(d / "f1"))
+    batch.filter(F.col("o_orderdate") > F.lit(cut2)).coalesce(1)\
+        .write.parquet(str(d / "f2"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "f*"))
+    )
+    return batch, stream
+
+
+def test_streaming_rfm_equals_batch(spark, orders_stream_3batches):
+    """Per-customer RFM state across three micro-batches (decimal
+    monetary carried as a string — no float in the sum), finished with
+    the shared rfm_score windows: equals rfm_segments bit-for-bit."""
+    from gpu_bdb_spark.operators.behavior import rfm_score, rfm_segments
+    from gpu_bdb_spark.streaming.stateful import streaming_rfm_state
+
+    batch, stream = orders_stream_3batches
+    got = _run_to_memory_update(spark, streaming_rfm_state(stream),
+                                "rfm_3b")
+    # frequency strictly increases per emitted update: final = max-freq
+    final = got.sort_values("frequency").groupby(
+        "cust", as_index=False).last()
+    per_cust = spark.createDataFrame(
+        final, "cust long, last_order_us long, frequency long, mon string"
+    ).select("cust", "last_order_us", "frequency",
+             F.col("mon").cast("decimal(38,4)").alias("_mon"))
+    key = ["cust"]
+    got_seg = rfm_score(per_cust).orderBy(*key).toPandas()
+    expect = rfm_segments(batch).orderBy(*key).toPandas()
+    assert len(got_seg) == len(expect) > 0
+    assert got_seg.equals(expect), (got_seg.head(), expect.head())
