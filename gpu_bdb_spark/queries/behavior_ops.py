@@ -336,7 +336,7 @@ GROUP BY user_id
 
 
 @register("user_360", oracle=USER_360_ORACLE,
-          tags=("behavior", "one-scan", "report"))
+          tags=("behavior", "one-scan", "report"), bench=True)
 def user_360(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan per-user 360 report: event counts, purchase counts,
     first/last timestamps, exact decimal spend, the half-life decayed
@@ -521,7 +521,7 @@ FROM s3 GROUP BY 1, 2, 3
 
 
 @register("frequent_sequences", oracle=SEQUENCES_ORACLE,
-          tags=("behavior", "sequential-patterns"))
+          tags=("behavior", "sequential-patterns"), bench=True)
 def frequent_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GSP-style frequent length-3 event subsequences (gaps allowed):
     greedy-scan existence via two min-aggregates and a distinct —

@@ -87,9 +87,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bigram-shingle Jaccard near-duplicate pairs (threshold 0.6).
 
     The exact formulation (shingle posting-list self-join) — correct but
-    worst-case quadratic within a shingle's posting list. At 100 TB this
-    runs only on LSH candidates; here it doubles as the ground truth for
-    the MinHash variant.
+    worst-case quadratic within a shingle's posting list. This entry is
+    the VERIFY/ground-truth tier only; the canonical scale formulation
+    is `dedup_lsh_verified` (LSH candidates + this exact verify,
+    composed and fully oracled), with `jaccard_join_prefix` the
+    provably-lossless alternative when the corpus has prefix-filterable
+    token statistics.
     """
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)

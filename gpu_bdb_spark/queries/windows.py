@@ -551,7 +551,7 @@ FROM z
 
 
 @register("rolling_zscore", oracle=ROLLING_ZSCORE_ORACLE,
-          tags=("window", "anomaly", "zscore"))
+          tags=("window", "anomaly", "zscore"), bench=True)
 def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-baseline anomaly flag: each event's value scored
     against the SAME USER'S prior 7 days (exclusive RANGE frame — peers

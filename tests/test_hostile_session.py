@@ -95,6 +95,9 @@ QUERIES = [
     "spend_cume_dist",
     "interpurchase_time",
     "pareto_share",
+    "dedup_lsh_verified",
+    "diversity_sample_parallel",
+    "ner_orgs",
 ]
 
 HOSTILE = {
