@@ -493,3 +493,70 @@ def new_vs_returning_rollup(flagged: DataFrame) -> DataFrame:
                 / F.count(F.lit(1)).cast("double"), 6)
         .alias("returning_share"),
     )
+
+
+def ks_two_sample(
+    values: DataFrame,
+    value_col: str = "v",
+    group_col: str = "g",
+    group_a: str = "a",
+    group_b: str = "b",
+    alpha_coef: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: D = max |F̂_a(v) − F̂_b(v)|
+    over the pooled observed values, with the α=0.05 critical value
+    c·√((n_a+n_b)/(n_a·n_b)) — the nonparametric distribution-shift
+    check (did segment A's spend distribution move vs segment B's?)
+    that belongs next to `ab_test_conversion`'s rate z-test.
+
+    Distributed shape: one hash aggregate collapses the fact table to
+    per-DISTINCT-VALUE group counts (map-side partials — ties merge
+    before any sort), then ONE single-direction running-sum window over
+    the distinct-value frame (the same deliberate trade as
+    quantile_bins: a total order over values is inherent to an exact
+    ECDF sup-statistic; the sketch path is a KLL/approx-ECDF variant).
+    Totals ride a broadcast one-row crossJoin.
+
+    Exactness: counts are integers; each ECDF step is an IEEE division
+    of exact integers and the per-value gap is rounded 1e-9 before the
+    max, so D is engine- and partitioning-exact; the critical value is
+    a fixed-order IEEE expression of the two counts (ab_test
+    precedent: correctly-rounded ops in fixed order need no
+    quantization). Returns ONE row (n_a, n_b, d_stat, d_crit, reject).
+    """
+    v = values.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(group_col).alias("g"))
+    pv = v.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0))
+        .cast("long").alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = pv.select(
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    tot = pv.agg(F.sum("a").cast("long").alias("na"),
+                 F.sum("b").cast("long").alias("nb"))
+    gap = F.round(
+        F.abs(F.col("ca").cast("double") / F.col("na").cast("double")
+              - F.col("cb").cast("double") / F.col("nb").cast("double")),
+        9)
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(F.max(gap).alias("_d"),
+             F.max("na").alias("na"), F.max("nb").alias("nb"))
+    )
+    crit = F.lit(float(alpha_coef)) * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double")))
+    return d.select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        F.round(F.col("_d"), 6).alias("d_stat"),
+        F.round(crit, 6).alias("d_crit"),
+        (F.round(F.col("_d"), 6) > F.round(crit, 6)).cast("int")
+        .alias("reject"),
+    )

@@ -10,6 +10,7 @@ evaluates transcendental functions on the comparison path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gpu_bdb_spark.io import read_table
 from gpu_bdb_spark.operators.behavior import (
@@ -708,3 +709,72 @@ def pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("spend").cast("double"), 6)
         .alias("top_decile_share"),
     )
+
+
+KS_TEST_ORACLE = """
+WITH seg AS (
+  SELECT c_custkey, c_mktsegment AS g FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+),
+v AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v, g
+  FROM orders JOIN seg ON o_custkey = c_custkey
+),
+pv AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(SUM(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT)
+           AS b
+  FROM v GROUP BY v
+),
+t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM pv),
+c AS (
+  SELECT SUM(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM pv
+),
+d AS (
+  SELECT MAX(round(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                       - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)), 9)) AS dm,
+         MAX(na) AS na, MAX(nb) AS nb
+  FROM c, t
+)
+SELECT na AS n_a, nb AS n_b,
+       round(dm, 6) AS d_stat,
+       round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+                          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+         AS d_crit,
+       CAST(round(dm, 6)
+            > round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+                                 / (CAST(na AS DOUBLE)
+                                    * CAST(nb AS DOUBLE))), 6) AS INT)
+         AS reject
+FROM d
+"""
+
+
+@register("ks_test", oracle=KS_TEST_ORACLE,
+          tags=("behavior", "stats", "distribution-shift"))
+def ks_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distribution-shift test: does the
+    BUILDING segment's order-value distribution differ from
+    AUTOMOBILE's? One hash aggregate to per-distinct-value group
+    counts, one running-sum window over that collapsed frame (the
+    exact-ECDF total order, same deliberate trade as quantile_bins),
+    broadcast totals, single-row verdict. Integer counts + round-9 ECDF
+    gaps make D engine-exact."""
+    from gpu_bdb_spark.operators.behavior import ks_two_sample
+
+    c = read_table(spark, sf_dir, "customer",
+                   ["c_custkey", "c_mktsegment"], hint_broadcast=False)
+    o = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   hint_broadcast=False)
+    vals = o.join(
+        F.broadcast(c.filter(
+            F.col("c_mktsegment").isin(["BUILDING", "AUTOMOBILE"]))),
+        o.o_custkey == c.c_custkey,
+    ).select(F.col("o_totalprice").alias("v"),
+             F.col("c_mktsegment").alias("g"))
+    return ks_two_sample(vals, "v", "g", "BUILDING", "AUTOMOBILE")

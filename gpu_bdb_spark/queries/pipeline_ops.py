@@ -884,3 +884,108 @@ def remove_boilerplate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     return remove_boilerplate(d, "text", "doc_id", seg_tokens=8, max_df=1)
+
+
+DSIR_SELECT_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM t, unnest(generate_series(1, len(toks) - 1)) r(i)
+),
+gb AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('dsir:' || bg), 1, 8)) AS BIGINT)
+           % 256 AS b
+  FROM g
+),
+bc AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ct
+  FROM gb GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS trr, CAST(SUM(ct) AS BIGINT) AS tt
+  FROM bc
+),
+dim AS (
+  SELECT b,
+         CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+                    - ln(CAST(cr + 1 AS DOUBLE)
+                         / CAST(trr + 256 AS DOUBLE)), 6)
+              AS DECIMAL(20,6)) AS lr
+  FROM bc, tot
+),
+ds AS (
+  SELECT doc_id, SUM(lr) AS s, CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM gb JOIN dim USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_grams, round(CAST(s AS DOUBLE), 6) AS score
+FROM ds ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+
+@register("dsir_select", oracle=DSIR_SELECT_ORACLE,
+          tags=("pipeline", "sampling", "importance", "dsir"))
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., NeurIPS'23: importance
+    resampling on hashed n-gram features): score every document by the
+    log-likelihood ratio of a TARGET unigram-bag LM over hashed-bigram
+    buckets vs the RAW corpus LM, keep the top-50. The target sample is
+    the doc_id % 10 == 0 slice (standing in for the curated in-domain
+    set, the dedup_incremental convention).
+
+    Layout: ONE bigram explode feeds both the 256-row bucket LM (a
+    single hash aggregate computes raw and target counts together) and
+    the per-doc scoring join; the bucket dimension — with its add-1
+    smoothed log ratios — joins back BROADCAST, so the corpus-sized
+    stage shuffles only (doc_id, bucket). Exactness: per-bucket log
+    ratio is an IEEE expression of exact integers rounded 1e-6 once,
+    per-doc scores are DECIMAL sums of those quantized ratios
+    (order-independent), the top-50 cut breaks ties by doc_id."""
+    from gpu_bdb_spark.functions import tokenize
+    from gpu_bdb_spark.operators.text import ngrams
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    gb = d.select(
+        "doc_id",
+        F.explode(ngrams(tokenize("text"), 2)).alias("bg"),
+    ).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"),
+                                              F.col("bg"))), 1, 8),
+                   16, 10).cast("long"),
+            F.lit(256)).alias("b"),
+    )
+    bc = gb.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0))
+        .cast("long").alias("ct"),
+    )
+    tot = bc.agg(F.sum("cr").cast("long").alias("trr"),
+                 F.sum("ct").cast("long").alias("tt"))
+    lr = F.round(
+        F.log((F.col("ct") + 1).cast("double")
+              / (F.col("tt") + 256).cast("double"))
+        - F.log((F.col("cr") + 1).cast("double")
+                / (F.col("trr") + 256).cast("double")),
+        6).cast("decimal(20,6)")
+    dim = bc.crossJoin(F.broadcast(tot)).select("b", lr.alias("lr"))
+    ds = (
+        gb.join(F.broadcast(dim), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("s"),
+             F.count(F.lit(1)).cast("long").alias("n_grams"))
+    )
+    return (
+        ds.select("doc_id", "n_grams",
+                  F.round(F.col("s").cast("double"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(50)
+    )

@@ -1244,3 +1244,75 @@ def ner_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaz = build_gazetteer(d, "text", "doc_id", n=2, top=20)
     return gazetteer_mentions(d, gaz, "text", "doc_id", n=2) \
         .withColumnsRenamed({"id": "doc_id"})
+
+
+PHRASE_SEARCH_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, i,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM t, unnest(generate_series(1, len(toks) - 2)) r(i)
+),
+cnt AS (SELECT g, COUNT(*) AS c FROM tri GROUP BY g),
+top AS (SELECT g FROM cnt ORDER BY c DESC, g LIMIT 1)
+SELECT doc_id, g AS phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(i) AS BIGINT) AS first_pos
+FROM tri JOIN top USING (g)
+GROUP BY doc_id, g
+"""
+
+
+@register("phrase_search", oracle=PHRASE_SEARCH_ORACLE,
+          tags=("text", "ir", "positional-index"))
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query against a POSITIONAL posting index: find every
+    occurrence of a 3-token phrase (here the corpus's most frequent
+    trigram, a deterministic stand-in for the user query) as three
+    (doc, pos+k) equi-joins over unigram postings — how a distributed
+    IR engine answers quoted queries without re-scanning text.
+
+    The oracle is an INDEPENDENT restatement (it counts the trigram
+    directly), so the hash proves the positional-join plan implements
+    phrase semantics. Scale shape: postings are first SEMI-FILTERED to
+    the query's three terms via a broadcast join (only the query's
+    posting lists are ever touched — the IR contract), then the three
+    positional legs equi-join on (doc, pos) keys, all co-partitioned;
+    one final (doc) aggregate."""
+    from gpu_bdb_spark.operators.text import ngrams
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    toks = tokenize("text")
+    tri = d.select(F.explode(ngrams(toks, 3)).alias("g"))
+    top = (tri.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+           .orderBy(F.desc("c"), F.col("g")).limit(1)
+           .select(
+               F.col("g").alias("phrase"),
+               F.split("g", " ").getItem(0).alias("w1"),
+               F.split("g", " ").getItem(1).alias("w2"),
+               F.split("g", " ").getItem(2).alias("w3")))
+    postings = d.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok"))
+    qterms = top.select(
+        F.explode(F.array("w1", "w2", "w3")).alias("tok")).distinct()
+    hits = (
+        postings.join(F.broadcast(qterms), "tok")
+        .crossJoin(F.broadcast(top))
+    )
+    a = hits.filter(F.col("tok") == F.col("w1")).select(
+        "doc_id", F.col("pos0").alias("p"), "phrase")
+    b = hits.filter(F.col("tok") == F.col("w2")).select(
+        "doc_id", (F.col("pos0") - 1).alias("p"))
+    c = hits.filter(F.col("tok") == F.col("w3")).select(
+        "doc_id", (F.col("pos0") - 2).alias("p"))
+    return (
+        a.join(b, ["doc_id", "p"]).join(c, ["doc_id", "p"])
+        .groupBy("doc_id", "phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+             (F.min("p") + 1).cast("long").alias("first_pos"))
+    )

@@ -98,6 +98,9 @@ QUERIES = [
     "dedup_lsh_verified",
     "diversity_sample_parallel",
     "ner_orgs",
+    "ks_test",
+    "dsir_select",
+    "phrase_search",
 ]
 
 HOSTILE = {
