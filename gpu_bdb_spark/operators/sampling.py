@@ -398,20 +398,57 @@ def farthest_point_sample_parallel(
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     pts = df.select(F.col(id_col).alias("id"), vd.alias("v"))
 
-    def dist_to(center: list[float]) -> Column:
-        c = F.array(*[F.lit(float(x)) for x in center])
-        return F.round(
-            F.sqrt(F.aggregate(
-                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda a, x: a + x)),
-            6)
+    def fold_min_dist(state_df: DataFrame,
+                      centers: list[list[float]]) -> DataFrame:
+        """d ← min(d, round₆‖v−c‖) over all new centers, vectorized in
+        ONE numpy pass per partition. The expression form (chained
+        least(zip_with·aggregate) per center) ran the interpreted HOF
+        evaluator ℓ× per row and measured 2× SLOWER than exact FPS's
+        whole run at 500k×k=32 (SCALE.md round-8); numpy restores the
+        O(log k)-round variant's compute advantage. Arithmetic parity:
+        squares accumulate in index order (the zip_with fold order and
+        DuckDB's list_distance order), and quantization replicates
+        Spark's F.round — shortest repr, HALF_UP — applied only to
+        candidates that can change the already-quantized min."""
+        cs = [list(map(float, c)) for c in centers]
+
+        def fold(batches):
+            import decimal as _dec
+
+            import numpy as _np
+
+            q6 = _dec.Decimal("1e-6")
+            for pdf in batches:
+                if not len(pdf):
+                    yield pdf
+                    continue
+                vm = _np.array(pdf["v"].tolist(), dtype="float64")
+                d = pdf["d"].to_numpy(dtype="float64", copy=True)
+                for c in cs:
+                    acc = _np.zeros(len(pdf))
+                    for j, cj in enumerate(c):
+                        acc += (vm[:, j] - cj) ** 2
+                    nd = _np.sqrt(acc)
+                    cand = _np.nonzero(nd < d + 1e-6)[0]
+                    for i in cand:
+                        q = float(_dec.Decimal(repr(float(nd[i]))).quantize(
+                            q6, rounding=_dec.ROUND_HALF_UP))
+                        if q < d[i]:
+                            d[i] = q
+                pdf = pdf.copy()
+                pdf["d"] = d
+                yield pdf
+
+        return state_df.mapInPandas(fold, state_df.schema)
 
     r6 = F.round(F.col("d") * F.col("d") * F.lit(1000000.0), 0).cast("long")
 
     seed = pts.orderBy("id").limit(1).collect()[0]
     pool: dict[int, list[float]] = {seed["id"]: list(seed["v"])}
     state = _lineage_cut(
-        pts.withColumn("d", dist_to(seed["v"])), checkpoint_dir)
+        fold_min_dist(
+            pts.withColumn("d", F.lit(float("inf"))), [list(seed["v"])]),
+        checkpoint_dir)
     for r in range(rounds):
         tot6 = state.agg(F.sum(r6).alias("t")).collect()[0]["t"] or 0
         batch = state.orderBy(F.desc("d"), F.col("id")).limit(1).collect()
@@ -431,11 +468,9 @@ def farthest_point_sample_parallel(
         for row in new:
             pool[row["id"]] = list(row["v"])
         if r < rounds - 1 and new:
-            folded = F.col("d")
-            for row in new:
-                folded = F.least(folded, dist_to(row["v"]))
             state = _lineage_cut(
-                state.withColumn("d", folded), checkpoint_dir)
+                fold_min_dist(state, [list(row["v"]) for row in new]),
+                checkpoint_dir)
     spark = df.sparkSession
     pool_df = spark.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in sorted(pool.items())],

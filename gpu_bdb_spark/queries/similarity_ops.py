@@ -445,3 +445,129 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
                    hint_broadcast=False)
     return mutual_knn(e, k=5)
+
+
+GRAM_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT i.i AS i, j.j AS j,
+         CAST(round(v.v[i.i + 1] * v.v[j.j + 1], 6) AS DECIMAL(28,6)) AS t
+  FROM v, range(0, 64) i(i), range(0, 64) j(j)
+  WHERE i.i <= j.j
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(SUM(t) AS DOUBLE) AS s
+FROM p GROUP BY i, j
+"""
+
+
+@register("embedding_gram", oracle=GRAM_ORACLE,
+          tags=("embedding", "linear-algebra", "pca"))
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix XᵀX of the embedding corpus (upper triangle,
+    dim 64 → 2080 entries) — the one-pass reduction behind PCA,
+    whitening, and covariance diagnostics. Per-term products are
+    quantized round-6 then summed in DECIMAL, so every entry is order-
+    independent and engine-exact.
+
+    Shape here: positional explode + self-join on vec_id + one hash
+    aggregate to d(d+1)/2 groups (map-side partials). At 100 TB the
+    production shape is a mapInPandas partial-Gram per partition (numpy
+    X_pᵀX_p, d² floats shuffled per partition — no row blowup); this
+    decimal explode form is the verification tier, same contract."""
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    xs = e.select("vec_id", F.posexplode(vd).alias("i", "x"))
+    ys = xs.withColumnsRenamed({"i": "j", "x": "y"})
+    return (
+        xs.join(ys, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.round(F.col("x") * F.col("y"), 6)
+                   .cast("decimal(28,6)")).alias("_s"))
+        .select(F.col("i").cast("int"), F.col("j").cast("int"),
+                F.col("_s").cast("double").alias("s"))
+    )
+
+
+def _pca_power_oracle(dim: int = 64, iters: int = 8) -> str:
+    """Unrolled power iteration over the exact decimal Gram: term
+    products round-12 → DECIMAL sums (order-free matvec), L∞
+    normalization by the max-|w| component (ties → smallest i), round-9
+    iterates — every step replayed bit-for-bit."""
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv "
+        "FROM embeddings)",
+        f"p AS (SELECT i.i AS i, j.j AS j, "
+        f"CAST(round(v.vv[i.i + 1] * v.vv[j.j + 1], 6) AS DECIMAL(28,6)) "
+        f"AS t FROM v, range(0, {dim}) i(i), range(0, {dim}) j(j) "
+        f"WHERE i.i <= j.j)",
+        "gu AS (SELECT i, j, CAST(SUM(t) AS DOUBLE) AS g "
+        "FROM p GROUP BY i, j)",
+        "gm AS MATERIALIZED (SELECT i, j, g FROM gu UNION ALL "
+        "SELECT j, i, g FROM gu WHERE i < j)",
+        f"v0 AS (SELECT i AS i, 1.0 AS x FROM range(0, {dim}) r(i))",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT gm.i, "
+            f"SUM(CAST(round(gm.g * v{t - 1}.x, 12) AS DECIMAL(38,12))) "
+            f"AS w FROM gm JOIN v{t - 1} ON gm.j = v{t - 1}.i "
+            f"GROUP BY gm.i)")
+        ctes.append(
+            f"m{t} AS (SELECT CAST(w AS DOUBLE) AS m FROM w{t} "
+            f"ORDER BY abs(CAST(w AS DOUBLE)) DESC, i LIMIT 1)")
+        ctes.append(
+            f"v{t} AS MATERIALIZED (SELECT w{t}.i, "
+            f"round(CAST(w{t}.w AS DOUBLE) / m{t}.m, 9) AS x "
+            f"FROM w{t}, m{t})")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT CAST(i AS INT) AS i, x AS loading FROM v{iters}")
+
+
+@register("pca_power", oracle=_pca_power_oracle(64, 8),
+          tags=("embedding", "linear-algebra", "pca", "iterative"))
+def pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION on the exact decimal Gram matrix: 8 matvec rounds with
+    round-12 decimal term quantization (order-free sums), L∞
+    normalization by the max-|component| (ties → smallest index),
+    round-9 iterates — the same bit-reproducible-fixed-point discipline
+    as pagerank_neardup, so the DuckDB oracle replays every iteration
+    exactly.
+
+    Scale shape: the DATA-sized work is the one-pass Gram reduction
+    (embedding_gram); the iteration then runs on the collected
+    d(d+1)/2-row Gram — dimension-sized, the BPE best-pair precedent —
+    so adding iterations costs zero extra corpus scans. (Contrast
+    PageRank, where the graph is data-sized and each round is a
+    distributed join.)"""
+    import decimal as _dec
+
+    gram = embedding_gram(spark, sf_dir).collect()
+    dim, iters = 64, 8
+    g: dict[tuple[int, int], float] = {}
+    for r in gram:
+        g[(r["i"], r["j"])] = float(r["s"])
+        g[(r["j"], r["i"])] = float(r["s"])
+    q12 = _dec.Decimal("1e-12")
+    q9 = _dec.Decimal("1e-9")
+    v = [1.0] * dim
+    for _ in range(iters):
+        w = []
+        for i in range(dim):
+            acc = _dec.Decimal(0)
+            for j in range(dim):
+                acc += _dec.Decimal(repr(g[(i, j)] * v[j])).quantize(
+                    q12, rounding=_dec.ROUND_HALF_UP)
+            w.append(acc)
+        wf = [float(x) for x in w]
+        m_idx = sorted(range(dim), key=lambda i: (-abs(wf[i]), i))[0]
+        m = wf[m_idx]
+        v = [float(_dec.Decimal(repr(wf[i] / m)).quantize(
+            q9, rounding=_dec.ROUND_HALF_UP)) for i in range(dim)]
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(dim)], "i int, loading double")

@@ -113,6 +113,8 @@ QUERIES = [
     "ks_test",
     "dsir_select",
     "phrase_search",
+    "embedding_gram",
+    "pca_power",
 ]
 
 
