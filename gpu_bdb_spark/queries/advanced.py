@@ -829,3 +829,222 @@ def spend_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_spend").cast("double"), 2).alias("spend"),
         F.round(F.cume_dist().over(w), 6).alias("spend_cume"),
     )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS y,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE), 2)
+         AS rev,
+       CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority)
+            AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                        (o_orderpriority), ())
+"""
+
+
+@register("grouping_sets_orders", oracle=GROUPING_SETS_ORACLE,
+          tags=("grouping-sets",))
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — ((year, priority), (priority), ()) is
+    neither a rollup nor a cube — with the grouping_id bitmask
+    disambiguating which set each row belongs to (the reason COALESCE
+    sentinels alone aren't enough once real NULLs are possible). One
+    pass, one shuffle: Spark expands the sets map-side like rollup/
+    cube. Expressed through spark.sql over registered views: the
+    DataFrame `groupingSets` API duplicates set-member expressions into
+    extra grouping columns (observed 5-bit grouping_id for 2 keys), so
+    the SQL clause is the reliable surface."""
+    from gpu_bdb_spark.io import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql("""
+SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS y,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE), 2)
+         AS rev,
+       CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority)
+            AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                        (o_orderpriority), ())
+""")
+
+
+UNPIVOT_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag AS rf,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 2)
+           AS sum_qty,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE),
+               2) AS sum_price,
+         ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE), 2)
+           AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT rf, 'sum_qty' AS metric, sum_qty AS value FROM w
+UNION ALL SELECT rf, 'sum_price', sum_price FROM w
+UNION ALL SELECT rf, 'sum_disc', sum_disc FROM w
+"""
+
+
+@register("unpivot_metrics", oracle=UNPIVOT_ORACLE, tags=("unpivot",))
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide metric columns → long (metric, value) rows), the
+    inverse of `pivot_event_counts`: aggregate once, then melt — a
+    dimension-sized expand AFTER the reduction, never a fact-table row
+    blowup. Oracle restates it as UNION ALL."""
+    l = read_table(spark, sf_dir, "lineitem",
+                   ["l_returnflag", "l_quantity", "l_extendedprice",
+                    "l_discount"], hint_broadcast=False)
+    w = l.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.round(F.sum(dec("l_quantity")).cast("double"), 2)
+        .alias("sum_qty"),
+        F.round(F.sum(dec("l_extendedprice")).cast("double"), 2)
+        .alias("sum_price"),
+        F.round(F.sum(dec("l_discount")).cast("double"), 2)
+        .alias("sum_disc"),
+    )
+    return w.unpivot(["rf"], ["sum_qty", "sum_price", "sum_disc"],
+                     "metric", "value")
+
+
+EXCEPT_ALL_ORACLE = """
+SELECT l_partkey FROM lineitem WHERE l_linenumber <= 2
+EXCEPT ALL
+SELECT l_partkey FROM lineitem WHERE l_linenumber > 2
+"""
+
+
+@register("except_all_parts", oracle=EXCEPT_ALL_ORACLE,
+          tags=("set-ops", "bag-semantics"))
+def except_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicities subtract, unlike the
+    distinct-collapsing EXCEPT of `except_brands`): partkeys of early
+    line numbers minus later ones, duplicates preserved."""
+    l = read_table(spark, sf_dir, "lineitem",
+                   ["l_partkey", "l_linenumber"], hint_broadcast=False)
+    a = l.filter(F.col("l_linenumber") <= 2).select("l_partkey")
+    b = l.filter(F.col("l_linenumber") > 2).select("l_partkey")
+    return a.exceptAll(b)
+
+
+INTERSECT_ALL_ORACLE = """
+SELECT l_partkey FROM lineitem WHERE l_linenumber <= 2
+INTERSECT ALL
+SELECT l_partkey FROM lineitem WHERE l_linenumber > 2
+"""
+
+
+@register("intersect_all_parts", oracle=INTERSECT_ALL_ORACLE,
+          tags=("set-ops", "bag-semantics"))
+def intersect_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — min multiplicity per value):
+    the bag-intersection twin of `except_all_parts`."""
+    l = read_table(spark, sf_dir, "lineitem",
+                   ["l_partkey", "l_linenumber"], hint_broadcast=False)
+    a = l.filter(F.col("l_linenumber") <= 2).select("l_partkey")
+    b = l.filter(F.col("l_linenumber") > 2).select("l_partkey")
+    return a.intersectAll(b)
+
+
+OLS_ORACLE = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(round(l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS sq,
+         CAST(SUM(CAST(round(l_discount, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS sd,
+         CAST(SUM(CAST(round(l_quantity * l_quantity, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(round(l_quantity * l_discount, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS sqd,
+         CAST(SUM(CAST(round(l_discount * l_discount, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS sdd,
+         CAST(SUM(CAST(round(l_extendedprice, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(l_quantity * l_extendedprice, 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sqy,
+         CAST(SUM(CAST(round(l_discount * l_extendedprice, 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sdy,
+         CAST(SUM(CAST(round(l_extendedprice * l_extendedprice, 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM lineitem
+),
+s AS (
+  SELECT *,
+    (n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)
+       + sd * (sq * sqd - sqq * sd)) AS det,
+    (sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy)
+       + sd * (sqy * sqd - sqq * sdy)) AS det0,
+    (n * (sqy * sdd - sdy * sqd) - sy * (sq * sdd - sqd * sd)
+       + sd * (sq * sdy - sqy * sd)) AS det1,
+    (n * (sqq * sdy - sqd * sqy) - sq * (sq * sdy - sqy * sd)
+       + sy * (sq * sqd - sqq * sd)) AS det2
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(det0 / det, 6) AS b_intercept,
+       round(det1 / det, 6) AS b_qty,
+       round(det2 / det, 6) AS b_disc,
+       round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * sqy
+                    - (det2 / det) * sdy)
+                   / (syy - sy * sy / n), 6) AS r2
+FROM s
+"""
+
+
+@register("ols_price_model", oracle=OLS_ORACLE,
+          tags=("ml", "regression", "exact", "sufficient-stats"))
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS — extendedprice ~ quantity + discount — via
+    SUFFICIENT STATISTICS: ONE scan reduces 600k (or 100 TB of) rows
+    to 10 decimal-exact moments (round-6 per-term products, order-free
+    decimal sums), then Cramer's rule solves the 3×3 normal equations
+    as a fixed-order IEEE expression over those identical doubles.
+    Model training with an EXACT cross-engine oracle — the contrast
+    tier to the iterative ML entries (kmeans/LR are rows-only by
+    design); at any scale the hard work is one map-side-combinable
+    aggregate, and the solve is O(p³) on a single row."""
+    l = read_table(spark, sf_dir, "lineitem",
+                   ["l_quantity", "l_discount", "l_extendedprice"],
+                   hint_broadcast=False)
+
+    def ds(col):
+        return F.sum(F.round(col, 6).cast("decimal(28,6)")).cast("double")
+
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), \
+        F.col("l_extendedprice")
+    m = l.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        ds(q).alias("sq"), ds(d).alias("sd"),
+        ds(q * q).alias("sqq"), ds(q * d).alias("sqd"),
+        ds(d * d).alias("sdd"),
+        ds(y).alias("sy"), ds(q * y).alias("sqy"), ds(d * y).alias("sdy"),
+        ds(y * y).alias("syy"),
+    )
+    n, sq, sd = F.col("n"), F.col("sq"), F.col("sd")
+    sqq, sqd, sdd = F.col("sqq"), F.col("sqd"), F.col("sdd")
+    sy, sqy, sdy, syy = F.col("sy"), F.col("sqy"), F.col("sdy"), \
+        F.col("syy")
+    det = (n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)
+           + sd * (sq * sqd - sqq * sd))
+    det0 = (sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy)
+            + sd * (sqy * sqd - sqq * sdy))
+    det1 = (n * (sqy * sdd - sdy * sqd) - sy * (sq * sdd - sqd * sd)
+            + sd * (sq * sdy - sqy * sd))
+    det2 = (n * (sqq * sdy - sqd * sqy) - sq * (sq * sdy - sqy * sd)
+            + sy * (sq * sqd - sqq * sd))
+    return m.select(
+        n.cast("long").alias("n"),
+        F.round(det0 / det, 6).alias("b_intercept"),
+        F.round(det1 / det, 6).alias("b_qty"),
+        F.round(det2 / det, 6).alias("b_disc"),
+        F.round(F.lit(1.0)
+                - (syy - (det0 / det) * sy - (det1 / det) * sqy
+                   - (det2 / det) * sdy)
+                / (syy - sy * sy / n), 6).alias("r2"),
+    )

@@ -778,3 +778,73 @@ def ks_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("o_totalprice").alias("v"),
              F.col("c_mktsegment").alias("g"))
     return ks_two_sample(vals, "v", "g", "BUILDING", "AUTOMOBILE")
+
+
+PSI_DRIFT_ORACLE = """
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+         CAST(SUM(CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_ref,
+         CAST(SUM(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_cur
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM b
+),
+terms AS (
+  SELECT CAST(round(
+           (CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + n_bins AS DOUBLE)
+            - CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + n_bins AS DOUBLE))
+           * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + n_bins AS DOUBLE))
+                / (CAST(c_cur + 1 AS DOUBLE)
+                   / CAST(n_cur + n_bins AS DOUBLE))), 6)
+         AS DECIMAL(20,6)) AS term,
+         n_ref, n_cur, n_bins
+  FROM b, t
+)
+SELECT MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur, MAX(n_bins) AS n_bins,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS psi
+FROM terms
+"""
+
+
+@register("psi_drift", oracle=PSI_DRIFT_ORACLE,
+          tags=("behavior", "stats", "drift", "monitoring"))
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre-1998 and 1998+ order
+    value distributions — the standard production drift monitor
+    (PSI < 0.1 stable, > 0.25 shifted) next to `ks_test`'s exact
+    sup-statistic. One hash aggregate builds both periods' histograms
+    together (fixed-width bins, add-1 smoothing over the observed bin
+    set); totals ride a broadcast one-row crossJoin; each bin's
+    (p−q)·ln(p/q) term is an IEEE expression of exact integers rounded
+    1e-6 once, and PSI is their DECIMAL sum (order-free, engine-exact —
+    the char_entropy ln discipline)."""
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_orderdate", "o_totalprice"], hint_broadcast=False)
+    b = o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
+    ).agg(
+        F.sum(F.when(F.year("o_orderdate") < 1998, 1).otherwise(0))
+        .cast("long").alias("c_ref"),
+        F.sum(F.when(F.year("o_orderdate") >= 1998, 1).otherwise(0))
+        .cast("long").alias("c_cur"),
+    )
+    t = b.agg(F.sum("c_ref").cast("long").alias("n_ref"),
+              F.sum("c_cur").cast("long").alias("n_cur"),
+              F.count(F.lit(1)).cast("long").alias("n_bins"))
+    p = ((F.col("c_ref") + 1).cast("double")
+         / (F.col("n_ref") + F.col("n_bins")).cast("double"))
+    q = ((F.col("c_cur") + 1).cast("double")
+         / (F.col("n_cur") + F.col("n_bins")).cast("double"))
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(20,6)")
+    return (
+        b.crossJoin(F.broadcast(t))
+        .agg(F.max("n_ref").alias("n_ref"), F.max("n_cur").alias("n_cur"),
+             F.max("n_bins").alias("n_bins"),
+             F.round(F.sum(term).cast("double"), 6).alias("psi"))
+    )

@@ -103,6 +103,12 @@ QUERIES = [
     "phrase_search",
     "embedding_gram",
     "pca_power",
+    "grouping_sets_orders",
+    "unpivot_metrics",
+    "except_all_parts",
+    "intersect_all_parts",
+    "psi_drift",
+    "ols_price_model",
 ]
 
 HOSTILE = {
