@@ -249,3 +249,46 @@ def random_walks(
             )
         )
     return frontier.select("walk_id", "path")
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded k-core peeling: `rounds` iterations of "drop every node
+    with degree < k, restrict edges to survivors" over an undirected
+    (id_1, id_2) pair frame. The contract is the R-ROUND PEEL — a
+    deterministic, engine-replayable object (the DuckDB oracle unrolls
+    the same R rounds); when a round removes nothing it has converged
+    to the true k-core, which the fixture test asserts by running one
+    extra round. Peeling removes ≥1 node per non-converged round and
+    the core degeneracy of real graphs is small, so a fixed small R is
+    the practical fixpoint (same bounded-rounds discipline as
+    pagerank's 6 rounds).
+
+    Each round is one degree aggregate + two semi joins on the node
+    key, lineage-cut per round (iterative-loop lesson, SCALE.md).
+    Returns (node, degree) of the surviving subgraph after R rounds.
+    """
+    from gpu_bdb_spark.operators.dedup import _lineage_cut
+
+    adj = pairs.select(F.col("id_1").alias("src"),
+                       F.col("id_2").alias("dst")).unionByName(
+        pairs.select(F.col("id_2").alias("src"),
+                     F.col("id_1").alias("dst")))
+    adj = _lineage_cut(adj, checkpoint_dir)
+    for _ in range(int(rounds)):
+        keep = (
+            adj.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= int(k))
+            .select("src")
+        )
+        adj = _lineage_cut(
+            adj.join(keep, "src")
+            .join(keep.withColumnsRenamed({"src": "dst"}), "dst")
+            .select("src", "dst"),
+            checkpoint_dir)
+    return adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))

@@ -773,3 +773,136 @@ def random_walks_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return random_walks(_copurchase_edges(spark, sf_dir), walk_length=4,
                         seed="w")
+
+
+ITEM_CF_ORACLE = """
+WITH ui AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+),
+ni AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM ui GROUP BY i),
+co AS (
+  SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ui a JOIN ui b ON a.o = b.o AND a.i < b.i
+  GROUP BY a.i, b.i
+  HAVING COUNT(*) >= 2
+),
+sym AS (
+  SELECT i, j, c FROM co
+  UNION ALL
+  SELECT j, i, c FROM co
+),
+scored AS (
+  SELECT s.i, s.j, s.c,
+         round(CAST(s.c AS DOUBLE)
+               / sqrt(CAST(ni1.n AS DOUBLE) * CAST(ni2.n AS DOUBLE)), 6)
+           AS cosine
+  FROM sym s
+  JOIN ni ni1 ON s.i = ni1.i
+  JOIN ni ni2 ON s.j = ni2.i
+),
+ranked AS (
+  SELECT i, j, c, cosine,
+         row_number() OVER (PARTITION BY i
+                            ORDER BY cosine DESC, j) AS rank
+  FROM scored
+)
+SELECT i AS item_id, j AS neighbor_id, c AS n_cooc, cosine,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("item_cf_topk", oracle=ITEM_CF_ORACLE,
+          tags=("recommender", "collaborative-filtering", "topk"))
+def item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-5 neighbors per part by
+    co-occurrence cosine c(i,j)/√(n_i·n_j) over order baskets — the
+    classic ITEM-CF recommender precompute (the reference's q29/q01
+    affinity family, completed with the normalized similarity + per-
+    item top-k that a serving layer consumes).
+
+    Scale shape: distinct (order, item) pairs first (bare-id shuffle),
+    the basket self-join is bounded by basket² per order (the
+    part_pairs shape, AQE skew-handled), support ≥ 2 prunes the noise
+    tail BEFORE the symmetric expand, item counts join back on the
+    item key, and the per-item top-5 is a WindowGroupLimit (per-
+    partition heads, no global sort). Cosine is one IEEE expression of
+    exact integers rounded 1e-6 — engine-exact."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                    hint_broadcast=False)
+    ui = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("i")).distinct()
+    ni = ui.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    co = (
+        ui.join(ui.withColumnsRenamed({"i": "j"}), "o")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    sym = co.unionByName(
+        co.select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))
+    scored = (
+        sym.join(ni.withColumnsRenamed({"n": "n_i"}), "i")
+        .join(ni.withColumnsRenamed({"i": "j", "n": "n_j"}), "j")
+        .select(
+            "i", "j", "c",
+            F.round(F.col("c").cast("double")
+                    / F.sqrt(F.col("n_i").cast("double")
+                             * F.col("n_j").cast("double")), 6)
+            .alias("cosine"))
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("cosine"), F.col("j"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(F.col("i").alias("item_id"), F.col("j").alias("neighbor_id"),
+                F.col("c").alias("n_cooc"), "cosine",
+                F.col("rank").cast("int"))
+    )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled R-round peel over the support≥2 co-purchase graph —
+    the same deterministic contract as the Spark loop."""
+    ctes = [
+        """es AS (
+  SELECT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+         GREATEST(l1.l_partkey, l2.l_partkey) AS b,
+         COUNT(*) AS s
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2
+)""",
+        "eg AS MATERIALIZED (SELECT a, b FROM es WHERE s >= 2)",
+        "e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM eg "
+        "UNION ALL SELECT b, a FROM eg)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"n{r} AS MATERIALIZED (SELECT src FROM e{r - 1} "
+            f"GROUP BY src HAVING COUNT(*) >= {k})")
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r - 1} e "
+            f"JOIN n{r} s ON e.src = s.src "
+            f"JOIN n{r} d ON e.dst = d.src)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree "
+              f"FROM e{rounds} GROUP BY src")
+
+
+@register("kcore_parts", oracle=_kcore_oracle(3, 8),
+          tags=("graph", "kcore", "iterative"))
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (parts sharing ≥2 orders) by
+    8-round bounded peeling — the dense-subgraph extraction next to
+    `triangle_count_parts` (k-cores are the standard community/anomaly
+    seed at scale). Each round is one degree aggregate + two node-key
+    semi joins, lineage-cut per round; the DuckDB oracle unrolls the
+    identical 8 rounds, and convergence on this graph (round 8 ≡
+    round 9 ⇒ the TRUE 3-core) is asserted in tests/test_graph.py."""
+    from gpu_bdb_spark.operators.graph import kcore
+
+    return kcore(_copurchase_edges(spark, sf_dir), k=3, rounds=8)

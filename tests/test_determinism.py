@@ -121,6 +121,8 @@ QUERIES = [
     "intersect_all_parts",
     "psi_drift",
     "ols_price_model",
+    "item_cf_topk",
+    "kcore_parts",
 ]
 
 

@@ -311,3 +311,19 @@ def test_random_walks_follow_edges_and_are_deterministic(spark):
                   for r in random_walks(df, walk_length=3, seed="t")
                   .collect()}
     assert other_seed != out
+
+
+def test_kcore_converges_and_is_true_core(spark, sf_dir):
+    """The 8-round bounded peel has converged on the fixture graph
+    (round 9 changes nothing ⇒ output IS the true 3-core), and every
+    surviving node has degree ≥ 3 within the core."""
+    from gpu_bdb_spark.operators.graph import kcore
+    from gpu_bdb_spark.queries.dedup_ops import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
+    r8 = {(r["node"], r["degree"])
+          for r in kcore(edges, k=3, rounds=8).collect()}
+    r9 = {(r["node"], r["degree"])
+          for r in kcore(edges, k=3, rounds=9).collect()}
+    assert r8 == r9
+    assert r8 and all(d >= 3 for _, d in r8)
