@@ -1048,3 +1048,55 @@ def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - (det2 / det) * sdy)
                 / (syy - sy * sy / n), 6).alias("r2"),
     )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH pv AS (
+  SELECT l_extendedprice AS v,
+         SUM(CAST(l_quantity AS DECIMAL(12,4))) AS w
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pv
+),
+t AS (SELECT SUM(w) AS tot FROM pv)
+SELECT CAST(MAX(t.tot) AS DOUBLE) AS total_weight,
+       MIN(CASE WHEN 4 * c.cum >= t.tot THEN c.v END) AS p25,
+       MIN(CASE WHEN 2 * c.cum >= t.tot THEN c.v END) AS median,
+       MIN(CASE WHEN 4 * c.cum >= 3 * t.tot THEN c.v END) AS p75
+FROM c, t
+"""
+
+
+@register("weighted_median_price", oracle=WEIGHTED_MEDIAN_ORACLE,
+          tags=("stats", "weighted-percentile"))
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED price quartiles (the gap `value_percentiles`
+    leaves open: every unit shipped counts, not every line). One hash
+    aggregate collapses the fact table to per-distinct-price decimal
+    weight sums, a running-sum window over that collapsed frame forms
+    the weighted CDF, and the quartiles are the smallest values whose
+    cumulative weight crosses k·total/4 — entirely decimal integer
+    arithmetic on the compare (4·cum vs k·tot), values picked not
+    computed."""
+    from pyspark.sql import Window
+
+    l = read_table(spark, sf_dir, "lineitem",
+                   ["l_extendedprice", "l_quantity"], hint_broadcast=False)
+    pv = l.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(dec("l_quantity")).alias("w"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    c = pv.select("v", F.sum("w").over(w).alias("cum"))
+    t = pv.agg(F.sum("w").alias("tot"))
+    j = c.crossJoin(F.broadcast(t))
+    return j.agg(
+        F.max(F.col("tot").cast("double")).alias("total_weight"),
+        F.min(F.when(4 * F.col("cum") >= F.col("tot"), F.col("v")))
+        .alias("p25"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v")))
+        .alias("median"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("tot"), F.col("v")))
+        .alias("p75"),
+    )

@@ -210,3 +210,56 @@ def time_weighted_avg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ["event_id", "ts", "user_id", "value"],
                    hint_broadcast=False)
     return time_weighted_avg(e)
+
+
+M4_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':'
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord,
+         value
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+)
+SELECT user_id, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       arg_min(value, ord) AS v_first,
+       arg_max(value, ord) AS v_last,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max
+FROM e GROUP BY user_id, bucket
+"""
+
+
+@register("m4_downsample", oracle=M4_ORACLE,
+          tags=("temporal", "downsample", "m4"))
+def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB'14): per
+    (series, bucket) keep first/last/min/max — the error-free
+    downsample for line visualization, and the standard pre-aggregate
+    a timeseries store ships alongside gap-fill and rollups. ONE hash
+    aggregate (map-side partials; min_by/max_by on a zero-padded
+    (ts, event_id) string key makes first/last a total order both
+    engines share); values are PICKED, never computed — exact by
+    construction."""
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "ts", "user_id", "value"],
+                   hint_broadcast=False)
+    us = micros("ts")
+    ordk = F.concat(
+        F.lpad(us.cast("string"), 20, "0"), F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    return (
+        e.filter(F.col("user_id").isNotNull()
+                 & F.col("value").isNotNull())
+        .select("user_id",
+                F.floor(us / F.lit(3600000000)).cast("long").alias("bucket"),
+                ordk.alias("ord"), "value")
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min_by("value", "ord").alias("v_first"),
+             F.max_by("value", "ord").alias("v_last"),
+             F.min("value").alias("v_min"),
+             F.max("value").alias("v_max"))
+    )

@@ -111,6 +111,8 @@ QUERIES = [
     "ols_price_model",
     "item_cf_topk",
     "kcore_parts",
+    "m4_downsample",
+    "weighted_median_price",
 ]
 
 HOSTILE = {
