@@ -1100,3 +1100,105 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(4 * F.col("cum") >= 3 * F.col("tot"), F.col("v")))
         .alias("p75"),
     )
+
+
+BLOOM_ORACLE = """
+WITH members AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+),
+bits AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5('b' || CAST(i AS VARCHAR) || ':'
+                                      || CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) % 4096 AS bit
+  FROM members, range(0, 3) r(i)
+),
+probes AS (SELECT DISTINCT o_custkey AS k FROM orders),
+pp AS (
+  SELECT p.k, i.i,
+         CAST(concat('0x', substr(md5('b' || CAST(i.i AS VARCHAR) || ':'
+                                      || CAST(p.k AS VARCHAR)), 1, 8))
+              AS BIGINT) % 4096 AS bit
+  FROM probes p, range(0, 3) i(i)
+),
+hits AS (
+  SELECT pp.k, CAST(COUNT(b.bit) AS BIGINT) AS n_set
+  FROM pp LEFT JOIN bits b ON pp.bit = b.bit
+  GROUP BY pp.k
+),
+verdict AS (
+  SELECT h.k, (h.n_set = 3) AS pass,
+         (m.k IS NOT NULL) AS is_member
+  FROM hits h LEFT JOIN members m ON h.k = m.k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(COUNT(*) FILTER (pass) AS BIGINT) AS n_pass,
+       CAST(COUNT(*) FILTER (is_member) AS BIGINT) AS n_members,
+       CAST(COUNT(*) FILTER (pass AND NOT is_member) AS BIGINT)
+         AS n_false_pos,
+       CAST(COUNT(*) FILTER (is_member AND NOT pass) AS BIGINT)
+         AS n_false_neg,
+       ROUND(CAST(COUNT(*) FILTER (pass AND NOT is_member) AS DOUBLE)
+             / CAST(COUNT(*) FILTER (NOT is_member) AS DOUBLE), 6)
+         AS fp_rate
+FROM verdict
+"""
+
+
+@register("bloom_filter_probe", oracle=BLOOM_ORACLE,
+          tags=("sketch", "bloom", "portable", "join-pruning"))
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter as an EXACT cross-engine artifact (the
+    cms/kmv pattern applied to membership): 3 md5 hash functions into
+    4096 bits over the high-balance customer set, probed by every
+    ordering customer — the semi-join pruning primitive (ship the
+    dimension's bitset to the fact scan instead of the dimension).
+    The driver hash verifies the whole filter: bit positions,
+    pass/fail per probe, measured false-positive rate, and the ZERO
+    false negatives Bloom guarantees (also asserted structurally in
+    the oracle columns). Bare-id distinct first on both sides; the
+    bitset is broadcast-sized by construction (≤ 3·|members| bits)."""
+    c = read_table(spark, sf_dir, "customer", ["c_custkey", "c_acctbal"],
+                   hint_broadcast=False)
+    o = read_table(spark, sf_dir, "orders", ["o_custkey"],
+                   hint_broadcast=False)
+    members = (c.filter(F.col("c_acctbal") > 9000)
+               .select(F.col("c_custkey").alias("k")).distinct())
+
+    def bit(i, key):
+        return F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"b{i}:"), key.cast("string"))),
+                1, 8), 16, 10).cast("long"),
+            F.lit(4096))
+
+    bits = members.select(
+        F.explode(F.array(*[bit(i, F.col("k")) for i in range(3)]))
+        .alias("bit")).distinct()
+    probes = o.select(F.col("o_custkey").alias("k")).distinct()
+    pp = probes.select(
+        "k", F.posexplode(F.array(*[bit(i, F.col("k")) for i in range(3)]))
+        .alias("i", "bit"))
+    hits = (
+        pp.join(F.broadcast(bits.withColumnsRenamed({"bit": "b"})),
+                pp.bit == F.col("b"), "left")
+        .groupBy("k")
+        .agg(F.count("b").cast("long").alias("n_set"))
+    )
+    verdict = hits.join(
+        F.broadcast(members.withColumn("is_member", F.lit(True))),
+        "k", "left").select(
+        "k", (F.col("n_set") == 3).alias("pass"),
+        F.coalesce("is_member", F.lit(False)).alias("is_member"))
+    return verdict.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.col("pass").cast("long")).alias("n_pass"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum((F.col("pass") & ~F.col("is_member")).cast("long"))
+        .alias("n_false_pos"),
+        F.sum((F.col("is_member") & ~F.col("pass")).cast("long"))
+        .alias("n_false_neg"),
+        F.round(F.sum((F.col("pass") & ~F.col("is_member")).cast("double"))
+                / F.sum((~F.col("is_member")).cast("double")), 6)
+        .alias("fp_rate"),
+    )

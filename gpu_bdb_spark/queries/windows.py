@@ -650,3 +650,72 @@ def expanding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_prev"),
         F.round(zraw, 6).alias("z"),
     )
+
+
+CONCURRENCY_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600 * 1000000::BIGINT
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, session_seq,
+         MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+  FROM sess GROUP BY user_id, session_seq
+),
+pts AS (
+  SELECT s_us AS t, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT e_us + 1, CAST(-1 AS BIGINT) FROM iv
+),
+curve AS (
+  SELECT t, SUM(delta) OVER (ORDER BY t, delta DESC
+                             ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT CAST(t // 86400000000 AS BIGINT) AS day,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent
+FROM curve GROUP BY 1
+"""
+
+
+@register("concurrency_curve", oracle=CONCURRENCY_ORACLE,
+          tags=("window", "sweep-line", "sessions"))
+def concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by SWEEP LINE: sessionized
+    intervals become ±1 boundary points, one running sum over the
+    collapsed 2·|sessions|-row point frame forms the concurrency
+    curve, and the daily max is one aggregate — the capacity-planning
+    number computed without expanding intervals into per-minute rows
+    (the interval-to-grid explosion this formulation exists to avoid).
+    Boundary order (t, +1 before −1) makes touching sessions count as
+    overlapping at the instant — deterministic on both engines."""
+    e = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id"],
+                   hint_broadcast=False)
+    sess = sessionize(e, "user_id", "ts", 3600, tiebreak_col="event_id")
+    iv = sess.groupBy("user_id", "session_seq").agg(
+        F.min(micros("ts")).alias("s_us"),
+        F.max(micros("ts")).alias("e_us"))
+    pts = iv.select(F.col("s_us").alias("t"),
+                    F.lit(1).cast("long").alias("delta")).unionByName(
+        iv.select((F.col("e_us") + 1).alias("t"),
+                  F.lit(-1).cast("long").alias("delta")))
+    w = Window.orderBy(F.col("t"), F.desc("delta")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    curve = pts.select("t", F.sum("delta").over(w).alias("conc"))
+    return (
+        curve.groupBy(
+            F.floor(F.col("t") / F.lit(86_400_000_000)).cast("long")
+            .alias("day"))
+        .agg(F.max("conc").cast("long").alias("max_concurrent"))
+    )

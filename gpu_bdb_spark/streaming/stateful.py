@@ -622,3 +622,73 @@ def streaming_rfm_state(orders: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_m4(events: DataFrame, bucket_us: int = 3_600_000_000
+                 ) -> DataFrame:
+    """Streaming twin of `temporal_ops.m4_downsample`: per
+    (user, bucket) first/last/min/max maintained as MERGEABLE state —
+    M4's four statistics merge associatively (min of mins, max of
+    maxes, first/last by the shared zero-padded order key), so
+    arbitrary micro-batch slicing reproduces the batch aggregate
+    EXACTLY, with no ordering contract needed at all (unlike the
+    sequence-dependent twins). State per key: the four values + two
+    order keys; emitted per touched bucket per micro-batch in update
+    mode — downstream keeps the latest row per (user, bucket).
+
+    Drained ≡ batch bit-for-bit is pinned in tests/test_streaming.py
+    (values are picked, never computed, so equality is structural).
+    """
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        st = state.get if state.exists else (0, None, None, "", "",
+                                             None, None)
+        n, v_first, v_last, k_first, k_last, v_min, v_max = st
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.dropna(subset=["ts", "value"])
+            if not len(pdf):
+                continue
+            us = (_pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+                  .astype("int64") // 1000)
+            for u, eid, v in zip(us, pdf["event_id"], pdf["value"]):
+                ordk = f"{u:020d}:{int(eid):012d}"
+                v = float(v)
+                n += 1
+                if not k_first or ordk < k_first:
+                    k_first, v_first = ordk, v
+                if not k_last or ordk > k_last:
+                    k_last, v_last = ordk, v
+                v_min = v if v_min is None else min(v_min, v)
+                v_max = v if v_max is None else max(v_max, v)
+        state.update((n, v_first, v_last, k_first, k_last, v_min, v_max))
+        if n:
+            yield _pd.DataFrame({
+                "user_id": [key[0]], "bucket": [key[1]], "n": [n],
+                "v_first": [v_first], "v_last": [v_last],
+                "v_min": [v_min], "v_max": [v_max],
+            })
+
+    from pyspark.sql import functions as F
+
+    keyed = events.withColumn(
+        "bucket",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(int(bucket_us))).cast("long"))
+    return (
+        keyed.groupBy("user_id", "bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, bucket long, n long, "
+                             "v_first double, v_last double, "
+                             "v_min double, v_max double",
+            stateStructType="n long, v_first double, v_last double, "
+                            "k_first string, k_last string, "
+                            "v_min double, v_max double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -113,6 +113,8 @@ QUERIES = [
     "kcore_parts",
     "m4_downsample",
     "weighted_median_price",
+    "concurrency_curve",
+    "bloom_filter_probe",
 ]
 
 HOSTILE = {

@@ -961,3 +961,37 @@ def test_streaming_rfm_equals_batch(spark, orders_stream_3batches):
     expect = rfm_segments(batch).orderBy(*key).toPandas()
     assert len(got_seg) == len(expect) > 0
     assert got_seg.equals(expect), (got_seg.head(), expect.head())
+
+
+def test_streaming_m4_equals_batch(spark, events_stream_3batches):
+    """M4's four statistics merge associatively, so the streaming state
+    needs NO ordering contract: drained latest-per-(user, bucket)
+    equals the batch m4_downsample bit-for-bit across three
+    arbitrarily-sliced micro-batches."""
+    from gpu_bdb_spark.queries.registry import all_specs
+    from gpu_bdb_spark.streaming.stateful import streaming_m4
+
+    batch, stream = events_stream_3batches
+    got = _run_to_memory_update(
+        spark,
+        streaming_m4(stream.select("user_id", "ts", "event_id", "value")),
+        "m4_3b")
+    # n strictly grows per emitted update: final = max-n row
+    final = got.sort_values("n").groupby(
+        ["user_id", "bucket"], as_index=False).last()
+    key = ["user_id", "bucket"]
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                            "/root/testdata/sf0.001")
+    expect = (all_specs()["m4_downsample"].fn(spark, sf_dir)
+              .toPandas())
+    # the batch entry reads the full events table; restrict to the
+    # fixture's non-null-user slice the stream carries
+    expect = expect[expect["user_id"].notna()]
+    got_s = final.sort_values(key, ignore_index=True)[
+        ["user_id", "bucket", "n", "v_first", "v_last", "v_min", "v_max"]]
+    exp_s = expect.sort_values(key, ignore_index=True)[
+        ["user_id", "bucket", "n", "v_first", "v_last", "v_min", "v_max"]]
+    assert len(got_s) == len(exp_s) > 0
+    assert got_s.equals(exp_s)
