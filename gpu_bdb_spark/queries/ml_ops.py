@@ -64,3 +64,119 @@ def nb_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prediction").cast("long").alias("prediction"),
     ).agg(F.count(F.lit(1)).alias("n"))
     return confusion.withColumn("accuracy", F.round(F.lit(float(accuracy)), 6))
+
+
+TARGET_ENCODE_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(o_orderpriority = '1-URGENT' AS INT) AS y
+  FROM orders
+),
+seg AS (
+  SELECT c.c_mktsegment AS cat, o.y
+  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+prior AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS sy, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seg
+),
+enc AS (
+  SELECT cat, CAST(COUNT(*) AS BIGINT) AS n_cat,
+         CAST(SUM(y) AS BIGINT) AS sy_cat
+  FROM seg GROUP BY cat
+)
+SELECT e.cat,
+       e.n_cat,
+       ROUND(CAST(e.sy_cat AS DOUBLE) / CAST(e.n_cat AS DOUBLE), 6)
+         AS raw_rate,
+       ROUND((CAST(e.sy_cat AS DOUBLE)
+              + 20.0 * (CAST(p.sy AS DOUBLE) / CAST(p.n AS DOUBLE)))
+             / (CAST(e.n_cat AS DOUBLE) + 20.0), 6) AS encoded
+FROM enc e, prior p
+"""
+
+
+@register("target_encode", oracle=TARGET_ENCODE_ORACLE,
+          tags=("ml", "feature-engineering", "encoding"))
+def target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of the customer market segment
+    against urgent-order propensity — the standard high-cardinality
+    categorical feature transform: encoded = (Σy + m·prior)/(n + m),
+    m = 20. Two aggregates (per-category + global prior), the prior
+    rides a broadcast crossJoin; every number is an IEEE expression of
+    exact integer counts rounded once — engine-exact. At 100 TB the
+    encoding table is dimension-sized and broadcast-joins back to the
+    fact for application."""
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority"], hint_broadcast=False)
+    c = read_table(spark, sf_dir, "customer",
+                   ["c_custkey", "c_mktsegment"], hint_broadcast=False)
+    seg = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("cat"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"))
+    prior = seg.agg(F.sum("y").cast("long").alias("sy"),
+                    F.count(F.lit(1)).cast("long").alias("n"))
+    enc = seg.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cat"),
+        F.sum("y").cast("long").alias("sy_cat"))
+    return enc.crossJoin(F.broadcast(prior)).select(
+        "cat", "n_cat",
+        F.round(F.col("sy_cat").cast("double")
+                / F.col("n_cat").cast("double"), 6).alias("raw_rate"),
+        F.round((F.col("sy_cat").cast("double")
+                 + 20.0 * (F.col("sy").cast("double")
+                           / F.col("n").cast("double")))
+                / (F.col("n_cat").cast("double") + 20.0), 6)
+        .alias("encoded"),
+    )
+
+
+CALIBRATION_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey, c_acctbal FROM customer
+),
+scored AS (
+  SELECT c.c_custkey,
+         CAST(ntile(10) OVER (ORDER BY c.c_acctbal, c.c_custkey) AS INT)
+           AS score_bin,
+         CAST(EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT') AS INT) AS y
+  FROM cust c
+)
+SELECT score_bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(y AS DOUBLE)), 6) AS outcome_rate
+FROM scored GROUP BY score_bin
+"""
+
+
+@register("calibration_bins", oracle=CALIBRATION_ORACLE,
+          tags=("ml", "evaluation", "calibration"))
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: customers deciled by a score (account
+    balance standing in for a model score; full (value, id) tie-break
+    so the ntile is a total order), outcome = placed an urgent order —
+    the calibration table every deployed scorer ships with. One
+    left-semi-shaped existence join for the label, one total-order
+    decile window over the dimension-sized customer frame, one
+    aggregate. AVG of 0/1 ints rounds once — engine-exact."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer",
+                   ["c_custkey", "c_acctbal"], hint_broadcast=False)
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority"], hint_broadcast=False)
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")).distinct()
+              .withColumn("y", F.lit(1)))
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    scored = (
+        c.join(F.broadcast(urgent), "c_custkey", "left")
+        .select("c_custkey", "c_acctbal",
+                F.coalesce("y", F.lit(0)).alias("y"))
+        .withColumn("score_bin", F.ntile(10).over(w).cast("int"))
+    )
+    return scored.groupBy("score_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(F.col("y").cast("double")), 6).alias("outcome_rate"))

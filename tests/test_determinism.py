@@ -127,6 +127,8 @@ QUERIES = [
     "weighted_median_price",
     "concurrency_curve",
     "bloom_filter_probe",
+    "target_encode",
+    "calibration_bins",
 ]
 
 
