@@ -330,3 +330,28 @@ def test_session_paths_two_exchanges(spark, sf_dir):
 
     plan = formatted_plan(all_specs()["session_paths"].fn(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_item_cf_topk_uses_window_group_limit(spark, sf_dir):
+    """item_cf_topk: the per-item top-5 must plan as WindowGroupLimit
+    (partial top-k before the exchange — no global sort of the scored
+    pair frame)."""
+    plan = formatted_plan(all_specs()["item_cf_topk"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_dsir_select_broadcasts_bucket_lm(spark, sf_dir):
+    """dsir_select: the 256-row bucket-LM dimension joins back
+    BROADCAST — the corpus-sized gram frame is never shuffled for
+    scoring; the top-50 is a TakeOrderedAndProject."""
+    plan = formatted_plan(all_specs()["dsir_select"].fn(spark, sf_dir))
+    assert has_broadcast_join(plan), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bloom_probe_broadcasts_bitset(spark, sf_dir):
+    """bloom_filter_probe: the bitset and member set join broadcast —
+    the probe side is reduced to distinct bare ids and never shuffled
+    against the dimension."""
+    plan = formatted_plan(all_specs()["bloom_filter_probe"].fn(spark, sf_dir))
+    assert has_broadcast_join(plan), plan
