@@ -399,3 +399,75 @@ def cms_ingest_batches(
                               ignore_errors=True)
 
     return process
+
+
+def bloom_ingest_batches(
+    filter_path: str,
+    key_col: str = "key",
+    n_hashes: int = 3,
+    n_bits: int = 4096,
+):
+    """foreachBatch sink maintaining a STANDING portable Bloom filter
+    over an unbounded key stream — the mergeable-membership twin of
+    `cms_ingest_batches`: Bloom bitsets merge by set-union, so each
+    micro-batch's bit positions simply union into the committed set
+    (state is ≤ n_bits rows, forever). Same exactly-once protocol as
+    the CMS sink: versioned ``v{batch_id}`` directory commits (tmp +
+    atomic rename, batch-id high-water mark), so retries never rewrite
+    and a crash mid-write leaves the newest committed version
+    readable. Read with `cms_read` (the version layout is shared).
+
+    The md5 hash family matches `bloom_filter_probe`, so the standing
+    filter over a drained stream EQUALS the batch-built filter exactly
+    (pinned in tests/test_streaming.py) — membership probes against it
+    are engine- and arrival-order-independent.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def bits_of(df: DataFrame) -> DataFrame:
+        pos = [
+            F.pmod(
+                F.conv(F.substring(
+                    F.md5(F.concat(F.lit(f"b{i}:"),
+                                   F.col(key_col).cast("string"))),
+                    1, 8), 16, 10).cast("long"),
+                F.lit(int(n_bits)))
+            for i in range(int(n_hashes))
+        ]
+        return df.select(
+            F.explode(F.array(*pos)).alias("bit")).distinct()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_id = int(batch_id)
+        latest, prev_path = cms_latest_version(filter_path)
+        if latest is not None and batch_id <= latest:
+            return  # retry of an already-committed batch: no-op
+        delta = bits_of(batch_df)
+        if prev_path is not None:
+            merged = (
+                spark.read.parquet(prev_path)
+                .unionByName(delta).distinct()
+            )
+        else:
+            merged = delta
+        os.makedirs(filter_path, exist_ok=True)
+        tmp = os.path.join(filter_path, f".tmp-v{batch_id}")
+        final = os.path.join(filter_path, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        for v in [
+            int(n[1:]) for n in os.listdir(filter_path)
+            if n.startswith("v") and n[1:].isdigit()
+        ]:
+            if v < batch_id and v != latest:
+                shutil.rmtree(os.path.join(filter_path, f"v{v}"),
+                              ignore_errors=True)
+
+    return process

@@ -995,3 +995,46 @@ def test_streaming_m4_equals_batch(spark, events_stream_3batches):
         ["user_id", "bucket", "n", "v_first", "v_last", "v_min", "v_max"]]
     assert len(got_s) == len(exp_s) > 0
     assert got_s.equals(exp_s)
+
+
+def test_bloom_ingest_batches_equals_batch_filter(spark, events_stream,
+                                                  tmp_path_factory):
+    """Drained stream through the mergeable Bloom ingest: the standing
+    bitset equals the batch-built filter exactly (set union is
+    order-free), and a replayed micro-batch is a no-op."""
+    from gpu_bdb_spark.streaming.ops import (bloom_ingest_batches,
+                                             cms_latest_version, cms_read)
+
+    batch, stream = events_stream
+    path = str(tmp_path_factory.mktemp("bloom") / "filter")
+    keyed = stream.select(
+        F.col("user_id").cast("string").alias("key")).filter(
+        F.col("key").isNotNull())
+    process = bloom_ingest_batches(path, "key", n_hashes=3, n_bits=4096)
+    q = (
+        keyed.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.bit for r in cms_read(spark, path).collect()}
+
+    def bit(i):
+        return F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"b{i}:"),
+                               F.col("user_id").cast("string"))),
+                1, 8), 16, 10).cast("long"), F.lit(4096))
+
+    expect = {
+        r.bit for r in batch.filter(F.col("user_id").isNotNull())
+        .select(F.explode(F.array(bit(0), bit(1), bit(2))).alias("bit"))
+        .distinct().collect()
+    }
+    assert got == expect
+    latest, _ = cms_latest_version(path)
+    process(batch.select(F.col("user_id").cast("string").alias("key"))
+            .filter(F.col("key").isNotNull()), latest)
+    assert cms_latest_version(path)[0] == latest
+    assert {r.bit for r in cms_read(spark, path).collect()} == expect
