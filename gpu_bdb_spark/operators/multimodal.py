@@ -314,3 +314,132 @@ def decode_image_arrow(
             ]))
 
     return media_df.mapInArrow(decode_batches, IMAGE_FEATURES_SCHEMA)
+
+
+#: Output schema of decode_bmp_real.
+BMP_STATS_SCHEMA = T.StructType([
+    T.StructField("item_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_row0", T.LongType()),
+])
+
+
+def decode_bmp_real(media_df: DataFrame) -> DataFrame:
+    """REAL image decode for the codec-free format: parse 24-bit
+    uncompressed BMP (magic, little-endian header fields, 4-byte row
+    padding, bottom-up row order) with pure numpy — no image library
+    needed, which is the point: the multimodal tier's decode path is
+    genuinely exercised in this container for formats that need no
+    codec, while JPEG/PNG stay behind the documented fake/import gate.
+
+    Emits exact integer statistics per item (channel byte sums + the
+    TOP image row's sum, which is position-sensitive: a decoder that
+    forgets bottom-up order or padding gets sum_row0 wrong even when
+    the order-invariant channel sums match). Generality beyond the
+    oracle fixture (non-square, padded rows) is pinned in
+    tests/test_multimodal.py against struct-built images.
+    """
+    columns = [f.name for f in BMP_STATS_SCHEMA.fields]
+
+    def decode_batches(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _decode(data: bytes):
+            if len(data) < 54 or data[:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            offset = _struct.unpack_from("<I", data, 10)[0]
+            hdr_size = _struct.unpack_from("<I", data, 14)[0]
+            if hdr_size < 40:
+                raise ValueError("unsupported BMP header")
+            w = _struct.unpack_from("<i", data, 18)[0]
+            h = _struct.unpack_from("<i", data, 22)[0]
+            bpp = _struct.unpack_from("<H", data, 28)[0]
+            comp = _struct.unpack_from("<I", data, 30)[0]
+            if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+                raise ValueError("only 24-bit uncompressed BMP")
+            row_size = (w * 3 + 3) // 4 * 4
+            px = _np.frombuffer(
+                data, dtype=_np.uint8, count=h * row_size, offset=offset
+            ).reshape(h, row_size)[:, : w * 3]
+            # bottom-up storage: file row 0 is the BOTTOM image row
+            img = px[::-1].reshape(h, w, 3).astype(_np.int64)  # B,G,R
+            return (w, h,
+                    int(img[:, :, 0].sum()), int(img[:, :, 1].sum()),
+                    int(img[:, :, 2].sum()), int(img[0].sum()))
+
+        for pdf in batches:
+            out = []
+            for item_id, media in zip(pdf["item_id"], pdf["media"]):
+                data = bytes(media["data"])
+                w, h, sb, sg, sr, r0 = _decode(data)
+                out.append((item_id, w, h, len(data), sb, sg, sr, r0))
+            yield _pd.DataFrame(out, columns=columns)
+
+    return media_df.mapInPandas(decode_batches, BMP_STATS_SCHEMA)
+
+
+#: Output schema of decode_wav_real.
+WAV_STATS_SCHEMA = T.StructType([
+    T.StructField("item_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_amp", T.LongType()),
+    T.StructField("peak_abs", T.LongType()),
+    T.StructField("first_sample", T.LongType()),
+])
+
+
+def decode_wav_real(media_df: DataFrame) -> DataFrame:
+    """REAL audio decode for the codec-free format: parse RIFF/WAVE
+    PCM16 mono (chunk walk to 'fmt ' and 'data', little-endian signed
+    16-bit samples) with pure numpy. Emits exact integer statistics
+    (signed amplitude sum, peak |amplitude|, first sample — the latter
+    position-sensitive). Same tier contract as `decode_bmp_real`;
+    compressed audio stays behind the import gate."""
+    columns = [f.name for f in WAV_STATS_SCHEMA.fields]
+
+    def decode_batches(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _decode(data: bytes):
+            if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                raise ValueError("not a WAV payload")
+            pos, rate, samples = 12, None, None
+            while pos + 8 <= len(data):
+                cid = data[pos:pos + 4]
+                sz = _struct.unpack_from("<I", data, pos + 4)[0]
+                body = data[pos + 8:pos + 8 + sz]
+                if cid == b"fmt ":
+                    fmt, ch, rate = _struct.unpack_from("<HHI", body, 0)
+                    bits = _struct.unpack_from("<H", body, 14)[0]
+                    if fmt != 1 or ch != 1 or bits != 16:
+                        raise ValueError("only PCM16 mono")
+                elif cid == b"data":
+                    samples = _np.frombuffer(
+                        body, dtype="<i2", count=sz // 2).astype(_np.int64)
+                pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+            if rate is None or samples is None:
+                raise ValueError("missing fmt/data chunk")
+            return (int(rate), len(samples), int(samples.sum()),
+                    int(_np.abs(samples).max()) if len(samples) else 0,
+                    int(samples[0]) if len(samples) else 0)
+
+        for pdf in batches:
+            out = []
+            for item_id, media in zip(pdf["item_id"], pdf["media"]):
+                rate, n, s, p, f0 = _decode(bytes(media["data"]))
+                out.append((item_id, rate, n, s, p, f0))
+            yield _pd.DataFrame(out, columns=columns)
+
+    return media_df.mapInPandas(decode_batches, WAV_STATS_SCHEMA)

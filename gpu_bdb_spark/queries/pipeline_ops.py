@@ -989,3 +989,116 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.col("doc_id"))
         .limit(50)
     )
+
+
+#: 54-byte BMP header (24-bit, 8x8, bottom-up) and 44-byte WAV header
+#: (PCM16 mono 8 kHz, 64 samples) as hex — fixed constants shared by the
+#: Spark payload builder and the DuckDB oracle restatement.
+_BMP_HDR = ("424df600000000000000360000002800000008000000080000000100180000"
+            "000000c0000000130b0000130b00000000000000000000")
+_WAV_HDR = ("52494646a400000057415645666d7420100000000100010040"
+            "1f0000803e0000020010006461746180000000")
+
+
+BMP_DECODE_ORACLE = """
+WITH b AS (
+  SELECT d.doc_id, k.k,
+         CAST(concat('0x', substr(md5('px:' || CAST(k.k // 16 AS VARCHAR)
+                                      || ':' || CAST(d.doc_id AS VARCHAR)),
+                                  (k.k % 16) * 2 + 1, 2)) AS BIGINT) AS v
+  FROM documents d, range(0, 192) k(k)
+)
+SELECT doc_id AS item_id,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(246 AS BIGINT) AS n_bytes,
+       CAST(SUM(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(SUM(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN k >= 168 THEN v ELSE 0 END) AS BIGINT)
+         AS sum_row0
+FROM b GROUP BY doc_id
+"""
+
+
+@register("bmp_decode_stats", oracle=BMP_DECODE_ORACLE,
+          tags=("multimodal", "decode", "real-codec"))
+def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, exact-oracled: 8×8 24-bit BMPs are
+    synthesized in-plan (fixed header + md5-derived pixel bytes, built
+    with unhex — binary columns never leave the JVM), then
+    `operators.multimodal.decode_bmp_real` PARSES them — magic, LE
+    header fields, bottom-up row order — in Arrow-batched mapInPandas
+    with pure numpy. The oracle restates the expected statistics from
+    the md5 byte arithmetic WITHOUT building a BMP, so the hash proves
+    the parser's coordinate mapping (sum_row0 is position-sensitive:
+    the top image row is the LAST stored row). Non-square and padded-
+    row generality is pinned in tests/test_multimodal.py; compressed
+    formats stay behind the documented fake/import gate."""
+    from gpu_bdb_spark.operators.multimodal import (attach_media,
+                                                    decode_bmp_real)
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id"],
+                   hint_broadcast=False)
+    px_hex = F.concat(*[
+        F.md5(F.concat(F.lit(f"px:{j}:"), F.col("doc_id").cast("string")))
+        for j in range(12)
+    ])
+    payload = F.unhex(F.concat(F.lit(_BMP_HDR), px_hex))
+    media = attach_media(d.select("doc_id", payload.alias("p")),
+                         "p", "image/bmp", "doc_id")
+    return decode_bmp_real(media)
+
+
+WAV_DECODE_ORACLE = """
+WITH s AS (
+  SELECT d.doc_id, k.k,
+         CAST(concat('0x', substr(md5('au:' || CAST((2 * k.k) // 16
+                                                    AS VARCHAR)
+                                      || ':' || CAST(d.doc_id AS VARCHAR)),
+                                  ((2 * k.k) % 16) * 2 + 1, 2)) AS BIGINT)
+           + 256 * CAST(concat('0x', substr(md5('au:'
+                                      || CAST((2 * k.k + 1) // 16
+                                              AS VARCHAR)
+                                      || ':' || CAST(d.doc_id AS VARCHAR)),
+                                  ((2 * k.k + 1) % 16) * 2 + 1, 2))
+                        AS BIGINT) AS u
+  FROM documents d, range(0, 64) k(k)
+),
+v AS (
+  SELECT doc_id, k,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS amp
+  FROM s
+)
+SELECT doc_id AS item_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(SUM(amp) AS BIGINT) AS sum_amp,
+       CAST(MAX(ABS(amp)) AS BIGINT) AS peak_abs,
+       CAST(MIN(CASE WHEN k = 0 THEN amp END) AS BIGINT) AS first_sample
+FROM v GROUP BY doc_id
+"""
+
+
+@register("wav_decode_stats", oracle=WAV_DECODE_ORACLE,
+          tags=("multimodal", "decode", "real-codec"))
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, exact-oracled: RIFF/WAVE PCM16-mono payloads
+    synthesized in-plan (fixed 44-byte header + md5-derived sample
+    bytes), parsed by `operators.multimodal.decode_wav_real` — chunk
+    walk, LE signed 16-bit samples — in pure numpy. The oracle
+    restates the signed-sample arithmetic from the md5 bytes directly
+    (first_sample is position-sensitive). Same tier contract as
+    `bmp_decode_stats`."""
+    from gpu_bdb_spark.operators.multimodal import (attach_media,
+                                                    decode_wav_real)
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id"],
+                   hint_broadcast=False)
+    au_hex = F.concat(*[
+        F.md5(F.concat(F.lit(f"au:{j}:"), F.col("doc_id").cast("string")))
+        for j in range(8)
+    ])
+    payload = F.unhex(F.concat(F.lit(_WAV_HDR), au_hex))
+    media = attach_media(d.select("doc_id", payload.alias("p")),
+                         "p", "audio/wav", "doc_id")
+    return decode_wav_real(media)

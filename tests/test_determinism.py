@@ -129,6 +129,8 @@ QUERIES = [
     "bloom_filter_probe",
     "target_encode",
     "calibration_bins",
+    "bmp_decode_stats",
+    "wav_decode_stats",
 ]
 
 

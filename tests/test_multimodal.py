@@ -120,3 +120,63 @@ def test_arrow_tier_stub_raises_without_codecs(spark, sf_dir):
 
     with _pytest.raises((PythonException, Py4JJavaError)):
         decode_image_arrow(media, fake=False).collect()
+
+
+def test_decode_bmp_real_padded_nonsquare(spark):
+    """REAL BMP parsing beyond the oracle fixture: 6x3 (row size 20
+    with 2 padding bytes that must be SKIPPED) with known pixels;
+    bottom-up order checked via the position-sensitive row-0 sum."""
+    import struct
+
+    from gpu_bdb_spark.operators.multimodal import (attach_media,
+                                                    decode_bmp_real)
+
+    w, h = 6, 3
+    row_size = (w * 3 + 3) // 4 * 4
+    # image rows (top to bottom): row0 = all (B=1,G=2,R=3),
+    # row1 = all (4,5,6), row2 = all (7,8,9)
+    rows_img = [bytes([1, 2, 3] * w), bytes([4, 5, 6] * w),
+                bytes([7, 8, 9] * w)]
+    # stored bottom-up, padded with 0xFF (must NOT leak into sums)
+    pixdata = b"".join(
+        r + b"\xff" * (row_size - len(r)) for r in reversed(rows_img))
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(pixdata), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         len(pixdata), 0, 0, 0, 0))
+    df = spark.createDataFrame([(1, bytearray(hdr + pixdata))],
+                               "doc_id long, p binary")
+    media = attach_media(df, "p", "image/bmp", "doc_id")
+    r = decode_bmp_real(media).collect()[0]
+    assert (r.width, r.height) == (w, h)
+    assert r.sum_b == (1 + 4 + 7) * w
+    assert r.sum_g == (2 + 5 + 8) * w
+    assert r.sum_r == (3 + 6 + 9) * w
+    assert r.sum_row0 == (1 + 2 + 3) * w  # TOP image row, not file row 0
+
+
+def test_decode_wav_real_chunk_walk(spark):
+    """REAL WAV parsing with an extra odd-sized chunk before 'data'
+    (the RIFF word-alignment rule) and known signed samples."""
+    import struct
+
+    from gpu_bdb_spark.operators.multimodal import (attach_media,
+                                                    decode_wav_real)
+
+    samples = [100, -200, 32767, -32768, 0]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    junk = b"xyz"  # odd size -> 1 pad byte after the chunk body
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 44100,
+                                    88200, 2, 16)
+            + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame([(7, bytearray(wav))],
+                               "doc_id long, p binary")
+    media = attach_media(df, "p", "audio/wav", "doc_id")
+    r = decode_wav_real(media).collect()[0]
+    assert r.sample_rate == 44100
+    assert r.n_samples == len(samples)
+    assert r.sum_amp == sum(samples)
+    assert r.peak_abs == 32768
+    assert r.first_sample == 100
