@@ -183,3 +183,48 @@ def funnel_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("p_ts").cast("timestamp")).alias("p_us"),
         F.unix_micros(F.col("v_ts").cast("timestamp")).alias("v_us"),
     )
+
+
+RECURSIVE_REACH_SQL = """
+WITH RECURSIVE eg AS (
+  SELECT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+         GREATEST(l1.l_partkey, l2.l_partkey) AS b,
+         COUNT(*) AS s
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT a AS src, b AS dst FROM eg WHERE s >= 2
+  UNION ALL
+  SELECT b, a FROM eg WHERE s >= 2
+),
+seed AS (SELECT MIN(src) AS s FROM e),
+r(node, hops) AS (
+  SELECT s, 0 FROM seed
+  UNION ALL
+  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+  WHERE r.hops < 3
+)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS hops,
+       CAST(COUNT(*) AS BIGINT) AS n_walks
+FROM r GROUP BY node
+"""
+
+
+@register("recursive_reachability", oracle=RECURSIVE_REACH_SQL,
+          tags=("sql-entry", "recursive-cte", "graph"))
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE, run as ONE SQL text that is ALSO the
+    oracle verbatim (the sql_entry parity statement): ≤3-hop BFS
+    reachability from the smallest part in the support≥2 co-purchase
+    graph — min-hop distance plus the UNION ALL walk multiplicity.
+    The recursion is Catalyst-planned (each step one equi join of the
+    working table against the edge list), the declarative twin of the
+    hand-checkpointed iterative loops (`dedup_clusters`, `kcore_parts`)
+    — those remain the scale tier (per-round lineage cuts, convergence
+    gates); the hop cap here is what bounds UNION ALL's walk blowup
+    (UNION-distinct inside recursion is not yet supported in Spark
+    4.1, the frontier-dedup form this entry graduates to when it is)."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(RECURSIVE_REACH_SQL)

@@ -131,6 +131,7 @@ QUERIES = [
     "calibration_bins",
     "bmp_decode_stats",
     "wav_decode_stats",
+    "recursive_reachability",
 ]
 
 

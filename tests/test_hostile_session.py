@@ -119,6 +119,7 @@ QUERIES = [
     "calibration_bins",
     "bmp_decode_stats",
     "wav_decode_stats",
+    "recursive_reachability",
 ]
 
 HOSTILE = {
