@@ -848,3 +848,59 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("n_bins").alias("n_bins"),
              F.round(F.sum(term).cast("double"), 6).alias("psi"))
     )
+
+
+GINI_ORACLE = """
+WITH pc AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT spend,
+         CAST(row_number() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM pc
+),
+s AS (
+  SELECT CAST(SUM((2 * i - n - 1) * spend) AS DOUBLE) AS num,
+         CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(spend) AS DOUBLE) AS tot
+  FROM r
+)
+SELECT n AS n_customers,
+       ROUND(num / (CAST(n AS DOUBLE) * tot), 6) AS gini
+FROM s
+"""
+
+
+@register("gini_spend", oracle=GINI_ORACLE,
+          tags=("behavior", "inequality", "stats"))
+def gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer spend concentration — the
+    inequality scalar next to `pareto_share`'s top-decile share, via
+    the sorted-rank identity G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx). One
+    customer aggregate, one total-order row_number over the collapsed
+    per-customer frame (full (spend, custkey) tie-break), one decimal
+    rollup: the weighted sum stays DECIMAL (integer rank × exact
+    decimal spend) until the single final division."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_custkey", "o_totalprice"], hint_broadcast=False)
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("spend"))
+    w = Window.orderBy("spend", "o_custkey")
+    r = pc.select(
+        "spend",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()).cast("long").alias("n"))
+    s = r.agg(
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("spend"))
+        .cast("double").alias("num"),
+        F.max("n").alias("n"),
+        F.sum("spend").cast("double").alias("tot"))
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("num") / (F.col("n").cast("double") * F.col("tot")),
+                6).alias("gini"))

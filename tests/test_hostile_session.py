@@ -120,6 +120,7 @@ QUERIES = [
     "bmp_decode_stats",
     "wav_decode_stats",
     "recursive_reachability",
+    "gini_spend",
 ]
 
 HOSTILE = {
