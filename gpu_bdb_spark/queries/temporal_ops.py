@@ -263,3 +263,75 @@ def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("value").alias("v_min"),
              F.max("value").alias("v_max"))
     )
+
+
+EWMA_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS rev
+  FROM orders GROUP BY 1, 2
+),
+seq AS MATERIALIZED (
+  SELECT y, day, rev,
+         CAST(row_number() OVER (PARTITION BY y ORDER BY day) AS BIGINT)
+           AS i
+  FROM daily
+),
+r(y, i, day, rev, e) AS (
+  SELECT y, i, day, rev, CAST(rev AS DECIMAL(28,9)) FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.y, s.i, s.day, s.rev,
+         CAST(round(0.2 * s.rev + 0.8 * r.e, 9) AS DECIMAL(28,9))
+  FROM r JOIN seq s ON s.y = r.y AND s.i = r.i + 1
+)
+SELECT y, day, CAST(rev AS DOUBLE) AS rev, CAST(e AS DOUBLE) AS ewma
+FROM r
+"""
+
+
+@register("ewma_daily_revenue", oracle=EWMA_ORACLE,
+          tags=("temporal", "smoothing", "ewma", "sequential"))
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue, one EWMA
+    chain per year — the classical monitoring smoother, which is
+    INHERENTLY sequential (e_t = α·x_t + (1−α)·e_{t−1} is not
+    window-expressible without a recursive product). Scale shape: the
+    fact table collapses to a per-(series, day) decimal aggregate
+    first; the recursion then runs per series inside applyInPandas —
+    parallelism is ACROSS series (the realistic axis: one chain per
+    metric/tenant), each chain a few hundred floats. Each step is
+    fixed-order IEEE (identical doubles both engines) quantized round-9
+    — pagerank's bit-reproducible-fixed-point discipline for a
+    sequential op — so the DuckDB recursive-CTE oracle replays every
+    step exactly."""
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_orderdate", "o_totalprice"], hint_broadcast=False)
+    daily = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.floor(micros("o_orderdate") / F.lit(86_400_000_000))
+        .cast("long").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("rev"))
+
+    def chain(pdf):
+        import decimal as _dec
+
+        # the whole chain stays EXACT DECIMAL (finite decimals: 0.2·x
+        # and 0.8·e are exact products, quantize-9 HALF_UP per step);
+        # floats appear only in the output cast. A float chain diverged
+        # from DuckDB's round(double, 9) by 1 ulp at 1e6 magnitudes.
+        q9 = _dec.Decimal("1e-9")
+        a, b = _dec.Decimal("0.2"), _dec.Decimal("0.8")
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out, e = [], None
+        for x in pdf["rev"]:
+            x = _dec.Decimal(x)
+            e = x if e is None else (a * x + b * e).quantize(
+                q9, rounding=_dec.ROUND_HALF_UP)
+            out.append(float(e))
+        pdf["ewma"] = out
+        pdf["rev"] = [float(_dec.Decimal(x)) for x in pdf["rev"]]
+        return pdf[["y", "day", "rev", "ewma"]]
+
+    return daily.groupBy("y").applyInPandas(
+        chain, "y long, day long, rev double, ewma double")

@@ -133,6 +133,7 @@ QUERIES = [
     "wav_decode_stats",
     "recursive_reachability",
     "gini_spend",
+    "ewma_daily_revenue",
 ]
 
 

@@ -121,6 +121,7 @@ QUERIES = [
     "wav_decode_stats",
     "recursive_reachability",
     "gini_spend",
+    "ewma_daily_revenue",
 ]
 
 HOSTILE = {
