@@ -692,3 +692,61 @@ def streaming_m4(events: DataFrame, bucket_us: int = 3_600_000_000
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_ewma(
+    rows: DataFrame,
+    key_col: str = "y",
+    seq_col: str = "day",
+    val_col: str = "rev",
+    alpha: str = "0.2",
+) -> DataFrame:
+    """Streaming twin of `temporal_ops.ewma_daily_revenue`: one EWMA
+    chain per key with the running value carried as an EXACT DECIMAL
+    STRING in state (the streaming_time_weighted discipline — no float
+    ever enters the recursion, so drained ≡ batch bit-for-bit). State
+    per key is (last_seq, e); within a micro-batch rows process in
+    seq order; the usual non-decreasing cross-batch contract applies.
+    Emits every (key, seq, val, ewma) row in append mode."""
+
+    a_str = alpha
+
+    def update(key, pdfs, state):
+        import decimal as _dec
+
+        import pandas as _pd
+
+        q9 = _dec.Decimal("1e-9")
+        a = _dec.Decimal(a_str)
+        b = _dec.Decimal(1) - a
+        last_seq, e_s = state.get if state.exists else (-1 << 62, "")
+        e = _dec.Decimal(e_s) if e_s else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(seq_col)
+            out_seq, out_val, out_e = [], [], []
+            for s_, v in zip(pdf[seq_col], pdf[val_col]):
+                x = _dec.Decimal(v)
+                e = x if e is None else (a * x + b * e).quantize(
+                    q9, rounding=_dec.ROUND_HALF_UP)
+                last_seq = int(s_)
+                out_seq.append(int(s_))
+                out_val.append(float(x))
+                out_e.append(float(e))
+            yield _pd.DataFrame({
+                "y": [key[0]] * len(out_seq), "day": out_seq,
+                "rev": out_val, "ewma": out_e,
+            })
+        state.update((last_seq, str(e) if e is not None else ""))
+
+    return (
+        rows.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="y long, day long, rev double, ewma double",
+            stateStructType="last_seq long, e string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1038,3 +1038,43 @@ def test_bloom_ingest_batches_equals_batch_filter(spark, events_stream,
             .filter(F.col("key").isNotNull()), latest)
     assert cms_latest_version(path)[0] == latest
     assert {r.bit for r in cms_read(spark, path).collect()} == expect
+
+
+def test_streaming_ewma_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Per-year EWMA chains over a 3-micro-batch stream of the DAILY
+    revenue frame (one row per (year, day) — the operator's contract):
+    decimal-string state makes drained ≡ batch bit-for-bit against the
+    registry entry."""
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.queries.registry import all_specs
+    from gpu_bdb_spark.streaming.stateful import streaming_ewma
+
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_orderdate", "o_totalprice"])
+    daily = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("rev"))
+    lo, hi = daily.select(F.min("day"), F.max("day")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    d = tmp_path_factory.mktemp("ewma_3b")
+    daily.filter(F.col("day") <= cut1).coalesce(1)\
+        .write.parquet(str(d / "f0"))
+    daily.filter((F.col("day") > cut1) & (F.col("day") <= cut2))\
+        .coalesce(1).write.parquet(str(d / "f1"))
+    daily.filter(F.col("day") > cut2).coalesce(1)\
+        .write.parquet(str(d / "f2"))
+    stream = (spark.readStream.schema(daily.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d / "f*")))
+    got = _run_to_memory_append(
+        spark, streaming_ewma(stream, "y", "day", "rev"), "ewma_3b")
+    expect = (all_specs()["ewma_daily_revenue"].fn(spark, sf_dir)
+              .toPandas())
+    key = ["y", "day"]
+    got = got.sort_values(key, ignore_index=True)
+    expect = expect.sort_values(key, ignore_index=True)
+    assert len(got) == len(expect) > 0
+    assert got[key].equals(expect[key])
+    assert (got["ewma"].values == expect["ewma"].values).all()
+    assert (got["rev"].values == expect["rev"].values).all()
