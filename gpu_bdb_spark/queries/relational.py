@@ -844,3 +844,90 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift"),
         )
     )
+
+
+DQ_REPORT_ORACLE = """
+WITH ri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (c.c_custkey IS NULL) AS BIGINT) AS f
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+uq AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (cnt > 1) AS BIGINT) AS f
+  FROM (SELECT c_custkey, COUNT(*) AS cnt FROM customer GROUP BY 1)
+),
+rng AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50)
+              AS BIGINT) AS f
+  FROM lineitem
+),
+nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT) AS f
+  FROM orders
+),
+ev AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT) AS f
+  FROM events
+)
+SELECT 'orders_custkey_ri' AS check_name, n AS n_checked, f AS n_failed,
+       CAST(f = 0 AS INT) AS pass FROM ri
+UNION ALL SELECT 'customer_key_unique', n, f, CAST(f = 0 AS INT) FROM uq
+UNION ALL SELECT 'lineitem_qty_range', n, f, CAST(f = 0 AS INT) FROM rng
+UNION ALL SELECT 'orders_date_not_null', n, f, CAST(f = 0 AS INT) FROM nn
+UNION ALL SELECT 'events_user_null_rate', n, f,
+                 CAST(f * 100 <= n AS INT) FROM ev
+"""
+
+
+@register("dq_report", oracle=DQ_REPORT_ORACLE,
+          tags=("data-quality", "audit", "report"))
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite as ONE report frame (the
+    dbt-tests / Great-Expectations surface): referential integrity
+    (orders→customer orphans via a broadcast left join), key
+    uniqueness, accepted value range, not-null, and a null-rate
+    threshold (≤1%) — each check one aggregate over its pruned
+    columns, unioned into (check_name, n_checked, n_failed, pass).
+    The report is the CI gate a lakehouse pipeline runs per batch; at
+    100 TB each leg is a map-side-combinable count over a narrow
+    projection."""
+    o = read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderdate"],
+                   hint_broadcast=False)
+    c = read_table(spark, sf_dir, "customer", ["c_custkey"],
+                   hint_broadcast=False)
+    l = read_table(spark, sf_dir, "lineitem", ["l_quantity"],
+                   hint_broadcast=False)
+    e = read_table(spark, sf_dir, "events", ["user_id"],
+                   hint_broadcast=False)
+
+    def report(name, frame, n_col, f_col, pass_cond=None):
+        agg = frame.agg(n_col.alias("n_checked"), f_col.alias("n_failed"))
+        p = (pass_cond if pass_cond is not None
+             else (F.col("n_failed") == 0))
+        return agg.select(F.lit(name).alias("check_name"), "n_checked",
+                          "n_failed", p.cast("int").alias("pass"))
+
+    cnt = F.count(F.lit(1)).cast("long")
+    ri = report(
+        "orders_custkey_ri",
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left"),
+        cnt, F.sum(F.col("c_custkey").isNull().cast("long")))
+    uq = report(
+        "customer_key_unique",
+        c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("cnt")),
+        cnt, F.sum((F.col("cnt") > 1).cast("long")))
+    rng = report(
+        "lineitem_qty_range", l, cnt,
+        F.sum(((F.col("l_quantity") < 1)
+               | (F.col("l_quantity") > 50)).cast("long")))
+    nn = report("orders_date_not_null", o, cnt,
+                F.sum(F.col("o_orderdate").isNull().cast("long")))
+    ev = report("events_user_null_rate", e, cnt,
+                F.sum(F.col("user_id").isNull().cast("long")),
+                pass_cond=(F.col("n_failed") * 100 <= F.col("n_checked")))
+    return ri.unionByName(uq).unionByName(rng).unionByName(nn) \
+        .unionByName(ev)

@@ -134,6 +134,7 @@ QUERIES = [
     "recursive_reachability",
     "gini_spend",
     "ewma_daily_revenue",
+    "dq_report",
 ]
 
 
