@@ -904,3 +904,77 @@ def gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_customers"),
         F.round(F.col("num") / (F.col("n").cast("double") * F.col("tot")),
                 6).alias("gini"))
+
+
+PINBALL_ORACLE = """
+WITH m AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(quantile_cont(CAST(o.o_totalprice AS DOUBLE), 0.5)
+              AS DOUBLE) AS q50,
+         CAST(quantile_cont(CAST(o.o_totalprice AS DOUBLE), 0.9)
+              AS DOUBLE) AS q90
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+j AS (
+  SELECT c.c_mktsegment AS seg, CAST(o.o_totalprice AS DOUBLE) AS y,
+         m.q50, m.q90
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN m ON m.seg = c.c_mktsegment
+),
+t AS (
+  SELECT seg,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(round(CASE WHEN y >= q50 THEN 0.5 * (y - q50)
+                             ELSE 0.5 * (q50 - y) END, 6)
+                  AS DECIMAL(28,6))) AS l50,
+         SUM(CAST(round(CASE WHEN y >= q90 THEN 0.9 * (y - q90)
+                             ELSE 0.1 * (q90 - y) END, 6)
+                  AS DECIMAL(28,6))) AS l90
+  FROM j GROUP BY seg
+)
+SELECT seg, n,
+       ROUND(CAST(l50 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pinball_p50,
+       ROUND(CAST(l90 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pinball_p90
+FROM t
+"""
+
+
+@register("pinball_loss", oracle=PINBALL_ORACLE,
+          tags=("ml", "forecast-eval", "quantile-loss"))
+def pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of per-segment constant quantile
+    forecasts — the forecast-evaluation metric quantile models are
+    graded on. Two passes: exact interpolated q50/q90 per segment
+    (dimension-sized result, broadcast back), then one aggregate of
+    round-6 per-row losses summed in DECIMAL. Loss terms are IEEE
+    expressions of (identical) interpolated quantiles and raw values,
+    quantized once before the order-free sum."""
+    c = read_table(spark, sf_dir, "customer",
+                   ["c_custkey", "c_mktsegment"], hint_broadcast=False)
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_custkey", "o_totalprice"], hint_broadcast=False)
+    j0 = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").cast("double").alias("y"))
+    m = j0.groupBy("seg").agg(
+        F.percentile("y", F.lit(0.5)).alias("q50"),
+        F.percentile("y", F.lit(0.9)).alias("q90"))
+    j = j0.join(F.broadcast(m), "seg")
+    l50 = F.when(F.col("y") >= F.col("q50"),
+                 0.5 * (F.col("y") - F.col("q50"))) \
+        .otherwise(0.5 * (F.col("q50") - F.col("y")))
+    l90 = F.when(F.col("y") >= F.col("q90"),
+                 0.9 * (F.col("y") - F.col("q90"))) \
+        .otherwise(0.1 * (F.col("q90") - F.col("y")))
+    t = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(l50, 6).cast("decimal(28,6)")).alias("l50"),
+        F.sum(F.round(l90, 6).cast("decimal(28,6)")).alias("l90"))
+    return t.select(
+        "seg", "n",
+        F.round(F.col("l50").cast("double") / F.col("n").cast("double"),
+                6).alias("pinball_p50"),
+        F.round(F.col("l90").cast("double") / F.col("n").cast("double"),
+                6).alias("pinball_p90"))

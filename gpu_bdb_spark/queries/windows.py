@@ -719,3 +719,53 @@ def concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day"))
         .agg(F.max("conc").cast("long").alias("max_concurrent"))
     )
+
+
+MOM_GROWTH_ORACLE = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+           AS ym,
+         SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT ym, n_orders, rev,
+         lag(rev) OVER (ORDER BY ym) AS prev
+  FROM m
+)
+SELECT ym, n_orders,
+       ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+       CASE WHEN prev IS NOT NULL AND prev <> 0
+            THEN ROUND(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE),
+                       6) END AS mom_growth
+FROM g
+"""
+
+
+@register("mom_growth", oracle=MOM_GROWTH_ORACLE,
+          tags=("window", "kpi", "growth"))
+def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the KPI-dashboard staple: one
+    monthly decimal aggregate, one lag over the collapsed months frame,
+    growth as an IEEE division of exact decimal differences with the
+    zero/first-month cases deterministically NULL (the ab_test se
+    guard pattern)."""
+    from pyspark.sql import Window as W
+
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_orderdate", "o_totalprice"], hint_broadcast=False)
+    m = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long").alias("ym")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"),
+          F.count(F.lit(1)).cast("long").alias("n_orders"))
+    g = m.withColumn("prev", F.lag("rev").over(W.orderBy("ym")))
+    growth = F.when(
+        F.col("prev").isNotNull() & (F.col("prev") != 0),
+        F.round((F.col("rev") - F.col("prev")).cast("double")
+                / F.col("prev").cast("double"), 6))
+    return g.select(
+        "ym", "n_orders",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        growth.alias("mom_growth"))

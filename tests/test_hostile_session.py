@@ -123,6 +123,8 @@ QUERIES = [
     "gini_spend",
     "ewma_daily_revenue",
     "dq_report",
+    "pinball_loss",
+    "mom_growth",
 ]
 
 HOSTILE = {
