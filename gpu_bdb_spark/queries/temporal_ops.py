@@ -269,7 +269,8 @@ EWMA_ORACLE = """
 WITH RECURSIVE daily AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
          CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
-         SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS rev
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+              AS DECIMAL(18,4)) AS rev
   FROM orders GROUP BY 1, 2
 ),
 seq AS MATERIALIZED (
@@ -285,7 +286,8 @@ r(y, i, day, rev, e) AS (
          CAST(round(0.2 * s.rev + 0.8 * r.e, 9) AS DECIMAL(28,9))
   FROM r JOIN seq s ON s.y = r.y AND s.i = r.i + 1
 )
-SELECT y, day, CAST(rev AS DOUBLE) AS rev, CAST(e AS DOUBLE) AS ewma
+SELECT y, day, CAST(rev AS DOUBLE) AS rev,
+       CAST(round(e, 6) AS DOUBLE) AS ewma
 FROM r
 """
 
@@ -316,11 +318,19 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     def chain(pdf):
         import decimal as _dec
 
+        _dec.getcontext().prec = 50  # chain values never context-round
+
         # the whole chain stays EXACT DECIMAL (finite decimals: 0.2·x
         # and 0.8·e are exact products, quantize-9 HALF_UP per step);
         # floats appear only in the output cast. A float chain diverged
         # from DuckDB's round(double, 9) by 1 ulp at 1e6 magnitudes.
         q9 = _dec.Decimal("1e-9")
+        # the CHAIN carries scale 9; the OUTPUT re-rounds to scale 6:
+        # a scale-9 decimal of ~1e7 has an integer form > 2^53, and
+        # DuckDB's decimal->double cast double-rounds there (int128 ->
+        # double, then /10^scale) — at scale 6 the cast is exact on
+        # both engines (measured 1-ulp oracle mismatches at sf0.1).
+        q6 = _dec.Decimal("1e-6")
         a, b = _dec.Decimal("0.2"), _dec.Decimal("0.8")
         pdf = pdf.sort_values("day").reset_index(drop=True)
         out, e = [], None
@@ -328,7 +338,7 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             x = _dec.Decimal(x)
             e = x if e is None else (a * x + b * e).quantize(
                 q9, rounding=_dec.ROUND_HALF_UP)
-            out.append(float(e))
+            out.append(float(e.quantize(q6, rounding=_dec.ROUND_HALF_UP)))
         pdf["ewma"] = out
         pdf["rev"] = [float(_dec.Decimal(x)) for x in pdf["rev"]]
         return pdf[["y", "day", "rev", "ewma"]]

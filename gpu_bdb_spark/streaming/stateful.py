@@ -716,7 +716,9 @@ def streaming_ewma(
 
         import pandas as _pd
 
+        _dec.getcontext().prec = 50  # chain values never context-round
         q9 = _dec.Decimal("1e-9")
+        q6 = _dec.Decimal("1e-6")  # output scale; chain carries 9
         a = _dec.Decimal(a_str)
         b = _dec.Decimal(1) - a
         last_seq, e_s = state.get if state.exists else (-1 << 62, "")
@@ -733,7 +735,8 @@ def streaming_ewma(
                 last_seq = int(s_)
                 out_seq.append(int(s_))
                 out_val.append(float(x))
-                out_e.append(float(e))
+                out_e.append(float(e.quantize(
+                    q6, rounding=_dec.ROUND_HALF_UP)))
             yield _pd.DataFrame({
                 "y": [key[0]] * len(out_seq), "day": out_seq,
                 "rev": out_val, "ewma": out_e,
