@@ -180,3 +180,80 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("score_bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.avg(F.col("y").cast("double")), 6).alias("outcome_rate"))
+
+
+AUC_ORACLE = """
+WITH lab AS (
+  SELECT c.c_custkey,
+         CAST(c.c_acctbal AS DOUBLE) AS score,
+         CAST(EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT') AS INT) AS y
+  FROM customer c
+),
+rk AS (
+  SELECT y,
+         CAST(rank() OVER (ORDER BY score) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY score) AS BIGINT) AS tie_n
+  FROM lab
+),
+mid AS (
+  -- midrank = rank + (ties-1)/2, kept rational: 2*midrank is integer
+  SELECT y, 2 * r + tie_n - 1 AS mr2 FROM rk
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS n1,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM mid
+)
+SELECT n1 AS n_pos, n - n1 AS n_neg,
+       ROUND((CAST(s2 AS DOUBLE) / 2.0
+              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+             / (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)), 6) AS auc
+FROM agg
+"""
+
+
+@register("auc_exact", oracle=AUC_ORACLE,
+          tags=("ml", "evaluation", "auc", "rank-sum"))
+def auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC by the Mann–Whitney rank-sum identity with
+    midranks for ties — AUC = (Σ midrank(pos) − n₁(n₁+1)/2)/(n₁n₀) —
+    over the acctbal-score / urgent-order-label frame that
+    `calibration_bins` bins. Tie midranks stay RATIONAL (2·midrank =
+    2·rank + ties − 1 is an integer), so the whole statistic is exact
+    integer arithmetic until one fixed-order IEEE finishing expression.
+    One total-order rank window over the dimension-sized frame + one
+    aggregate — no pairwise comparisons (the naive AUC is n₁·n₀
+    pairs)."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer",
+                   ["c_custkey", "c_acctbal"], hint_broadcast=False)
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority"], hint_broadcast=False)
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")).distinct()
+              .withColumn("y", F.lit(1)))
+    lab = (c.join(F.broadcast(urgent), "c_custkey", "left")
+           .select(F.col("c_acctbal").cast("double").alias("score"),
+                   F.coalesce("y", F.lit(0)).alias("y")))
+    rk = lab.select(
+        "y",
+        F.rank().over(Window.orderBy("score")).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("score"))
+        .cast("long").alias("tie_n"))
+    mid = rk.select("y", (2 * F.col("r") + F.col("tie_n") - 1).alias("mr2"))
+    agg = mid.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("mr2")).otherwise(0))
+        .cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    n1d = F.col("n1").cast("double")
+    n0d = (F.col("n") - F.col("n1")).cast("double")
+    return agg.select(
+        F.col("n1").alias("n_pos"),
+        (F.col("n") - F.col("n1")).alias("n_neg"),
+        F.round((F.col("s2").cast("double") / 2.0
+                 - n1d * (n1d + 1.0) / 2.0) / (n1d * n0d), 6).alias("auc"))

@@ -125,6 +125,7 @@ QUERIES = [
     "dq_report",
     "pinball_loss",
     "mom_growth",
+    "auc_exact",
 ]
 
 HOSTILE = {
