@@ -978,3 +978,85 @@ def pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6).alias("pinball_p50"),
         F.round(F.col("l90").cast("double") / F.col("n").cast("double"),
                 6).alias("pinball_p90"))
+
+
+COHORT_LTV_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS cust,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS period,
+         CAST(o_totalprice AS DECIMAL(12,4)) AS rev
+  FROM orders
+),
+coh AS (
+  SELECT cust, MIN(period) AS cohort FROM o GROUP BY cust
+),
+sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM coh GROUP BY cohort
+),
+per AS (
+  SELECT c.cohort, o.period - c.cohort AS offset_m,
+         SUM(o.rev) AS rev
+  FROM o JOIN coh c ON o.cust = c.cust
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort, offset_m, rev,
+         SUM(rev) OVER (PARTITION BY cohort ORDER BY offset_m
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM per
+)
+SELECT m.cohort, m.offset_m,
+       ROUND(CAST(m.rev AS DOUBLE), 2) AS period_rev,
+       ROUND(CAST(m.cum_rev AS DOUBLE), 2) AS cum_rev,
+       s.cohort_size,
+       ROUND(CAST(m.cum_rev AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+         AS ltv_per_user
+FROM cum m JOIN sizes s ON m.cohort = s.cohort
+"""
+
+
+@register("cohort_ltv", oracle=COHORT_LTV_ORACLE,
+          tags=("behavior", "cohort", "ltv"))
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — cumulative revenue per acquisition
+    cohort at each month offset, per-user — the revenue companion to
+    `cohort_retention`'s activity triangle. One per-customer min
+    aggregate derives cohorts, one (cohort, offset) decimal aggregate,
+    one running-sum window over the collapsed cohort×offset frame;
+    divisions are single IEEE ops of exact decimals cast at the edge
+    (magnitudes stay below the 2^53 cast bound at scale 4)."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"],
+                   hint_broadcast=False)
+    base = o.select(
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long").alias("period"),
+        F.col("o_totalprice").cast("decimal(12,4)").alias("rev"))
+    coh = base.groupBy("cust").agg(F.min("period").alias("cohort"))
+    sizes = coh.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    per = (
+        base.join(coh, "cust")
+        .groupBy("cohort", (F.col("period") - F.col("cohort"))
+                 .alias("offset_m"))
+        .agg(F.sum("rev").alias("rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("offset_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = per.withColumn("cum_rev", F.sum("rev").over(w))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort", "offset_m",
+            F.round(F.col("rev").cast("double"), 2).alias("period_rev"),
+            F.round(F.col("cum_rev").cast("double"), 2).alias("cum_rev"),
+            "cohort_size",
+            F.round(F.col("cum_rev").cast("double")
+                    / F.col("cohort_size").cast("double"), 6)
+            .alias("ltv_per_user"))
+    )

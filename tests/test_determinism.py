@@ -138,6 +138,7 @@ QUERIES = [
     "pinball_loss",
     "mom_growth",
     "auc_exact",
+    "cohort_ltv",
 ]
 
 
