@@ -906,3 +906,80 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpu_bdb_spark.operators.graph import kcore
 
     return kcore(_copurchase_edges(spark, sf_dir), k=3, rounds=8)
+
+
+def _simhash_portable_oracle() -> str:
+    b1 = " +\n    ".join(
+        f"(CASE WHEN s.b{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(32))
+    b2 = " +\n    ".join(
+        f"(CASE WHEN s.b{j} > 0 THEN {1 << (j - 32)} ELSE 0 END)"
+        for j in range(32, 64))
+    aggs = ",\n         ".join(
+        "SUM(CASE WHEN (h{half} // {p}) % 2 = 1 THEN 1 ELSE -1 END) "
+        "AS b{j}".format(half=1 if j < 32 else 2,
+                         p=1 << (j if j < 32 else j - 32), j=j)
+        for j in range(64))
+    return r"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS token
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(token), 9, 8)) AS BIGINT) AS h2
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         """ + aggs + """
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id AS id,
+       printf('%08x%08x',
+              """ + b2 + """,
+              """ + b1 + """) AS simhash_hex
+FROM s
+"""
+
+
+@register("simhash_portable", oracle=_simhash_portable_oracle(),
+          tags=("dedup", "simhash", "portable"))
+def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash with a PORTABLE md5 bit source — the
+    exactly-oracle-verified twin of `dedup_simhash`'s xxhash64 tier
+    (the minhash_portable pattern applied to the simhash family): same
+    explode → 64 conditional sums → bit assembly, every bit decided by
+    Σ±1 > 0 over the token multiset, fingerprint emitted as a 16-hex
+    string both engines format identically (%08x%08x of the two 32-bit
+    halves)."""
+    from functools import reduce as _reduce
+
+    from gpu_bdb_spark.functions import tokenize
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    t = d.select(F.col("doc_id").alias("id"),
+                 F.explode(tokenize("text")).alias("token"))
+    h1 = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long")
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(h1 if j < 32 else h2,
+                             j if j < 32 else j - 32)
+                .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    per_doc = t.groupBy("id").agg(*aggs)
+    lo = _reduce(lambda x, y: x + y, [
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long"))
+        .otherwise(F.lit(0).cast("long")) for j in range(32)])
+    hi = _reduce(lambda x, y: x + y, [
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << (j - 32)).cast("long"))
+        .otherwise(F.lit(0).cast("long")) for j in range(32, 64)])
+    return per_doc.select(
+        "id", F.format_string("%08x%08x", hi, lo).alias("simhash_hex"))

@@ -139,6 +139,7 @@ QUERIES = [
     "mom_growth",
     "auc_exact",
     "cohort_ltv",
+    "simhash_portable",
 ]
 
 

@@ -127,6 +127,7 @@ QUERIES = [
     "mom_growth",
     "auc_exact",
     "cohort_ltv",
+    "simhash_portable",
 ]
 
 HOSTILE = {
