@@ -931,3 +931,77 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pass_cond=(F.col("n_failed") * 100 <= F.col("n_checked")))
     return ri.unionByName(uq).unionByName(rng).unionByName(nn) \
         .unionByName(ev)
+
+
+#: Benford first-digit probabilities log10(1+1/d), fixed 9-decimal
+#: literals computed once driver-side — both engines consume identical
+#: constants instead of racing libm (the decay_weights discipline).
+_BENFORD = {1: "0.301029996", 2: "0.176091259", 3: "0.124938737",
+            4: "0.096910013", 5: "0.079181246", 6: "0.066946790",
+            7: "0.057991947", 8: "0.051152522", 9: "0.045757491"}
+
+
+def _benford_oracle() -> str:
+    pcase = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD.items())
+    return f"""
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+  FROM orders
+),
+fd AS (
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE v > 0
+),
+obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM fd GROUP BY digit
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
+x AS (
+  SELECT o.digit, o.n, t.total,
+         CASE o.digit {pcase} END AS p_benford
+  FROM obs o, t
+)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS p_observed,
+       CAST(p_benford AS DOUBLE) AS p_benford,
+       ROUND((CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * p_benford)
+             * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * p_benford)
+             / (CAST(total AS DOUBLE) * p_benford), 6) AS chi2_term
+FROM x
+"""
+
+
+@register("benford_check", oracle=_benford_oracle(),
+          tags=("data-quality", "forensics", "benford"))
+def benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit forensic check on order amounts — the
+    fraud/synthetic-data screen auditors run on financial columns:
+    observed first-digit shares vs log10(1+1/d) with per-digit χ²
+    terms. The first digit comes from INTEGER CENTS via string head
+    (decimal→int→varchar is engine-identical; float→string is not),
+    Benford probabilities are fixed 9-decimal literals computed once
+    driver-side (no libm on the compare path — the decay_weights
+    discipline), and every output is an IEEE expression of exact
+    counts rounded once."""
+    o = read_table(spark, sf_dir, "orders", ["o_totalprice"],
+                   hint_broadcast=False)
+    v = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    fd = (o.select(v.alias("v")).filter(F.col("v") > 0)
+          .select(F.substring(F.col("v").cast("string"), 1, 1)
+                  .cast("long").alias("digit")))
+    obs = fd.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = obs.agg(F.sum("n").cast("long").alias("total"))
+    pb = F.lit(None).cast("double")
+    for d, p in sorted(_BENFORD.items(), reverse=True):
+        pb = F.when(F.col("digit") == d, F.lit(float(p))).otherwise(pb)
+    x = obs.crossJoin(F.broadcast(t)).withColumn("p_benford", pb)
+    nd = F.col("n").cast("double")
+    td = F.col("total").cast("double")
+    return x.select(
+        "digit", "n",
+        F.round(nd / td, 6).alias("p_observed"),
+        F.col("p_benford"),
+        F.round((nd - td * F.col("p_benford"))
+                * (nd - td * F.col("p_benford"))
+                / (td * F.col("p_benford")), 6).alias("chi2_term"))

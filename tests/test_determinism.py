@@ -140,6 +140,7 @@ QUERIES = [
     "auc_exact",
     "cohort_ltv",
     "simhash_portable",
+    "benford_check",
 ]
 
 

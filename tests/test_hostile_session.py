@@ -128,6 +128,7 @@ QUERIES = [
     "auc_exact",
     "cohort_ltv",
     "simhash_portable",
+    "benford_check",
 ]
 
 HOSTILE = {
