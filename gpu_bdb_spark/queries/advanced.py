@@ -1202,3 +1202,107 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum((~F.col("is_member")).cast("double")), 6)
         .alias("fp_rate"),
     )
+
+
+KMV_SET_OPS_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT CAST(concat('0x',
+           substr(md5('kmv:' || CAST(l_partkey AS VARCHAR)), 1, 12))
+           AS BIGINT) AS h
+  FROM lineitem WHERE year(l_shipdate) = 1997
+),
+b AS (
+  SELECT DISTINCT CAST(concat('0x',
+           substr(md5('kmv:' || CAST(l_partkey AS VARCHAR)), 1, 12))
+           AS BIGINT) AS h
+  FROM lineitem WHERE year(l_shipdate) = 1998
+),
+ka AS (SELECT h FROM a ORDER BY h LIMIT 256),
+kb AS (SELECT h FROM b ORDER BY h LIMIT 256),
+u AS (
+  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+  ORDER BY h LIMIT 256
+),
+fl AS (
+  SELECT u.h,
+         CAST(ka.h IS NOT NULL AS INT) AS in_a,
+         CAST(kb.h IS NOT NULL AS INT) AS in_b
+  FROM u LEFT JOIN ka ON u.h = ka.h LEFT JOIN kb ON u.h = kb.h
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt, MAX(h) AS hk,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS common
+  FROM fl
+),
+est AS (
+  SELECT cnt, common,
+         CASE WHEN cnt < 256 THEN CAST(cnt AS DOUBLE)
+              ELSE CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                   / CAST(hk AS DOUBLE) END AS est_union,
+         CAST(common AS DOUBLE) / CAST(cnt AS DOUBLE) AS jac
+  FROM s
+),
+x AS (
+  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_union
+  FROM lineitem WHERE year(l_shipdate) IN (1997, 1998)
+)
+SELECT ROUND(e.est_union, 6) AS est_union,
+       ROUND(e.jac, 6) AS est_jaccard,
+       ROUND(e.jac * e.est_union, 6) AS est_intersection,
+       x.exact_union
+FROM est e, x
+"""
+
+
+@register("kmv_set_ops", oracle=KMV_SET_OPS_ORACLE,
+          tags=("sketch", "kmv", "portable", "set-algebra"))
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the property that makes KMV the
+    cardinality sketch for lakehouse metadata: two independently-built
+    k-minimum-values sketches (1997 vs 1998 part sets) MERGE by taking
+    the k smallest of their union, estimate |A∪B| with the standard
+    KMV estimator, and estimate Jaccard/|A∩B| from the fraction of the
+    merged sketch present in both inputs (Beyer et al., SIGMOD'07) —
+    all without touching the raw sets again. The md5 hash family makes
+    the entire algebra an exact cross-engine artifact (the
+    `approx_distinct_parts` pattern extended to union/intersection);
+    the exact union count rides along for error context. Each sketch
+    is a TakeOrdered k-cut of a distinct-hash frame; merging is
+    sketch-sized work."""
+    l = read_table(spark, sf_dir, "lineitem", ["l_partkey", "l_shipdate"],
+                   hint_broadcast=False)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"),
+                           F.col("l_partkey").cast("string"))), 1, 12),
+        16, 10).cast("long")
+    yr = F.year("l_shipdate")
+
+    def kmv(year):
+        return (l.filter(yr == year).select(h.alias("h")).distinct()
+                .orderBy("h").limit(256))
+
+    ka, kb = kmv(1997), kmv(1998)
+    u = (ka.unionByName(kb).distinct().orderBy("h").limit(256))
+    fl = (u.join(ka.withColumnsRenamed({"h": "ha"}),
+                 u.h == F.col("ha"), "left")
+          .join(kb.withColumnsRenamed({"h": "hb"}),
+                u.h == F.col("hb"), "left")
+          .select("h", F.col("ha").isNotNull().cast("int").alias("in_a"),
+                  F.col("hb").isNotNull().cast("int").alias("in_b")))
+    s = fl.agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+               F.max("h").alias("hk"),
+               F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+               .alias("common"))
+    exact = (l.filter(yr.isin([1997, 1998]))
+             .agg(F.countDistinct("l_partkey").alias("exact_union")))
+    est_union = F.when(
+        F.col("cnt") < 256, F.col("cnt").cast("double")
+    ).otherwise(F.lit(255.0) * F.lit(float(16 ** 12))
+                / F.col("hk").cast("double"))
+    jac = F.col("common").cast("double") / F.col("cnt").cast("double")
+    return (s.crossJoin(F.broadcast(exact))
+            .select(F.round(est_union, 6).alias("est_union"),
+                    F.round(jac, 6).alias("est_jaccard"),
+                    F.round(jac * est_union, 6).alias("est_intersection"),
+                    "exact_union"))

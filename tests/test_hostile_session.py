@@ -129,6 +129,7 @@ QUERIES = [
     "cohort_ltv",
     "simhash_portable",
     "benford_check",
+    "kmv_set_ops",
 ]
 
 HOSTILE = {
