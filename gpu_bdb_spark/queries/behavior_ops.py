@@ -1060,3 +1060,132 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("cohort_size").cast("double"), 6)
             .alias("ltv_per_user"))
     )
+
+
+SURVIVAL_KM_ORACLE = """
+WITH RECURSIVE f AS (
+  SELECT user_id AS u, MIN(epoch_us(ts)) AS f_us
+  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+  GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS c_us
+  FROM events e JOIN f ON e.user_id = f.u
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f.f_us
+  GROUP BY 1
+),
+last AS (
+  SELECT user_id AS u, MAX(epoch_us(ts)) AS l_us
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+subj AS (
+  SELECT f.u,
+         CASE WHEN c.c_us IS NOT NULL
+              THEN (c.c_us - f.f_us) // 86400000000
+              ELSE (l.l_us - f.f_us) // 86400000000 END AS t_days,
+         CASE WHEN c.c_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM f JOIN last l ON f.u = l.u LEFT JOIN conv c ON f.u = c.u
+),
+tbl AS (
+  SELECT t_days, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM subj GROUP BY t_days
+),
+rk AS MATERIALIZED (
+  SELECT t_days, d, c, m,
+         CAST(row_number() OVER (ORDER BY t_days) AS BIGINT) AS i,
+         CAST(SUM(m) OVER () AS BIGINT)
+           - COALESCE(CAST(SUM(m) OVER (ORDER BY t_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+  FROM tbl
+),
+km(i, t_days, d, c, n_risk, s) AS (
+  SELECT i, t_days, d, c, n_risk,
+         round(1.0 * round(CAST(n_risk - d AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE), 9), 9)
+  FROM rk WHERE i = 1
+  UNION ALL
+  SELECT r.i, r.t_days, r.d, r.c, r.n_risk,
+         round(km.s * round(CAST(r.n_risk - r.d AS DOUBLE)
+                            / CAST(r.n_risk AS DOUBLE), 9), 9)
+  FROM km JOIN rk r ON r.i = km.i + 1
+)
+SELECT t_days, n_risk, d AS n_events, c AS n_censored,
+       s AS survival
+FROM km
+"""
+
+
+@register("survival_km", oracle=SURVIVAL_KM_ORACLE,
+          tags=("behavior", "survival", "kaplan-meier"))
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of time-to-purchase after first
+    view, WITH right censoring (users who never convert are censored
+    at their last observed event) — the survival-analysis staple
+    behind churn and conversion-hazard models. The data-sized work is
+    three user-key aggregates collapsing to a per-duration life table
+    (at-risk counts from one exclusive running sum); the sequential
+    product Ŝ(t) = Π(1 − dᵢ/nᵢ) then runs over the duration-count-
+    sized frame in applyInPandas, each factor and partial product
+    round-9 (values ≤ 1, so the double↔decimal edge is exact — the
+    ewma 2^53 lesson respected); the DuckDB recursive CTE replays the
+    identical chain."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = read_table(spark, sf_dir, "events",
+                   ["user_id", "ts", "event_type"],
+                   hint_broadcast=False).filter(F.col("user_id").isNotNull())
+    f = (e.filter(F.col("event_type") == "view")
+         .groupBy(F.col("user_id").alias("u"))
+         .agg(F.min(us).alias("f_us")))
+    conv = (e.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("u"), us.alias("t_us"))
+            .join(f, "u").filter(F.col("t_us") > F.col("f_us"))
+            .groupBy("u").agg(F.min("t_us").alias("c_us")))
+    last = e.groupBy(F.col("user_id").alias("u")).agg(F.max(us).alias("l_us"))
+    subj = (f.join(last, "u").join(conv, "u", "left")
+            .select(
+                F.when(F.col("c_us").isNotNull(),
+                       F.floor((F.col("c_us") - F.col("f_us"))
+                               / F.lit(86_400_000_000)))
+                .otherwise(F.floor((F.col("l_us") - F.col("f_us"))
+                                   / F.lit(86_400_000_000)))
+                .cast("long").alias("t_days"),
+                F.when(F.col("c_us").isNotNull(), 1).otherwise(0)
+                .alias("ev")))
+    tbl = subj.groupBy("t_days").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("m"))
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    rk = tbl.select(
+        "t_days", "d", "c",
+        (F.sum("m").over(Window.partitionBy())
+         - F.coalesce(F.sum("m").over(wc), F.lit(0)))
+        .cast("long").alias("n_risk"))
+
+    def chain(pdf):
+        import decimal as _dec
+
+        q9 = _dec.Decimal("1e-9")
+
+        def r9(x):
+            return float(_dec.Decimal(repr(float(x))).quantize(
+                q9, rounding=_dec.ROUND_HALF_UP))
+
+        pdf = pdf.sort_values("t_days").reset_index(drop=True)
+        out, s = [], 1.0
+        for n, d in zip(pdf["n_risk"], pdf["d"]):
+            factor = r9((int(n) - int(d)) / int(n))
+            s = r9(s * factor)
+            out.append(s)
+        pdf["survival"] = out
+        return pdf[["t_days", "n_risk", "d", "c", "survival"]]
+
+    km = rk.groupBy().applyInPandas(
+        chain, "t_days long, n_risk long, d long, c long, survival double")
+    return km.select("t_days", "n_risk", F.col("d").alias("n_events"),
+                     F.col("c").alias("n_censored"), "survival")

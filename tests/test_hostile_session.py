@@ -130,6 +130,7 @@ QUERIES = [
     "simhash_portable",
     "benford_check",
     "kmv_set_ops",
+    "survival_km",
 ]
 
 HOSTILE = {
