@@ -345,3 +345,83 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return daily.groupBy("y").applyInPandas(
         chain, "y long, day long, rev double, ewma double")
+
+
+CUSUM_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                   AS DECIMAL(18,4)) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+mu AS (
+  SELECT CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mu
+  FROM daily
+),
+seq AS MATERIALIZED (
+  SELECT d.day, d.rev, m.mu,
+         CAST(row_number() OVER (ORDER BY d.day) AS BIGINT) AS i
+  FROM daily d, mu m
+),
+r(i, day, rev, s) AS (
+  SELECT i, day, rev,
+         greatest(0.0, round(rev - mu - 0.1 * mu, 2))
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT q.i, q.day, q.rev,
+         greatest(0.0, round(r.s + q.rev - q.mu - 0.1 * q.mu, 2))
+  FROM r JOIN seq q ON q.i = r.i + 1
+)
+SELECT r.day, round(r.rev, 2) AS rev, r.s AS cusum,
+       CAST(r.s > 3.0 * m.mu AS INT) AS flag
+FROM r, mu m
+"""
+
+
+@register("cusum_changepoint", oracle=CUSUM_ORACLE,
+          tags=("temporal", "changepoint", "cusum", "sequential"))
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint/drift detector over daily revenue:
+    S_t = max(0, S_{t−1} + x_t − μ − k) with allowance k = 0.1·μ and
+    decision threshold 3·μ — the classic sequential monitoring chart
+    next to `ewma_daily_revenue`'s smoother and `rolling_zscore`'s
+    pointwise flags. Same layout: the fact table collapses to the
+    daily frame, the recursion runs over that collapsed frame in
+    applyInPandas, each step a fixed-order IEEE expression quantized
+    round-2 (integer form stays far under 2^53 — the decimal↔double
+    edge rule), replayed exactly by a recursive-CTE oracle."""
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_orderdate", "o_totalprice"], hint_broadcast=False)
+    daily = o.groupBy(
+        F.floor(micros("o_orderdate") / F.lit(86_400_000_000))
+        .cast("long").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,4)"))
+          .cast("decimal(18,4)").cast("double").alias("rev"))
+    mu = daily.agg(
+        (F.sum(F.col("rev").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mu"))
+    seq = daily.crossJoin(F.broadcast(mu))
+
+    def chain(pdf):
+        import decimal as _dec
+
+        q2 = _dec.Decimal("1e-2")
+
+        def r2(x):
+            return float(_dec.Decimal(repr(float(x))).quantize(
+                q2, rounding=_dec.ROUND_HALF_UP))
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out, flags, s = [], [], 0.0
+        for rev, mu_ in zip(pdf["rev"], pdf["mu"]):
+            s = max(0.0, r2(s + float(rev) - float(mu_) - 0.1 * float(mu_)))
+            out.append(s)
+            flags.append(int(s > 3.0 * float(mu_)))
+        pdf["cusum"] = out
+        pdf["flag"] = flags
+        pdf["rev"] = [r2(x) for x in pdf["rev"]]
+        return pdf[["day", "rev", "cusum", "flag"]]
+
+    return seq.groupBy().applyInPandas(
+        chain, "day long, rev double, cusum double, flag int")

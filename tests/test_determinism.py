@@ -143,6 +143,7 @@ QUERIES = [
     "benford_check",
     "kmv_set_ops",
     "survival_km",
+    "cusum_changepoint",
 ]
 
 

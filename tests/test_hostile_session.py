@@ -131,6 +131,7 @@ QUERIES = [
     "benford_check",
     "kmv_set_ops",
     "survival_km",
+    "cusum_changepoint",
 ]
 
 HOSTILE = {
