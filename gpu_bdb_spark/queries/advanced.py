@@ -420,8 +420,15 @@ r AS (
          COUNT(*) OVER () AS m
   FROM s
 ),
+rk AS (
+  -- DISTINCT matches Spark's array_contains selection: when the
+  -- sample has fewer than 10 rows, several deciles collide onto one
+  -- rank and must yield ONE cut row, not one per decile
+  SELECT DISTINCT (t.i * mm.m + 9) // 10 AS rk
+  FROM range(1, 10) t(i), (SELECT COUNT(*) AS m FROM s) mm
+),
 cuts AS (
-  SELECT r.v FROM r JOIN range(1, 10) t(i) ON r.r = (i * r.m + 9) // 10
+  SELECT r.v FROM r JOIN rk ON r.r = rk.rk
 ),
 pc AS (
   SELECT l_extendedprice AS x, CAST(COUNT(*) AS BIGINT) AS nx

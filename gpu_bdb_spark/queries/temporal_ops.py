@@ -242,14 +242,26 @@ def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (map-side partials; min_by/max_by on a zero-padded
     (ts, event_id) string key makes first/last a total order both
     engines share); values are PICKED, never computed — exact by
-    construction."""
+    construction. DOMAIN: the padded key is a correct total order only
+    for 0 ≤ epoch_us < 1e20 and 0 ≤ event_id < 1e12 (lpad TRUNCATES
+    longer inputs; negative epochs break lexicographic order), so the
+    key is guarded by assert_true — out-of-domain rows fail the query
+    loudly instead of silently mis-ordering first/last."""
     e = read_table(spark, sf_dir, "events",
                    ["event_id", "ts", "user_id", "value"],
                    hint_broadcast=False)
     us = micros("ts")
-    ordk = F.concat(
-        F.lpad(us.cast("string"), 20, "0"), F.lit(":"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    in_domain = (
+        (us >= 0) & (F.col("event_id") >= 0)
+        & (F.col("event_id") < F.lit(1_000_000_000_000)))
+    ordk = F.when(
+        F.assert_true(
+            in_domain,
+            F.lit("m4_downsample: epoch_us/event_id outside the "
+                  "lpad-orderable domain")).isNull(),
+        F.concat(
+            F.lpad(us.cast("string"), 20, "0"), F.lit(":"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0")))
     return (
         e.filter(F.col("user_id").isNotNull()
                  & F.col("value").isNotNull())

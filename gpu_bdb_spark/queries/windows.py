@@ -677,10 +677,21 @@ pts AS (
   SELECT s_us AS t, CAST(1 AS BIGINT) AS delta FROM iv
   UNION ALL
   SELECT e_us + 1, CAST(-1 AS BIGINT) FROM iv
+  UNION ALL
+  -- zero-delta sample at each midnight an interval crosses, so a day
+  -- whose concurrency is entirely carried over from sessions that
+  -- began the previous day still gets a (correct) max row
+  SELECT unnest(generate_series(
+           (s_us // 86400000000 + 1) * 86400000000,
+           (e_us // 86400000000) * 86400000000,
+           86400000000::BIGINT)), CAST(0 AS BIGINT)
+  FROM iv
 ),
 curve AS (
-  SELECT t, SUM(delta) OVER (ORDER BY t, delta DESC
-                             ROWS UNBOUNDED PRECEDING) AS conc
+  SELECT t, SUM(delta) OVER (
+    ORDER BY t, CASE WHEN delta = 1 THEN 0 WHEN delta = -1 THEN 1
+                     ELSE 2 END
+    ROWS UNBOUNDED PRECEDING) AS conc
   FROM pts
 )
 SELECT CAST(t // 86400000000 AS BIGINT) AS day,
@@ -699,18 +710,34 @@ def concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     number computed without expanding intervals into per-minute rows
     (the interval-to-grid explosion this formulation exists to avoid).
     Boundary order (t, +1 before −1) makes touching sessions count as
-    overlapping at the instant — deterministic on both engines."""
+    overlapping at the instant — deterministic on both engines. A
+    zero-delta sample point is injected at every midnight an interval
+    crosses (≤ days-spanned extra rows per session), so a day whose
+    peak is entirely carried over from sessions opened the previous
+    day is sampled correctly instead of getting no row."""
     e = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id"],
                    hint_broadcast=False)
     sess = sessionize(e, "user_id", "ts", 3600, tiebreak_col="event_id")
     iv = sess.groupBy("user_id", "session_seq").agg(
         F.min(micros("ts")).alias("s_us"),
         F.max(micros("ts")).alias("e_us"))
+    day_us = F.lit(86_400_000_000)
+    s_day = F.floor(F.col("s_us") / day_us)
+    e_day = F.floor(F.col("e_us") / day_us)
     pts = iv.select(F.col("s_us").alias("t"),
                     F.lit(1).cast("long").alias("delta")).unionByName(
         iv.select((F.col("e_us") + 1).alias("t"),
-                  F.lit(-1).cast("long").alias("delta")))
-    w = Window.orderBy(F.col("t"), F.desc("delta")).rowsBetween(
+                  F.lit(-1).cast("long").alias("delta"))).unionByName(
+        iv.select(
+            F.explode(
+                F.when(e_day > s_day,
+                       F.sequence((s_day + 1) * day_us, e_day * day_us,
+                                  day_us))
+                .otherwise(F.array().cast("array<long>"))).alias("t"),
+        ).select("t", F.lit(0).cast("long").alias("delta")))
+    ordr = (F.when(F.col("delta") == 1, 0)
+            .when(F.col("delta") == -1, 1).otherwise(2))
+    w = Window.orderBy(F.col("t"), ordr).rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
     curve = pts.select("t", F.sum("delta").over(w).alias("conc"))
     return (

@@ -414,3 +414,98 @@ def test_outliers_mad_flags_planted_outlier(spark):
             if len(f):
                 assert (abs(f["value"] - f["med"])
                         > 3 * f["mad"]).all()
+
+
+def test_quantile_bins_approx_degenerate_sample(spark, tmp_path):
+    """ADVICE r3: when the ~1/4 content-hash sample has fewer than 10
+    rows, several decile indices collide onto one rank. Spark's
+    array_contains dedups collisions to ONE cut row; the oracle must
+    dedup identically (DISTINCT rank list) or bins diverge. Pinned on
+    a 12-row lineitem where the sample is degenerate by construction."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gpu_bdb_spark.queries.registry import all_specs
+
+    from .conftest import assert_frames_match
+
+    n = 12
+    tbl = pa.table({
+        "l_orderkey": pa.array(range(1, n + 1), pa.int64()),
+        "l_partkey": pa.array([1] * n, pa.int64()),
+        "l_suppkey": pa.array([1] * n, pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array([1.0] * n, pa.float64()),
+        "l_extendedprice": pa.array(
+            [100.0 + 7 * i for i in range(n)], pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+    })
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+
+    spec = all_specs()["quantile_bins_approx"]
+    spark_pdf = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{tmp_path / 'lineitem.parquet'}'")
+    oracle_pdf = con.execute(spec.oracle).df()
+    con.close()
+    # degeneracy precondition: strictly fewer than 10 sampled rows,
+    # so decile ranks MUST collide
+    assert spark_pdf["bin"].nunique() < 10
+    assert_frames_match(spark_pdf, oracle_pdf,
+                        name="quantile_bins_approx_degenerate")
+
+
+def test_concurrency_curve_counts_carried_over_sessions(spark, tmp_path):
+    """ADVICE r3: a day whose concurrency is entirely carried over from
+    sessions that began the previous day must still get a (correct)
+    max row — pinned by two users whose single long sessions span all
+    of day 1 with no event (hence no ±1 boundary point) inside it."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gpu_bdb_spark.queries.registry import all_specs
+
+    from .conftest import assert_frames_match
+
+    day = 86_400_000_000
+    hour = 3_600_000_000
+    # user 1: events every ~30 min from day0 12:00 through day2 12:00
+    # user 2: same span, offset by 10 min — both sessions are OPEN for
+    # all of day 1, but no session starts or ends inside day 1
+    rows = []
+    eid = 0
+    for uid, off in ((1, 0), (2, 600_000_000)):
+        t = day // 2 + off
+        while t <= 2 * day + day // 2 + off:
+            rows.append((eid, t, uid))
+            eid += 1
+            t += hour // 2
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows)),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array([None] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    spec = all_specs()["concurrency_curve"]
+    spark_pdf = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path / 'events.parquet'}'")
+    oracle_pdf = con.execute(spec.oracle).df()
+    con.close()
+    got = dict(zip(spark_pdf["day"], spark_pdf["max_concurrent"]))
+    # day 1 exists and sees both carried-over sessions
+    assert got.get(1) == 2, got
+    assert_frames_match(spark_pdf, oracle_pdf,
+                        name="concurrency_curve_carryover")
