@@ -298,23 +298,138 @@ def dedup_ingest_batches(
 
 
 def cms_latest_version(sketch_path: str):
-    """(version, dir) of the newest committed sketch under
-    `sketch_path`, or (None, None) if no batch has committed yet.
-    Committed versions are directories named ``v<batch_id>``; anything
-    else (in-flight ``.tmp-*`` writes) is ignored."""
+    """(version, data_dir) of the newest committed sketch under
+    `sketch_path`, or (None, None) if no batch has committed yet. Two
+    commit layouts coexist (see `_commit_version`): directory-rename
+    commits are directories named ``v<batch_id>``; pointer-file
+    commits are small ``commit-v<batch_id>`` marker FILES whose
+    content names the data directory. Anything else (in-flight
+    ``.tmp-*`` / ``data-*`` writes with no marker) is invisible."""
     import os
 
     if not os.path.isdir(sketch_path):
         return None, None
-    versions = [
-        int(name[1:])
-        for name in os.listdir(sketch_path)
-        if name.startswith("v") and name[1:].isdigit()
-    ]
+    versions = {}
+    for name in os.listdir(sketch_path):
+        full = os.path.join(sketch_path, name)
+        if (name.startswith("v") and name[1:].isdigit()
+                and os.path.isdir(full)):
+            versions[int(name[1:])] = full
+        elif (name.startswith("commit-v") and name[8:].isdigit()
+                and os.path.isfile(full)):
+            with open(full) as f:
+                data = f.read().strip()
+            versions[int(name[8:])] = os.path.join(sketch_path, data)
     if not versions:
         return None, None
     v = max(versions)
-    return v, os.path.join(sketch_path, f"v{v}")
+    return v, versions[v]
+
+
+def _check_high_water(latest, batch_id: int) -> bool:
+    """True → `batch_id` is a retry of the newest committed batch:
+    skip it (exactly-once). Streaming retries only ever re-deliver the
+    LAST batch, so a batch id strictly below the high-water mark means
+    the streaming checkpoint was reset while the sketch table
+    persisted — every "new" batch would then look like a retry and be
+    silently dropped. Fail loudly instead (ADVICE r3)."""
+    if latest is None:
+        return False
+    if batch_id == latest:
+        return True
+    if batch_id < latest:
+        raise RuntimeError(
+            f"sketch ingest: batch id {batch_id} is below the committed "
+            f"high-water mark {latest} — the streaming checkpoint was "
+            "reset (or two queries share this sketch path). Refusing to "
+            "silently drop data: point the ingest at a fresh sketch "
+            "path or restore the original checkpoint.")
+    return False
+
+
+def _commit_version(base_path: str, batch_id: int, merged,
+                    commit_mode: str = "rename") -> None:
+    """Publish `merged` (a DataFrame) as committed version `batch_id`
+    under `base_path`, then prune all but the two newest versions.
+
+    ``rename``: write to a ``.tmp-`` sibling, then one atomic
+    directory rename — correct on local/HDFS filesystems. A rename
+    failure is treated as a lost duplicate race ONLY when the final
+    directory actually exists; any other OSError re-raises so the
+    streaming engine retries the batch instead of silently dropping it
+    (ADVICE r3).
+
+    ``pointer``: object-store-safe. Data is written under a
+    UNIQUE-named ``data-v<id>-<token>`` directory (never overwritten,
+    so readers of a prior version are undisturbed), then a small
+    ``commit-v<id>`` marker file naming it is published with one
+    atomic create — the single-key PUT that object stores make atomic.
+    A pre-existing marker means a concurrent duplicate already won:
+    our data directory is deleted and the commit is a no-op.
+    """
+    import os
+    import shutil
+    import uuid
+
+    os.makedirs(base_path, exist_ok=True)
+    if commit_mode == "rename":
+        tmp = os.path.join(base_path, f".tmp-v{batch_id}")
+        final = os.path.join(base_path, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (os.path.isdir(final) or os.path.isfile(
+                    os.path.join(base_path, f"commit-v{batch_id}"))):
+                raise
+    elif commit_mode == "pointer":
+        data = f"data-v{batch_id}-{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base_path, data))
+        marker = os.path.join(base_path, f"commit-v{batch_id}")
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            shutil.rmtree(os.path.join(base_path, data),
+                          ignore_errors=True)
+            return
+        with os.fdopen(fd, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+    else:
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
+    _prune_versions(base_path, batch_id)
+
+
+def _prune_versions(base_path: str, batch_id: int) -> None:
+    """Keep the newest two committed versions (the just-committed
+    `batch_id` and its predecessor — the one a concurrent reader may
+    still be scanning); drop everything older, marker first so a
+    version is never visible without its data."""
+    import os
+    import shutil
+
+    committed = {}
+    for name in os.listdir(base_path):
+        full = os.path.join(base_path, name)
+        if (name.startswith("v") and name[1:].isdigit()
+                and os.path.isdir(full)):
+            committed[int(name[1:])] = (None, full)
+        elif (name.startswith("commit-v") and name[8:].isdigit()
+                and os.path.isfile(full)):
+            with open(full) as f:
+                data = f.read().strip()
+            committed[int(name[8:])] = (
+                full, os.path.join(base_path, data))
+    keep = sorted(committed)[-2:]
+    for v, (marker, data_dir) in committed.items():
+        if v in keep or v >= batch_id:
+            continue
+        if marker is not None:
+            os.unlink(marker)
+        shutil.rmtree(data_dir, ignore_errors=True)
 
 
 def cms_read(spark, sketch_path: str) -> DataFrame:
@@ -333,6 +448,7 @@ def cms_ingest_batches(
     key_col: str = "key",
     depth: int = 4,
     width: int = 256,
+    commit_mode: str = "rename",
 ):
     """foreachBatch body: maintain a count-min sketch of a live key
     stream in a parquet table — the streaming form of
@@ -352,22 +468,23 @@ def cms_ingest_batches(
     RETRY after a successful commit is detected (batch_id ≤ newest
     version) and skipped instead of double-adding counters. Read the
     standing sketch with `cms_read`. The two newest versions are kept;
-    older ones are pruned. Directory-rename commit assumes a
-    driver-visible filesystem with atomic rename (local/HDFS); on an
-    object store swap the rename for a pointer-file commit.
+    older ones are pruned. ``commit_mode="rename"`` (default) assumes
+    a driver-visible filesystem with atomic directory rename
+    (local/HDFS); ``commit_mode="pointer"`` is the object-store-safe
+    variant (unique data dir + atomic marker-file PUT — see
+    `_commit_version`). A batch id BELOW the high-water mark raises
+    (checkpoint reset would otherwise silently drop every new batch —
+    see `_check_high_water`).
     """
     from pyspark.sql import functions as F
 
     from gpu_bdb_spark.operators.sketch import cms_build
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
-
         spark = batch_df.sparkSession
         batch_id = int(batch_id)
         latest, prev_path = cms_latest_version(sketch_path)
-        if latest is not None and batch_id <= latest:
+        if _check_high_water(latest, batch_id):
             return  # retry of an already-committed batch: no-op
         delta = cms_build(batch_df, F.col(key_col), depth=depth,
                           width=width)
@@ -380,23 +497,7 @@ def cms_ingest_batches(
             )
         else:
             merged = delta
-        os.makedirs(sketch_path, exist_ok=True)
-        tmp = os.path.join(sketch_path, f".tmp-v{batch_id}")
-        final = os.path.join(sketch_path, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            # concurrent/duplicate commit of the same batch: keep the
-            # winner, drop our tmp
-            shutil.rmtree(tmp, ignore_errors=True)
-        for v in [
-            int(n[1:]) for n in os.listdir(sketch_path)
-            if n.startswith("v") and n[1:].isdigit()
-        ]:
-            if v < batch_id and v != latest:
-                shutil.rmtree(os.path.join(sketch_path, f"v{v}"),
-                              ignore_errors=True)
+        _commit_version(sketch_path, batch_id, merged, commit_mode)
 
     return process
 
@@ -406,25 +507,25 @@ def bloom_ingest_batches(
     key_col: str = "key",
     n_hashes: int = 3,
     n_bits: int = 4096,
+    commit_mode: str = "rename",
 ):
     """foreachBatch sink maintaining a STANDING portable Bloom filter
     over an unbounded key stream — the mergeable-membership twin of
     `cms_ingest_batches`: Bloom bitsets merge by set-union, so each
     micro-batch's bit positions simply union into the committed set
     (state is ≤ n_bits rows, forever). Same exactly-once protocol as
-    the CMS sink: versioned ``v{batch_id}`` directory commits (tmp +
-    atomic rename, batch-id high-water mark), so retries never rewrite
-    and a crash mid-write leaves the newest committed version
-    readable. Read with `cms_read` (the version layout is shared).
+    the CMS sink: versioned commits via `_commit_version` (atomic
+    directory rename, or the object-store-safe ``pointer`` marker-file
+    mode), batch-id high-water mark with checkpoint-reset detection
+    (`_check_high_water`), so retries never rewrite and a crash
+    mid-write leaves the newest committed version readable. Read with
+    `cms_read` (the version layout is shared).
 
     The md5 hash family matches `bloom_filter_probe`, so the standing
     filter over a drained stream EQUALS the batch-built filter exactly
     (pinned in tests/test_streaming.py) — membership probes against it
     are engine- and arrival-order-independent.
     """
-    import os
-    import shutil
-
     from pyspark.sql import functions as F
 
     def bits_of(df: DataFrame) -> DataFrame:
@@ -444,7 +545,7 @@ def bloom_ingest_batches(
         spark = batch_df.sparkSession
         batch_id = int(batch_id)
         latest, prev_path = cms_latest_version(filter_path)
-        if latest is not None and batch_id <= latest:
+        if _check_high_water(latest, batch_id):
             return  # retry of an already-committed batch: no-op
         delta = bits_of(batch_df)
         if prev_path is not None:
@@ -454,20 +555,6 @@ def bloom_ingest_batches(
             )
         else:
             merged = delta
-        os.makedirs(filter_path, exist_ok=True)
-        tmp = os.path.join(filter_path, f".tmp-v{batch_id}")
-        final = os.path.join(filter_path, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-        for v in [
-            int(n[1:]) for n in os.listdir(filter_path)
-            if n.startswith("v") and n[1:].isdigit()
-        ]:
-            if v < batch_id and v != latest:
-                shutil.rmtree(os.path.join(filter_path, f"v{v}"),
-                              ignore_errors=True)
+        _commit_version(filter_path, batch_id, merged, commit_mode)
 
     return process

@@ -1078,3 +1078,108 @@ def test_streaming_ewma_equals_batch(spark, sf_dir, tmp_path_factory):
     assert got[key].equals(expect[key])
     assert (got["ewma"].values == expect["ewma"].values).all()
     assert (got["rev"].values == expect["rev"].values).all()
+
+
+def test_sketch_commit_rename_failure_reraises(spark, sf_dir,
+                                               tmp_path_factory,
+                                               monkeypatch):
+    """ADVICE r3: an os.rename failure must only be swallowed when the
+    final directory proves a duplicate commit won the race; any other
+    OSError re-raises so the streaming engine retries the batch
+    instead of silently dropping its counts."""
+    import os
+
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.streaming.ops import (cms_ingest_batches,
+                                             cms_latest_version)
+
+    path = str(tmp_path_factory.mktemp("cmsfail") / "sketch")
+    keyed = read_table(spark, sf_dir, "events", ["user_id"]).limit(50).select(
+        F.col("user_id").cast("string").alias("key")).filter(
+        F.col("key").isNotNull())
+    process = cms_ingest_batches(path, "key", depth=2, width=16)
+
+    real_rename = os.rename
+
+    def broken_rename(src, dst):
+        raise OSError("simulated non-atomic rename failure")
+
+    monkeypatch.setattr(os, "rename", broken_rename)
+    with pytest.raises(OSError, match="simulated"):
+        process(keyed, 0)
+    monkeypatch.setattr(os, "rename", real_rename)
+    # nothing was committed — the sketch table is still empty
+    assert cms_latest_version(path) == (None, None)
+    # the retry after the transient failure commits normally
+    process(keyed, 0)
+    assert cms_latest_version(path)[0] == 0
+
+
+def test_sketch_checkpoint_reset_detected(spark, sf_dir,
+                                          tmp_path_factory):
+    """ADVICE r3: a batch id BELOW the committed high-water mark means
+    the streaming checkpoint was reset while the sketch table
+    persisted — every batch would silently look like a retry. The
+    ingest must fail loudly instead of dropping data."""
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.streaming.ops import cms_ingest_batches
+
+    path = str(tmp_path_factory.mktemp("cmsreset") / "sketch")
+    keyed = read_table(spark, sf_dir, "events", ["user_id"]).limit(50).select(
+        F.col("user_id").cast("string").alias("key")).filter(
+        F.col("key").isNotNull())
+    process = cms_ingest_batches(path, "key", depth=2, width=16)
+    process(keyed, 0)
+    process(keyed, 5)
+    # retry of the newest batch: still a silent no-op
+    process(keyed, 5)
+    # checkpoint reset: ids restart below the high-water mark
+    with pytest.raises(RuntimeError, match="high-water"):
+        process(keyed, 0)
+
+
+def test_sketch_pointer_commit_equals_rename(spark, sf_dir,
+                                             tmp_path_factory):
+    """Object-store-safe pointer-file commits produce the identical
+    standing sketch as rename commits; partial data directories with
+    no marker are invisible to readers; a duplicate pointer commit is
+    a no-op that cleans up after itself."""
+    import os
+
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.streaming.ops import (cms_ingest_batches,
+                                             cms_latest_version, cms_read)
+
+    base = tmp_path_factory.mktemp("cmsptr")
+    p_ren, p_ptr = str(base / "ren"), str(base / "ptr")
+    keyed = read_table(spark, sf_dir, "events", ["user_id"]).limit(200).select(
+        F.col("user_id").cast("string").alias("key")).filter(
+        F.col("key").isNotNull())
+    b0, b1 = keyed.limit(80), keyed.subtract(keyed.limit(80))
+    proc_ren = cms_ingest_batches(p_ren, "key", depth=3, width=64)
+    proc_ptr = cms_ingest_batches(p_ptr, "key", depth=3, width=64,
+                                  commit_mode="pointer")
+    for proc in (proc_ren, proc_ptr):
+        proc(b0, 0)
+        proc(b1, 1)
+    ren = {(r.d, r.b): r.c for r in cms_read(spark, p_ren).collect()}
+    ptr = {(r.d, r.b): r.c for r in cms_read(spark, p_ptr).collect()}
+    assert ren == ptr and len(ptr) > 0
+
+    # a crash mid-write leaves a data dir with NO marker: invisible
+    v, data_path = cms_latest_version(p_ptr)
+    assert v == 1
+    os.makedirs(os.path.join(p_ptr, "data-v9-deadbeef"))
+    assert cms_latest_version(p_ptr) == (1, data_path)
+
+    # duplicate commit of the newest batch: no-op, sketch unchanged
+    proc_ptr(b1, 1)
+    assert cms_latest_version(p_ptr)[0] == 1
+    assert {(r.d, r.b): r.c
+            for r in cms_read(spark, p_ptr).collect()} == ptr
+
+    # pruning keeps the two newest versions in pointer layout too
+    proc_ptr(keyed, 2)
+    committed = sorted(n for n in os.listdir(p_ptr)
+                       if n.startswith("commit-v"))
+    assert committed == ["commit-v1", "commit-v2"]
