@@ -4,6 +4,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Two series in one JSON (round-3 verdict: keep regressions attributable):
+- "value" — the FROZEN 13-query baseline set (exactly BENCH_r01's
+  queries, listed in BASELINE13) — directly comparable to the recorded
+  36.96 s baseline and across every round.
+- "full_value" — every bench-tagged query, including entries promoted
+  after round 1; grows with coverage and is NOT baseline-comparable.
+
 Each query is forced end-to-end with the `noop` sink (full computation, no
 driver collect — the fair analogue of the reference's write-phase timing,
 utils.py:54-84). Timing excludes SparkSession startup, includes plan build +
@@ -25,6 +32,16 @@ import time
 from gpu_bdb_spark.queries.registry import bench_specs
 from gpu_bdb_spark.session import get_spark
 
+#: The frozen baseline-comparable set: exactly the 13 queries timed in
+#: BENCH_r01 (36.958 s recorded baseline at sf0.1). Never grows — new
+#: bench-tagged entries land only in the full series.
+BASELINE13 = (
+    "agg_stats", "ann_cosine_topk", "ann_lsh_topk", "dedup_exact",
+    "dedup_minhash_lsh", "last_views_before_purchase", "part_pairs",
+    "pricing_summary", "revenue_by_nation", "sessionize_events",
+    "text_quality", "token_counts", "window_rank_orders",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,6 +53,10 @@ def main() -> None:
     # class-loading tax (~4 s) doesn't land on the first timed query (the
     # reference amortizes this across 5 repeats, benchmark_runner.py:9).
     specs = bench_specs()
+    missing = sorted(set(BASELINE13) - set(specs))
+    if missing:
+        raise SystemExit(f"frozen baseline queries missing from bench "
+                         f"set: {missing}")
     warm = specs.get("pricing_summary") or next(iter(specs.values()))
     warm.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
         "overwrite").save()
@@ -55,12 +76,16 @@ def main() -> None:
               f"(spread {spread[name]:.3f}s over {repeats})",
               file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    base_total = round(sum(timings[n] for n in BASELINE13), 3)
+    full_total = round(sum(timings.values()), 3)
     print(json.dumps({
-        "metric": "gpu_bdb_spark headline-query wall time (best of "
-                  f"{repeats})",
-        "value": total,
+        "metric": "gpu_bdb_spark frozen 13-query baseline set wall time "
+                  f"(best of {repeats})",
+        "value": base_total,
         "unit": "sec",
+        "full_value": full_total,
+        "full_n_queries": len(timings),
+        "baseline_queries": list(BASELINE13),
         "queries": timings,
         "spread": spread,
         "repeats": repeats,
