@@ -502,3 +502,44 @@ def time_weighted_avg(
         )
         .filter(F.col("span_us") > 0)
     )
+
+
+def windowed_pair_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    left_filter: Column,
+    right_filter: Column,
+    window_us: int,
+) -> DataFrame:
+    """Per-key count of (left, right) event pairs with
+    0 < t_right − t_left ≤ window_us — the `view_then_purchase`
+    theta-join semantics — WITHOUT materializing pairs: union both
+    event roles into one per-key stream and, for each right event,
+    count left events inside the EXCLUSIVE trailing RANGE frame
+    [t − window_us, t − 1] on integer epoch micros. ONE shuffle on
+    the key and no join, so a bot-grade hot key costs
+    O(n log n) instead of the hash join's views×purchases task
+    blow-up (the quadratic the reference accepts in q12:199-206).
+
+    Value-based RANGE bounds make tied timestamps peers — determinism
+    does not depend on row order — and the [−window, −1] frame encodes
+    the strict `t_right > t_left` edge exactly. Output (key, n_pairs)
+    for keys with ≥ 1 pair: identical to the join + groupBy-count
+    formulation (shared oracle + equivalence test).
+    """
+    ord_us = _as_ordinal(df, ts_col)
+    ev = df.filter(left_filter | right_filter).select(
+        F.col(key_col),
+        ord_us.cast("long").alias("_us"),
+        F.when(left_filter, F.lit(1)).otherwise(F.lit(0)).alias("_w"),
+        right_filter.cast("int").alias("_is_r"),
+    )
+    w = (Window.partitionBy(key_col).orderBy("_us")
+         .rangeBetween(-int(window_us), -1))
+    cnt = ev.withColumn("_n", F.sum("_w").over(w))
+    return (
+        cnt.filter((F.col("_is_r") == 1) & (F.col("_n") > 0))
+        .groupBy(F.col(key_col))
+        .agg(F.sum("_n").cast("long").alias("n_pairs"))
+    )

@@ -49,6 +49,48 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
+#: When True (default), every registry query clears the Spark cache at
+#: DataFrame-CONSTRUCTION time (the sequential-driver contract below).
+#: `interleaved_collection()` suspends this for harnesses that build
+#: several entries before collecting them.
+_CLEAR_ON_CONSTRUCT = True
+
+
+def collect_boundary(spark: SparkSession) -> None:
+    """Explicit cache boundary: drop every persisted plan from the
+    previous batch of entries and nudge GC so ContextCleaner reaps
+    broadcast/shuffle state. The construct-time clear inside `register`
+    calls this automatically for sequential harnesses; an INTERLEAVING
+    harness (construct A, construct B, collect A, collect B) must
+    instead wrap construction in `interleaved_collection()` and call
+    this itself once each batch is fully collected — otherwise entry
+    A's persisted intermediates are silently dropped when B is
+    constructed and recompute once per consumer."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+
+
+class interleaved_collection:
+    """Context manager suspending the construct-time cache clear so a
+    harness may interleave entry construction and collection. The
+    caller takes over the cache-lifecycle obligation: call
+    `collect_boundary(spark)` after each batch of entries is fully
+    collected, or cached blocks accumulate without bound (the round-7
+    sweep-OOM failure mode)."""
+
+    def __enter__(self):
+        global _CLEAR_ON_CONSTRUCT
+        self._prev = _CLEAR_ON_CONSTRUCT
+        _CLEAR_ON_CONSTRUCT = False
+        return self
+
+    def __exit__(self, *exc):
+        global _CLEAR_ON_CONSTRUCT
+        _CLEAR_ON_CONSTRUCT = self._prev
+        return False
+
 
 def register(
     name: str,
@@ -80,12 +122,12 @@ def register(
             # still CORRECT — uncaching only forces recomputation — but
             # A's persisted intermediates (pair lattices, ranked sets,
             # top-k frames) would silently recompute once per consumer.
-            # The driver and driver_sim both run sequentially; keep any
-            # new harness that way.
-            import gc
-
-            spark.catalog.clearCache()
-            gc.collect()
+            # The driver and driver_sim both run sequentially; an
+            # interleaving harness must wrap construction in
+            # `interleaved_collection()` and call `collect_boundary`
+            # itself between batches.
+            if _CLEAR_ON_CONSTRUCT:
+                collect_boundary(spark)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -64,3 +64,39 @@ def test_throughput_phase_concurrent_streams(spark):
     assert all(t > 0 for s in out["per_stream"].values()
                for t in s.values())
     assert out["queries_per_sec"] > 0
+
+
+def test_interleaved_collection_preserves_caches(spark, sf_dir):
+    """r3 verdict item 9: the registry's construct-time cache clear is
+    suspendable for interleaving harnesses. Inside
+    interleaved_collection(), constructing entry B must NOT drop entry
+    A's persisted intermediates; collect_boundary() then clears them
+    explicitly."""
+    from gpu_bdb_spark.queries.registry import (all_specs,
+                                                collect_boundary,
+                                                interleaved_collection)
+
+    specs = all_specs()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    collect_boundary(spark)
+    assert cache_mgr.isEmpty()
+
+    # frequent_triples persists its pair lattice at construction;
+    # pricing_summary persists nothing
+    with interleaved_collection():
+        a = specs["frequent_triples"].fn(spark, sf_dir)
+        assert not cache_mgr.isEmpty()
+        b = specs["pricing_summary"].fn(spark, sf_dir)
+        # interleaved: B's construction left A's cache alone
+        assert not cache_mgr.isEmpty()
+        rows_a = a.collect()
+        rows_b = b.collect()
+        assert len(rows_a) > 0 and len(rows_b) > 0
+        collect_boundary(spark)
+        assert cache_mgr.isEmpty()
+
+    # default mode restored: constructing any entry clears the cache
+    specs["frequent_triples"].fn(spark, sf_dir)
+    assert not cache_mgr.isEmpty()
+    specs["pricing_summary"].fn(spark, sf_dir)
+    assert cache_mgr.isEmpty()
