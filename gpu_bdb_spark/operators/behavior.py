@@ -421,8 +421,7 @@ def conversion_lag(
         .filter(F.col("t_us") > F.col("f_us"))
         .groupBy("u", "f_us")
         .agg(F.min("t_us").alias("t_us"))
-        .select("u", ((F.col("t_us") - F.col("f_us")) / F.lit(1_000_000.0))
-                .alias("lag_s"))
+        .select("u", (F.col("t_us") - F.col("f_us")).alias("lag_us"))
     )
     joined = first_from.join(converted, "u", "left")
     return conversion_lag_rollup(joined)
@@ -430,21 +429,60 @@ def conversion_lag(
 
 def conversion_lag_rollup(per_user: DataFrame) -> DataFrame:
     """Single-row finishing aggregate of `conversion_lag` over the
-    per-user (u, ..., lag_s NULLABLE DOUBLE) frame — shared with the
+    per-user (u, ..., lag_us NULLABLE LONG) frame — shared with the
     streaming twin (`streaming.stateful.streaming_conversion_lag`
     maintains per-user first-view/first-conversion state; applying this
     identical expression to the drained frame makes drained ≡ batch
-    bit-exact)."""
-    return per_user.agg(
+    bit-exact).
+
+    Percentiles are OWNED, not delegated: engine-built-in interpolation
+    (Spark `percentile` vs DuckDB `quantile_cont`) agrees in real
+    arithmetic but differs at ulp level in IEEE op ORDER (a+(b−a)·f vs
+    mixes of (1−f)·a+f·b), and a final round(…, 6) cannot repair a
+    pre-round ulp — measured 1-ulp hash mismatches on generated data.
+    Here rank k and remainder come from INTEGER arithmetic
+    (pos·den = (n−1)·num), the two order statistics a, b are picked
+    exact integer micros via one conditional aggregate over the ranked
+    per-user frame, and the single finishing expression
+    (a + ((b−a)·rem)/den) / 1e6 is a fixed-order IEEE chain both
+    engines share bit-for-bit — so NO terminal rounding is needed (the
+    ab_test discipline: correctly-rounded ops in fixed order)."""
+    conv = per_user.filter(F.col("lag_us").isNotNull())
+    ranked = conv.select(
+        F.col("lag_us"),
+        F.row_number().over(Window.orderBy("lag_us")).alias("_r"))
+    totals = per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n_users_from"),
-        F.count("lag_s").cast("long").alias("n_converted"),
-        F.round(F.count("lag_s").cast("double")
-                / F.count(F.lit(1)).cast("double"), 6)
-        .alias("conversion_rate"),
-        F.round(F.percentile("lag_s", F.lit(0.25)), 6).alias("p25_lag_s"),
-        F.round(F.percentile("lag_s", F.lit(0.5)), 6).alias("p50_lag_s"),
-        F.round(F.percentile("lag_s", F.lit(0.9)), 6).alias("p90_lag_s"),
+        F.count("lag_us").cast("long").alias("n_converted"))
+
+    def pick(num: int, den: int, tag: str):
+        pos = (F.col("n_converted") - 1) * num
+        k = F.floor(pos / den).cast("long")
+        return [
+            F.min(F.when(F.col("_r") == k + 1, F.col("lag_us")))
+            .alias(f"_a{tag}"),
+            F.min(F.when(F.col("_r") == k + 2, F.col("lag_us")))
+            .alias(f"_b{tag}"),
+        ]
+
+    picks = (
+        ranked.crossJoin(F.broadcast(totals))
+        .agg(*(pick(1, 4, "25") + pick(1, 2, "50") + pick(9, 10, "90")))
     )
+
+    def interp(num: int, den: int, tag: str):
+        rem = F.pmod((F.col("n_converted") - 1) * num, F.lit(den))
+        a = F.col(f"_a{tag}")
+        b = F.coalesce(F.col(f"_b{tag}"), a)
+        us = (a.cast("double")
+              + ((b - a) * rem).cast("double") / F.lit(float(den)))
+        return (us / F.lit(1_000_000.0)).alias(f"p{tag}_lag_s")
+
+    return totals.crossJoin(picks).select(
+        "n_users_from", "n_converted",
+        (F.col("n_converted").cast("double")
+         / F.col("n_users_from").cast("double")).alias("conversion_rate"),
+        interp(1, 4, "25"), interp(1, 2, "50"), interp(9, 10, "90"))
 
 
 def new_vs_returning(

@@ -536,27 +536,61 @@ def frequent_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_sequences(e)
 
 
-CONVERSION_LAG_ORACLE = """
+def _lag_pick(num: int, den: int, tag: str) -> str:
+    """Conditional-aggregate picks of the two order statistics around
+    quantile num/den (0-based pos = (n−1)·num/den, k = pos DIV 1)."""
+    k = f"(((n_converted - 1) * {num}) // {den})"
+    return (f"MIN(CASE WHEN r = {k} + 1 THEN lag_us END) AS a{tag},\n"
+            f"    MIN(CASE WHEN r = {k} + 2 THEN lag_us END) AS b{tag}")
+
+
+def _lag_interp(num: int, den: int, tag: str) -> str:
+    """The SAME fixed-order IEEE chain as the Spark rollup:
+    (a + ((b−a)·rem)/den) / 1e6 — ulp-identical cross-engine, so no
+    terminal round (see operators/behavior.conversion_lag_rollup)."""
+    rem = f"(((n_converted - 1) * {num}) % {den})"
+    b = f"COALESCE(b{tag}, a{tag})"
+    return (f"(CAST(a{tag} AS DOUBLE) + "
+            f"CAST(({b} - a{tag}) * {rem} AS DOUBLE) / {den}.0) "
+            f"/ 1000000.0 AS p{tag}_lag_s")
+
+
+CONVERSION_LAG_ORACLE = f"""
 WITH f AS (
   SELECT user_id AS u, MIN(epoch_us(ts)) AS f_us
   FROM events WHERE event_type = 'view' GROUP BY 1
 ),
 c AS (
   SELECT e.user_id AS u,
-         (MIN(epoch_us(e.ts)) - f.f_us) / 1000000.0 AS lag_s
+         MIN(epoch_us(e.ts)) - f.f_us AS lag_us
   FROM events e JOIN f ON e.user_id = f.u
   WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f.f_us
   GROUP BY 1, f.f_us
 ),
-j AS (SELECT f.u, c.lag_s FROM f LEFT JOIN c ON f.u = c.u)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_users_from,
-       CAST(COUNT(lag_s) AS BIGINT) AS n_converted,
-       ROUND(CAST(COUNT(lag_s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+j AS (SELECT f.u, c.lag_us FROM f LEFT JOIN c ON f.u = c.u),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users_from,
+         CAST(COUNT(lag_us) AS BIGINT) AS n_converted
+  FROM j
+),
+rk AS (
+  SELECT lag_us, CAST(row_number() OVER (ORDER BY lag_us) AS BIGINT) AS r
+  FROM j WHERE lag_us IS NOT NULL
+),
+picks AS (
+  SELECT
+    {_lag_pick(1, 4, '25')},
+    {_lag_pick(1, 2, '50')},
+    {_lag_pick(9, 10, '90')}
+  FROM rk, tot
+)
+SELECT n_users_from, n_converted,
+       CAST(n_converted AS DOUBLE) / CAST(n_users_from AS DOUBLE)
          AS conversion_rate,
-       ROUND(quantile_cont(lag_s, 0.25), 6) AS p25_lag_s,
-       ROUND(quantile_cont(lag_s, 0.5), 6) AS p50_lag_s,
-       ROUND(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s
-FROM j
+       {_lag_interp(1, 4, '25')},
+       {_lag_interp(1, 2, '50')},
+       {_lag_interp(9, 10, '90')}
+FROM tot, picks
 """
 
 
@@ -1011,8 +1045,14 @@ SELECT m.cohort, m.offset_m,
        ROUND(CAST(m.rev AS DOUBLE), 2) AS period_rev,
        ROUND(CAST(m.cum_rev AS DOUBLE), 2) AS cum_rev,
        s.cohort_size,
-       ROUND(CAST(m.cum_rev AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
-         AS ltv_per_user
+       -- DuckDB ROUND(double, 6) rounds the BINARY double (an exact
+       -- decimal tie like x.3321875 sits a hair below .5 in binary and
+       -- rounds DOWN); Spark round() rounds the SHORTEST DECIMAL repr
+       -- HALF_UP. Round via the varchar→decimal path to get Spark's
+       -- semantics exactly (measured 1-ulp mismatch on generated data).
+       CAST(ROUND(CAST(CAST(
+           CAST(m.cum_rev AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS ltv_per_user
 FROM cum m JOIN sizes s ON m.cohort = s.cohort
 """
 

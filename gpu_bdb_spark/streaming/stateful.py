@@ -457,12 +457,12 @@ def streaming_conversion_lag(
     after it, maintained as TWO LONGS of state per user (-1 = unseen) —
     O(keys) state regardless of stream length.
 
-    Emits the running (u, f_us, lag_s) per user per micro-batch in
+    Emits the running (u, f_us, lag_us) per user per micro-batch in
     update mode; downstream keeps the latest row per user and applies
     `conversion_lag_rollup` — on a drained stream that equals the batch
-    operator bit-for-bit (pinned in tests/test_streaming.py; lag is an
-    integer-micros difference divided once, the identical IEEE op in
-    both paths). Same ordering contract as the other stateful twins:
+    operator bit-for-bit (pinned in tests/test_streaming.py; lag stays
+    an INTEGER micros difference end-to-end — the rollup owns all
+    floating-point). Same ordering contract as the other stateful twins:
     micro-batches arrive in non-decreasing event-time order per user (a
     `to_type` event never precedes the `from_type` that converts it
     across batch boundaries; within a batch order is irrelevant).
@@ -490,16 +490,16 @@ def streaming_conversion_lag(
                     conv_us = mp if conv_us < 0 else min(conv_us, mp)
         state.update((f_us, conv_us))
         if f_us >= 0:
-            lag = ((conv_us - f_us) / 1_000_000.0
-                   if conv_us >= 0 else None)
+            lag = (conv_us - f_us) if conv_us >= 0 else None
             yield _pd.DataFrame(
-                {"u": [key[0]], "f_us": [f_us], "lag_s": [lag]})
+                {"u": [key[0]], "f_us": [f_us],
+                 "lag_us": _pd.array([lag], dtype="Int64")})
 
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
             update,
-            outputStructType="u long, f_us long, lag_s double",
+            outputStructType="u long, f_us long, lag_us long",
             stateStructType="f_us long, conv long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -874,9 +874,11 @@ def test_streaming_conversion_lag_equals_batch(spark,
     # running rows per user: f_us only decreases, lag only tightens once
     # set — the FINAL state per user is order-free (min f_us, min lag)
     final = got.groupby("u", as_index=False).agg(
-        f_us=("f_us", "min"), lag_s=("lag_s", "min"))
+        f_us=("f_us", "min"), lag_us=("lag_us", "min"))
+    final["lag_us"] = final["lag_us"].astype("float64").round().astype(
+        "Int64")
     per_user = spark.createDataFrame(
-        final, "u long, f_us long, lag_s double")
+        final, "u long, f_us long, lag_us long")
     expect = conversion_lag(
         batch.select("user_id", "ts", "event_type")).toPandas()
     got_roll = conversion_lag_rollup(per_user).toPandas()
