@@ -561,16 +561,42 @@ def ks_two_sample(
     a fixed-order IEEE expression of the two counts (ab_test
     precedent: correctly-rounded ops in fixed order need no
     quantization). Returns ONE row (n_a, n_b, d_stat, d_crit, reject).
+
+    Factored as `ks_value_counts` (the additive per-distinct-value
+    histogram — MERGEABLE: counts sum across any partition of the
+    input, which is what `streaming.ops.counter_ingest_batches`
+    exploits for the standing-table streaming twin) + `ks_rollup`
+    (the finishing window/verdict shared by batch and stream).
     """
+    return ks_rollup(
+        ks_value_counts(values, value_col, group_col, group_a, group_b),
+        alpha_coef)
+
+
+def ks_value_counts(
+    values: DataFrame,
+    value_col: str = "v",
+    group_col: str = "g",
+    group_a: str = "a",
+    group_b: str = "b",
+) -> DataFrame:
+    """Per-distinct-value (v, a, b) group counts — the additive
+    sufficient statistic of the two-sample KS test."""
     v = values.filter(F.col(group_col).isin([group_a, group_b])).select(
         F.col(value_col).cast("double").alias("v"),
         F.col(group_col).alias("g"))
-    pv = v.groupBy("v").agg(
+    return v.groupBy("v").agg(
         F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
         .cast("long").alias("a"),
         F.sum(F.when(F.col("g") == group_b, 1).otherwise(0))
         .cast("long").alias("b"),
     )
+
+
+def ks_rollup(pv: DataFrame, alpha_coef: float = 1.358) -> DataFrame:
+    """Finishing stage of `ks_two_sample` over the (v, a, b) counts
+    frame — identical expression for the batch operator and the
+    standing-table streaming twin, so drained ≡ batch bit-for-bit."""
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
                                         Window.currentRow)
     cum = pv.select(
@@ -597,4 +623,48 @@ def ks_two_sample(
         F.round(crit, 6).alias("d_crit"),
         (F.round(F.col("_d"), 6) > F.round(crit, 6)).cast("int")
         .alias("reject"),
+    )
+
+
+def psi_histogram(
+    values: DataFrame,
+    value_col: str = "o_totalprice",
+    date_col: str = "o_orderdate",
+    bin_width: float = 50_000.0,
+    split_year: int = 1998,
+) -> DataFrame:
+    """Fixed-width two-period (bin, c_ref, c_cur) histogram — the
+    additive sufficient statistic of `psi_drift`. MERGEABLE: counters
+    sum across any partition of the input, which the standing-table
+    streaming twin (`streaming.ops.counter_ingest_batches`) relies on."""
+    return values.groupBy(
+        F.floor(F.col(value_col) / F.lit(float(bin_width))).cast("long")
+        .alias("bin")
+    ).agg(
+        F.sum(F.when(F.year(date_col) < split_year, 1).otherwise(0))
+        .cast("long").alias("c_ref"),
+        F.sum(F.when(F.year(date_col) >= split_year, 1).otherwise(0))
+        .cast("long").alias("c_cur"),
+    )
+
+
+def psi_rollup(b: DataFrame) -> DataFrame:
+    """Finishing stage of `psi_drift` over the (bin, c_ref, c_cur)
+    histogram: add-1 smoothing over the observed bin set, per-bin
+    (p−q)·ln(p/q) terms rounded 1e-6 once, DECIMAL sum (order-free,
+    engine-exact — the char_entropy ln discipline). Shared by the
+    batch entry and the standing-table streaming twin."""
+    t = b.agg(F.sum("c_ref").cast("long").alias("n_ref"),
+              F.sum("c_cur").cast("long").alias("n_cur"),
+              F.count(F.lit(1)).cast("long").alias("n_bins"))
+    p = ((F.col("c_ref") + 1).cast("double")
+         / (F.col("n_ref") + F.col("n_bins")).cast("double"))
+    q = ((F.col("c_cur") + 1).cast("double")
+         / (F.col("n_cur") + F.col("n_bins")).cast("double"))
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(20,6)")
+    return (
+        b.crossJoin(F.broadcast(t))
+        .agg(F.max("n_ref").alias("n_ref"), F.max("n_cur").alias("n_cur"),
+             F.max("n_bins").alias("n_bins"),
+             F.round(F.sum(term).cast("double"), 6).alias("psi"))
     )

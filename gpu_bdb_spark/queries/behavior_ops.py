@@ -857,31 +857,14 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     set); totals ride a broadcast one-row crossJoin; each bin's
     (p−q)·ln(p/q) term is an IEEE expression of exact integers rounded
     1e-6 once, and PSI is their DECIMAL sum (order-free, engine-exact —
-    the char_entropy ln discipline)."""
+    the char_entropy ln discipline). Histogram and finishing stage are
+    shared with the standing-table streaming twin
+    (`streaming.ops.counter_ingest_batches` + `psi_serve`)."""
+    from gpu_bdb_spark.operators.behavior import psi_histogram, psi_rollup
+
     o = read_table(spark, sf_dir, "orders",
                    ["o_orderdate", "o_totalprice"], hint_broadcast=False)
-    b = o.groupBy(
-        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
-    ).agg(
-        F.sum(F.when(F.year("o_orderdate") < 1998, 1).otherwise(0))
-        .cast("long").alias("c_ref"),
-        F.sum(F.when(F.year("o_orderdate") >= 1998, 1).otherwise(0))
-        .cast("long").alias("c_cur"),
-    )
-    t = b.agg(F.sum("c_ref").cast("long").alias("n_ref"),
-              F.sum("c_cur").cast("long").alias("n_cur"),
-              F.count(F.lit(1)).cast("long").alias("n_bins"))
-    p = ((F.col("c_ref") + 1).cast("double")
-         / (F.col("n_ref") + F.col("n_bins")).cast("double"))
-    q = ((F.col("c_cur") + 1).cast("double")
-         / (F.col("n_cur") + F.col("n_bins")).cast("double"))
-    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(20,6)")
-    return (
-        b.crossJoin(F.broadcast(t))
-        .agg(F.max("n_ref").alias("n_ref"), F.max("n_cur").alias("n_cur"),
-             F.max("n_bins").alias("n_bins"),
-             F.round(F.sum(term).cast("double"), 6).alias("psi"))
-    )
+    return psi_rollup(psi_histogram(o))
 
 
 GINI_ORACLE = """

@@ -558,3 +558,102 @@ def bloom_ingest_batches(
         _commit_version(filter_path, batch_id, merged, commit_mode)
 
     return process
+
+
+def counter_ingest_batches(
+    table_path: str,
+    key_cols: tuple,
+    counter_cols: tuple,
+    delta_fn,
+    commit_mode: str = "rename",
+):
+    """Generic foreachBatch sink maintaining a STANDING additive
+    counter table — the mergeable-histogram generalization of
+    `cms_ingest_batches` (r3 verdict item 5): `delta_fn(batch_df)`
+    reduces the micro-batch to (key_cols..., counter_cols...) rows and
+    each commit is read-prev → union → sum-per-key → publish, so state
+    is a table bounded by key cardinality, never streaming memory.
+    Any additive sufficient statistic streams this way: the KS test's
+    per-distinct-value group counts (`ks_serve`), PSI's two-period
+    histogram (`psi_serve`), or any groupBy-count frame.
+
+    Same exactly-once protocol as the sketch sinks: versioned commits
+    via `_commit_version` (atomic rename or object-store-safe pointer
+    mode), batch-id high-water mark with checkpoint-reset detection
+    (`_check_high_water`). Read the standing table with `cms_read`.
+    """
+    from pyspark.sql import functions as F
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_id = int(batch_id)
+        latest, prev_path = cms_latest_version(table_path)
+        if _check_high_water(latest, batch_id):
+            return
+        delta = delta_fn(batch_df)
+        if prev_path is not None:
+            merged = (
+                spark.read.parquet(prev_path)
+                .unionByName(delta)
+                .groupBy(*key_cols)
+                .agg(*[F.sum(c).cast("long").alias(c)
+                       for c in counter_cols])
+            )
+        else:
+            merged = delta
+        _commit_version(table_path, batch_id, merged, commit_mode)
+
+    return process
+
+
+def ks_ingest_batches(table_path: str, value_col: str = "v",
+                      group_col: str = "g", group_a: str = "a",
+                      group_b: str = "b",
+                      commit_mode: str = "rename"):
+    """Standing-table streaming twin of `ks_two_sample`'s sufficient
+    statistic: per-distinct-value (v, a, b) counts are additive, so the
+    KS D statistic over the DRAINED stream equals the batch test
+    bit-for-bit once `ks_serve` applies the shared finishing rollup
+    (pinned in tests/test_streaming.py)."""
+    from gpu_bdb_spark.operators.behavior import ks_value_counts
+
+    return counter_ingest_batches(
+        table_path, ("v",), ("a", "b"),
+        lambda df: ks_value_counts(df, value_col, group_col,
+                                   group_a, group_b),
+        commit_mode)
+
+
+def ks_serve(spark, table_path: str,
+             alpha_coef: float = 1.358) -> DataFrame:
+    """One-row KS verdict from the standing (v, a, b) table — the
+    identical `ks_rollup` expression the batch operator finishes with."""
+    from gpu_bdb_spark.operators.behavior import ks_rollup
+
+    return ks_rollup(cms_read(spark, table_path), alpha_coef)
+
+
+def psi_ingest_batches(table_path: str,
+                       value_col: str = "o_totalprice",
+                       date_col: str = "o_orderdate",
+                       bin_width: float = 50_000.0,
+                       split_year: int = 1998,
+                       commit_mode: str = "rename"):
+    """Standing-table streaming twin of `psi_drift`'s two-period
+    histogram (bin, c_ref, c_cur) — additive counters, so the drained
+    PSI equals the batch entry bit-for-bit through `psi_serve`."""
+    from gpu_bdb_spark.operators.behavior import psi_histogram
+
+    return counter_ingest_batches(
+        table_path, ("bin",), ("c_ref", "c_cur"),
+        lambda df: psi_histogram(df, value_col, date_col, bin_width,
+                                 split_year),
+        commit_mode)
+
+
+def psi_serve(spark, table_path: str) -> DataFrame:
+    """One-row PSI report from the standing histogram — the identical
+    `psi_rollup` expression the batch entry finishes with."""
+    from gpu_bdb_spark.operators.behavior import psi_rollup
+
+    return psi_rollup(cms_read(spark, table_path))

@@ -1185,3 +1185,57 @@ def test_sketch_pointer_commit_equals_rename(spark, sf_dir,
     committed = sorted(n for n in os.listdir(p_ptr)
                        if n.startswith("commit-v"))
     assert committed == ["commit-v1", "commit-v2"]
+
+
+def test_ks_ingest_drained_equals_batch(spark, sf_dir, tmp_path_factory):
+    """r3 verdict item 5: the KS test's per-distinct-value counts are
+    additive, so three micro-batch commits through the standing counter
+    table + the shared ks_rollup equal the batch ks_test entry
+    bit-for-bit."""
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.behavior import ks_two_sample
+    from gpu_bdb_spark.streaming.ops import ks_ingest_batches, ks_serve
+
+    c = read_table(spark, sf_dir, "customer",
+                   ["c_custkey", "c_mktsegment"])
+    o = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    vals = o.join(
+        F.broadcast(c.filter(
+            F.col("c_mktsegment").isin(["BUILDING", "AUTOMOBILE"]))),
+        o.o_custkey == c.c_custkey,
+    ).select(F.col("o_totalprice").alias("v"),
+             F.col("c_mktsegment").alias("g"),
+             F.col("o_custkey").alias("_slice"))
+
+    path = str(tmp_path_factory.mktemp("ks") / "table")
+    process = ks_ingest_batches(path, "v", "g", "BUILDING", "AUTOMOBILE")
+    for b in range(3):
+        process(vals.filter(F.pmod("_slice", F.lit(3)) == b), b)
+    got = ks_serve(spark, path).toPandas()
+    expect = ks_two_sample(vals, "v", "g", "BUILDING",
+                           "AUTOMOBILE").toPandas()
+    assert expect["n_a"][0] > 0 and got.equals(expect), (got, expect)
+
+
+def test_psi_ingest_drained_equals_batch(spark, sf_dir,
+                                         tmp_path_factory):
+    """PSI's two-period histogram is additive: three micro-batch
+    commits + the shared psi_rollup equal the batch psi_drift entry
+    bit-for-bit; pointer-file commit mode produces the identical
+    standing table."""
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.operators.behavior import psi_histogram, psi_rollup
+    from gpu_bdb_spark.streaming.ops import psi_ingest_batches, psi_serve
+
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_orderdate", "o_totalprice", "o_orderkey"])
+    base = tmp_path_factory.mktemp("psi")
+    for mode in ("rename", "pointer"):
+        path = str(base / mode)
+        process = psi_ingest_batches(path, commit_mode=mode)
+        for b in range(3):
+            process(o.filter(F.pmod("o_orderkey", F.lit(3)) == b), b)
+        got = psi_serve(spark, path).toPandas()
+        expect = psi_rollup(psi_histogram(o)).toPandas()
+        assert expect["n_bins"][0] > 1 and got.equals(expect), (
+            mode, got, expect)
