@@ -258,10 +258,36 @@ def minhash_lsh_verified_portable(
     positives impossible, so output ⊆ exhaustive always. Returns
     (id_1, id_2, jaccard round-6) like `minhash_lsh_pairs`.
     """
+    shingled = shingle_sets(df, text_col, id_col, n=n).select(
+        "id", F.col("shingles").alias("members"),
+        F.col("n_shingles").alias("n_members"))
+    return lsh_verified_pairs_portable(
+        shingled, num_hashes=num_hashes, bands=bands,
+        threshold_num=threshold_num, threshold_den=threshold_den)
+
+
+def lsh_verified_pairs_portable(
+    sets_df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """The portable LSH-candidate + exact-integer-verify pipeline over
+    an ARBITRARY pre-built set frame (id, members array<string>,
+    n_members) — the generation step `minhash_lsh_verified_portable`
+    wraps with bigram shingles, and the composition seam the r3 verdict
+    asked for: feed TOKEN sets here and the verify stage is exactly
+    `jaccard_set_join`'s rational-threshold semantics with LSH
+    generating candidates instead of AllPairs prefixes (the documented
+    fallback when prefix filtering degenerates on uniform-df corpora,
+    SCALE.md "jaccard_join_prefix"). Recall is LSH's 1−(1−j^r)^b
+    contract; false positives are impossible (exact verify), so output
+    ⊆ the exhaustive quadratic join always."""
     rows = num_hashes // bands
-    shingled = shingle_sets(df, text_col, id_col, n=n).persist()
+    shingled = sets_df.persist()
     sh_posting = shingled.select(
-        F.col("id"), F.explode("shingles").alias("shingle"))
+        F.col("id"), F.explode("members").alias("shingle"))
 
     def h(i: int):
         return F.conv(
@@ -299,16 +325,16 @@ def minhash_lsh_verified_portable(
         .select("id_1", "id_2")
         .distinct()
     )
-    sets = shingled.select("id", "shingles", "n_shingles")
+    sets = shingled.select("id", "members", "n_members")
     verified = (
         candidates.join(
             sets.select(F.col("id").alias("id_1"),
-                        F.col("shingles").alias("sh1"),
-                        F.col("n_shingles").alias("sz1")), "id_1")
+                        F.col("members").alias("sh1"),
+                        F.col("n_members").alias("sz1")), "id_1")
         .join(
             sets.select(F.col("id").alias("id_2"),
-                        F.col("shingles").alias("sh2"),
-                        F.col("n_shingles").alias("sz2")), "id_2")
+                        F.col("members").alias("sh2"),
+                        F.col("n_members").alias("sz2")), "id_2")
         .withColumn("n_inter",
                     F.size(F.array_intersect("sh1", "sh2")).cast("long"))
         .withColumn("n_union",

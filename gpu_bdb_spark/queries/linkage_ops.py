@@ -72,3 +72,89 @@ def jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenize(F.lower(F.col("text"))).alias("toks"))
     return jaccard_set_join(toks, "doc_id", "toks",
                             threshold_num=19, threshold_den=20)
+
+
+def _jaccard_lsh_oracle(num_hashes: int = 32, bands: int = 16,
+                        num: int = 19, den: int = 20) -> str:
+    """DuckDB replay of the composed LSH-candidate + token-Jaccard
+    verify pipeline, stage by stage (signatures → bands → candidate
+    join → exact integer verify) — the md5 family makes every stage
+    engine-portable, so the gate is deterministic at any SF."""
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        "MIN(CAST(concat('0x', substr(md5('{i}:' || tok), 1, 8)) "
+        "AS BIGINT)) AS sig_{i}".format(i=i) for i in range(num_hashes))
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT id, {b} AS band, {bh} AS bh FROM sig".format(
+            b=b,
+            bh=" || ',' || ".join(
+                f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)))
+        for b in range(bands))
+    return r"""
+WITH t AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks
+  FROM documents
+),
+tk AS (SELECT id, unnest(toks) AS tok FROM t WHERE len(toks) > 0),
+sig AS (
+  SELECT id,
+         """ + mins + """
+  FROM tk GROUP BY id
+),
+bandv AS (
+  """ + band_rows + """
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_1, b.id AS id_2
+  FROM bandv a JOIN bandv b
+    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+sizes AS (SELECT id, CAST(len(toks) AS BIGINT) AS sz FROM t),
+inter AS (
+  SELECT c.id_1, c.id_2, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN tk a ON a.id = c.id_1
+  JOIN tk b ON b.id = c.id_2 AND b.tok = a.tok
+  GROUP BY c.id_1, c.id_2
+)
+SELECT i.id_1, i.id_2,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / CAST(s1.sz + s2.sz - i.n_inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.id_1 = s1.id
+JOIN sizes s2 ON i.id_2 = s2.id
+WHERE i.n_inter * """ + str(den) + """ >= (s1.sz + s2.sz - i.n_inter) * """ + str(num) + """
+"""
+
+
+@register("jaccard_lsh_verified", oracle=_jaccard_lsh_oracle(),
+          tags=("linkage", "set-similarity", "minhash", "lsh",
+                "portable", "pipeline"))
+def jaccard_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r3-verdict composition: `jaccard_join_prefix`'s exact
+    token-Jaccard verify (rational threshold 19/20) fed by md5
+    MinHash-band LSH CANDIDATES instead of AllPairs prefixes — the
+    documented fallback for uniform-token-frequency corpora where
+    prefix filtering degenerates to near-quadratic (SCALE.md
+    "jaccard_join_prefix"). RECALL CONTRACT: candidate generation is
+    LSH's 1−(1−j^r)^b (r=2, b=16 → ≥ 1−(1−0.95²)¹⁶ ≈ 1−10⁻¹⁹ at the
+    0.95 threshold: effectively exhaustive for pairs that can pass the
+    verify); false positives are impossible (exact integer verify), so
+    output ⊆ the exhaustive quadratic join always. The DuckDB oracle
+    replays every stage, so the hash gate is deterministic — recall is
+    the operator's stated contract, not a hash hazard."""
+    from gpu_bdb_spark.functions import tokenize
+    from gpu_bdb_spark.operators.dedup import lsh_verified_pairs_portable
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    toks = F.array_distinct(tokenize(F.lower(F.col("text"))))
+    sets = d.select(
+        F.col("doc_id").alias("id"),
+        toks.alias("members"),
+        F.size(toks).cast("long").alias("n_members"),
+    ).filter(F.col("n_members") > 0)
+    return lsh_verified_pairs_portable(
+        sets, num_hashes=32, bands=16, threshold_num=19, threshold_den=20)
