@@ -773,9 +773,12 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FREQUENT_TRIPLES_ORACLE = """
-WITH b AS (SELECT DISTINCT l_orderkey AS g, p.p_name AS i
+-- b/nb MATERIALIZED: DuckDB re-inlines plain CTEs per reference and
+-- the planner collapsed into a pathological join order (>10 min at
+-- sf1 vs 9 s materialized — the round-8 CTE lesson)
+WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, p.p_name AS i
            FROM lineitem JOIN part p ON l_partkey = p.p_partkey),
-nb AS (SELECT COUNT(DISTINCT g) AS n FROM b),
+nb AS MATERIALIZED (SELECT COUNT(DISTINCT g) AS n FROM b),
 t AS (
   SELECT b1.i AS item_1, b2.i AS item_2, b3.i AS item_3,
          COUNT(*) AS support
