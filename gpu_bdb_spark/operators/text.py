@@ -955,7 +955,13 @@ def cooccurrence_pmi(
         )
     )
     pairs = left.join(
-        pos.select("doc_id", "pos", F.col("token").alias("_tok_r")),
+        # shuffle_hash: BOTH sides are fact-sized (positions × window);
+        # letting the planner broadcast the position stream worked at
+        # small SFs but failed the driver's default-memory session at
+        # sf1 ("Not enough memory to build and broadcast") — the pair
+        # join must never be a broadcast at corpus scale
+        pos.select("doc_id", "pos", F.col("token").alias("_tok_r"))
+        .hint("shuffle_hash"),
         ["doc_id", "pos"],
     ).select(
         F.least("_tok_l", "_tok_r").alias("token_a"),

@@ -331,19 +331,26 @@ sums AS (
          SUM(CAST(day_num AS DECIMAL(10,2)) * CAST(day_rev AS DECIMAL(14,4))) AS sxy,
          SUM(CAST(day_num AS DECIMAL(10,2)) * CAST(day_num AS DECIMAL(10,2))) AS sxx
   FROM daily GROUP BY p_brand
+),
+-- decimal→double via VARCHAR: DuckDB's direct cast double-rounds
+-- (int128→double, then /10^scale) once the integer form exceeds 2^53
+-- (sxy at sf1: 1.3e20), while Spark's BigDecimal cast rounds once —
+-- the varchar path is correctly rounded and matches Spark exactly
+-- (measured 1-ulp intercept mismatch at sf1, Brand#5)
+d AS (
+  SELECT p_brand, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd
+  FROM sums
 )
 SELECT p_brand, n,
-  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
-  ROUND((CAST(sy AS DOUBLE)
-         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
-FROM sums
+  ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+  ROUND((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+           * sxd) / nd, 6) AS intercept
+FROM d
 """
 
 

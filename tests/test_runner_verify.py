@@ -81,10 +81,10 @@ def test_interleaved_collection_preserves_caches(spark, sf_dir):
     collect_boundary(spark)
     assert cache_mgr.isEmpty()
 
-    # frequent_triples persists its pair lattice at construction;
-    # pricing_summary persists nothing
+    # dedup_lsh_verified persists its shingle/signature frames at
+    # construction; pricing_summary persists nothing
     with interleaved_collection():
-        a = specs["frequent_triples"].fn(spark, sf_dir)
+        a = specs["dedup_lsh_verified"].fn(spark, sf_dir)
         assert not cache_mgr.isEmpty()
         b = specs["pricing_summary"].fn(spark, sf_dir)
         # interleaved: B's construction left A's cache alone
@@ -96,7 +96,7 @@ def test_interleaved_collection_preserves_caches(spark, sf_dir):
         assert cache_mgr.isEmpty()
 
     # default mode restored: constructing any entry clears the cache
-    specs["frequent_triples"].fn(spark, sf_dir)
+    specs["dedup_lsh_verified"].fn(spark, sf_dir)
     assert not cache_mgr.isEmpty()
     specs["pricing_summary"].fn(spark, sf_dir)
     assert cache_mgr.isEmpty()
