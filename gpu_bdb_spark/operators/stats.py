@@ -133,3 +133,58 @@ def column_profile(df: DataFrame) -> DataFrame:
         ))
     return one.select(
         F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def interpolated_percentiles(
+    df,
+    value_col: str,
+    quantiles: list,
+    divisor: float = 1.0,
+    n_name: str = "n",
+):
+    """ENGINE-OWNED exact interpolated percentiles over an INTEGER
+    column — the cross-engine-safe replacement for pairing Spark
+    `percentile` with DuckDB `quantile_cont`, whose interpolation
+    differs at ulp level in IEEE op order (measured: Spark computes
+    a·(1−f)+b·f-style mixes, DuckDB another order; a terminal
+    round(…, 6) cannot repair a pre-round ulp when the true value
+    ties — the conversion_lag lesson).
+
+    `quantiles` = [(num, den, out_name), ...] with the 0-based
+    position pos = (n−1)·num/den. Rank k and remainder come from
+    integer arithmetic; the two order statistics are picked as exact
+    integers by one conditional aggregate over a ranked frame; the
+    single finishing chain (a + ((b−a)·rem)/den) / divisor is
+    fixed-order IEEE both engines replay bit-for-bit (restate it
+    verbatim in the oracle — no terminal round needed). Returns one
+    row: (n_name, *out_names).
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(F.col(value_col).isNotNull())
+    ranked = vals.select(
+        F.col(value_col).alias("_v"),
+        F.row_number().over(Window.orderBy(value_col)).alias("_r"))
+    totals = vals.agg(F.count(F.lit(1)).cast("long").alias(n_name))
+
+    picks = []
+    for num, den, name in quantiles:
+        pos = (F.col(n_name) - 1) * num
+        k = F.floor(pos / den).cast("long")
+        picks += [
+            F.min(F.when(F.col("_r") == k + 1, F.col("_v")))
+            .alias(f"_a_{name}"),
+            F.min(F.when(F.col("_r") == k + 2, F.col("_v")))
+            .alias(f"_b_{name}"),
+        ]
+    picked = ranked.crossJoin(F.broadcast(totals)).agg(*picks)
+
+    outs = [F.col(n_name)]
+    for num, den, name in quantiles:
+        rem = F.pmod((F.col(n_name) - 1) * num, F.lit(den))
+        a = F.col(f"_a_{name}")
+        b = F.coalesce(F.col(f"_b_{name}"), a)
+        us = (a.cast("double")
+              + ((b - a) * rem).cast("double") / F.lit(float(den)))
+        outs.append((us / F.lit(float(divisor))).alias(name))
+    return totals.crossJoin(picked).select(*outs)

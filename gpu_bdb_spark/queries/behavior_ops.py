@@ -640,20 +640,51 @@ def new_vs_returning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_vs_returning(e)
 
 
-INTERPURCHASE_ORACLE = """
+def _gap_pick(num: int, den: int, name: str) -> str:
+    k = f"(((n_gaps - 1) * {num}) // {den})"
+    return (f"MIN(CASE WHEN r = {k} + 1 THEN gap_us END) AS a_{name},\n"
+            f"    MIN(CASE WHEN r = {k} + 2 THEN gap_us END) AS b_{name}")
+
+
+def _gap_interp(num: int, den: int, name: str) -> str:
+    rem = f"(((n_gaps - 1) * {num}) % {den})"
+    b = f"COALESCE(b_{name}, a_{name})"
+    return (f"(CAST(a_{name} AS DOUBLE) + "
+            f"CAST(({b} - a_{name}) * {rem} AS DOUBLE) / {den}.0) "
+            f"/ 86400000000.0 AS {name}")
+
+
+# owned interpolation over INTEGER micros (operators/stats.
+# interpolated_percentiles): quantile_cont/percentile interpolate in
+# different IEEE op orders, and gap_days only escaped ties because the
+# fixture's order dates are midnight-aligned — the conversion_lag
+# hardening applied before the tie can bite
+INTERPURCHASE_ORACLE = f"""
 WITH gaps AS (
-  SELECT o_custkey AS cust,
-         (epoch_us(o_orderdate)
+  SELECT (epoch_us(o_orderdate)
           - lag(epoch_us(o_orderdate))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
-         / 86400000000.0 AS gap_days
+         AS gap_us
   FROM orders
+),
+g AS (SELECT gap_us FROM gaps WHERE gap_us IS NOT NULL),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps FROM g),
+rk AS (
+  SELECT gap_us, CAST(row_number() OVER (ORDER BY gap_us) AS BIGINT) AS r
+  FROM g
+),
+picks AS (
+  SELECT
+    {_gap_pick(1, 4, 'p25_days')},
+    {_gap_pick(1, 2, 'p50_days')},
+    {_gap_pick(9, 10, 'p90_days')}
+  FROM rk, tot
 )
-SELECT CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
-       ROUND(quantile_cont(gap_days, 0.25), 6) AS p25_days,
-       ROUND(quantile_cont(gap_days, 0.5), 6) AS p50_days,
-       ROUND(quantile_cont(gap_days, 0.9), 6) AS p90_days
-FROM gaps WHERE gap_days IS NOT NULL
+SELECT n_gaps,
+       {_gap_interp(1, 4, 'p25_days')},
+       {_gap_interp(1, 2, 'p50_days')},
+       {_gap_interp(9, 10, 'p90_days')}
+FROM tot, picks
 """
 
 
@@ -663,27 +694,28 @@ def interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeat-purchase cadence: exact percentiles of the gap between a
     customer's consecutive orders — the reorder-cycle number behind
     replenishment and churn models. One customer-key shuffle for the
-    lag window (ties broken by order key), integer-micros gaps until
-    the final days division, single-row rollup."""
+    lag window (ties broken by order key); gaps stay INTEGER micros
+    through rank-picked order statistics and one fixed-order IEEE
+    finishing chain (operators/stats.interpolated_percentiles — the
+    conversion_lag engine-owned-interpolation discipline)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
     from gpu_bdb_spark.functions import micros
+    from gpu_bdb_spark.operators.stats import interpolated_percentiles
 
     o = read_table(spark, sf_dir, "orders",
                    ["o_custkey", "o_orderdate", "o_orderkey"],
                    hint_broadcast=False)
     w = W.partitionBy("o_custkey").orderBy(micros("o_orderdate"),
                                            "o_orderkey")
-    gap = ((micros("o_orderdate") - F.lag(micros("o_orderdate")).over(w))
-           / F.lit(86_400_000_000.0)).alias("gap_days")
-    g = o.select(gap).filter(F.col("gap_days").isNotNull())
-    return g.agg(
-        F.count("gap_days").cast("long").alias("n_gaps"),
-        F.round(F.percentile("gap_days", F.lit(0.25)), 6).alias("p25_days"),
-        F.round(F.percentile("gap_days", F.lit(0.5)), 6).alias("p50_days"),
-        F.round(F.percentile("gap_days", F.lit(0.9)), 6).alias("p90_days"),
-    )
+    gap = (micros("o_orderdate")
+           - F.lag(micros("o_orderdate")).over(w)).alias("gap_us")
+    g = o.select(gap).filter(F.col("gap_us").isNotNull())
+    return interpolated_percentiles(
+        g, "gap_us",
+        [(1, 4, "p25_days"), (1, 2, "p50_days"), (9, 10, "p90_days")],
+        divisor=86_400_000_000.0, n_name="n_gaps")
 
 
 PARETO_ORACLE = """

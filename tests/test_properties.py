@@ -564,3 +564,32 @@ def test_basket_triples_equals_apriori_operator(spark):
         b = {(r.item_1, r.item_2, r.item_3): r.support
              for r in frequent_triples(df, "g", "i", **kw).collect()}
         assert a == b and len(a) > 0
+
+
+def test_interpolated_percentiles_matches_python_reference(spark):
+    """Engine-owned percentile interpolation: rank/remainder integer
+    arithmetic + the fixed IEEE chain (a + ((b−a)·rem)/den)/divisor
+    must equal the same formula computed sequentially in Python, on
+    values adversarially chosen so Spark `percentile` and DuckDB
+    `quantile_cont` would disagree at ulp level."""
+    import random
+
+    from gpu_bdb_spark.operators.stats import interpolated_percentiles
+
+    rng = random.Random(7)
+    # odd micro counts force exact .5 ties at every scale; the random
+    # tail forces inexact interpolation remainders
+    vals = [rng.randrange(10**12) for _ in range(501)] + [1, 3, 7]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [(1, 4, "p25"), (1, 2, "p50"), (9, 10, "p90")]
+    got = interpolated_percentiles(df, "v", qs, divisor=1e6).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    assert got.n == n
+    for num, den, name in qs:
+        pos = (n - 1) * num
+        k, rem = pos // den, pos % den
+        a = s[k]
+        b = s[k + 1] if k + 1 < n else a
+        expect = (float(a) + float((b - a) * rem) / float(den)) / 1e6
+        assert getattr(got, name) == expect, (name, got, expect)
