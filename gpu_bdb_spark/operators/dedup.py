@@ -169,8 +169,13 @@ def minhash_lsh_pairs(
     #    the interpreted HOF evaluator and dominated the query).
     # At bench: 213k bucket pairs → 90k after (1) → ~260 after (2).
     min_band_matches = 2 if bands >= 8 else 1
+    # shuffle_hash on every doc-cardinality join side below: both
+    # bucket-join sides and the signature/shingle re-attach frames grow
+    # with the corpus, and letting the planner broadcast one of them
+    # worked at sf0.1 but failed the driver's default-memory session at
+    # sf1 ("Not enough memory to build and broadcast")
     candidates = (
-        left.join(right, ["band", "band_hash"])
+        left.join(right.hint("shuffle_hash"), ["band", "band_hash"])
         .filter(F.col("id_1") < F.col("id_2"))
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("_bands_matched"))
@@ -190,7 +195,8 @@ def minhash_lsh_pairs(
          for i in range(num_hashes)],
     )
     candidates = (
-        candidates.join(sig1, "id_1").join(sig2, "id_2")
+        candidates.join(sig1.hint("shuffle_hash"), "id_1")
+        .join(sig2.hint("shuffle_hash"), "id_2")
         .filter(matches.cast("double") / num_hashes >= est_floor)
         .select("id_1", "id_2")
     )
@@ -199,11 +205,13 @@ def minhash_lsh_pairs(
         candidates.join(
             sets.select(F.col("id").alias("id_1"),
                         F.col("shingles").alias("sh1"),
-                        F.col("n_shingles").alias("sz1")), "id_1")
+                        F.col("n_shingles").alias("sz1"))
+            .hint("shuffle_hash"), "id_1")
         .join(
             sets.select(F.col("id").alias("id_2"),
                         F.col("shingles").alias("sh2"),
-                        F.col("n_shingles").alias("sz2")), "id_2")
+                        F.col("n_shingles").alias("sz2"))
+            .hint("shuffle_hash"), "id_2")
         .withColumn("n_inter",
                     F.size(F.array_intersect("sh1", "sh2")).cast("long"))
         .withColumn(
@@ -319,7 +327,8 @@ def lsh_verified_pairs_portable(
     )
     candidates = (
         buckets.select("band", "bh", F.col("id").alias("id_1"))
-        .join(buckets.select("band", "bh", F.col("id").alias("id_2")),
+        .join(buckets.select("band", "bh", F.col("id").alias("id_2"))
+              .hint("shuffle_hash"),
               ["band", "bh"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
@@ -330,11 +339,13 @@ def lsh_verified_pairs_portable(
         candidates.join(
             sets.select(F.col("id").alias("id_1"),
                         F.col("members").alias("sh1"),
-                        F.col("n_members").alias("sz1")), "id_1")
+                        F.col("n_members").alias("sz1"))
+            .hint("shuffle_hash"), "id_1")
         .join(
             sets.select(F.col("id").alias("id_2"),
                         F.col("members").alias("sh2"),
-                        F.col("n_members").alias("sz2")), "id_2")
+                        F.col("n_members").alias("sz2"))
+            .hint("shuffle_hash"), "id_2")
         .withColumn("n_inter",
                     F.size(F.array_intersect("sh1", "sh2")).cast("long"))
         .withColumn("n_union",
