@@ -115,12 +115,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(shingled, num_hashes=32, bands=16, threshold=0.6)
 
 
-def _lsh_verified_oracle(num_hashes: int = 32, bands: int = 16) -> str:
-    """DuckDB replay of the ENTIRE portable LSH pipeline — signatures,
-    banding, candidate join, exact integer verify — stage by stage. The
-    gate is therefore deterministic at any SF (LSH recall is the
-    operator's contract, not a hash-compare hazard; equality/recall vs
-    the exhaustive join is pinned separately in tests/test_dedup.py)."""
+def _lsh_verified_ctes(num_hashes: int = 32, bands: int = 16,
+                       threshold_num: int = 3,
+                       threshold_den: int = 5) -> str:
+    """CTE chain (no WITH keyword) replaying the ENTIRE portable LSH
+    pipeline — signatures, banding, candidate join, exact integer
+    verify — ending in a `pairs(id_1, id_2, jaccard)` CTE. Shared by
+    the pair entry and the cluster composition below. Every
+    multiply-referenced CTE is AS MATERIALIZED (DuckDB re-inlines plain
+    CTEs per reference — at sf1 that turned this chain pathological;
+    SCALE.md round-8/9 oracle-cost lessons)."""
     rows = num_hashes // bands
     mins = ",\n         ".join(
         "MIN(CAST(concat('0x', substr(md5('{i}:' || shingle), 1, 8)) "
@@ -131,8 +135,7 @@ def _lsh_verified_oracle(num_hashes: int = 32, bands: int = 16) -> str:
             bh=" || ',' || ".join(
                 f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)))
         for b in range(bands))
-    return r"""
-WITH t AS (
+    return r"""t AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
   FROM documents
@@ -140,14 +143,15 @@ WITH t AS (
 idx AS (
   SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t
 ),
-sh AS (SELECT DISTINCT doc_id AS id, toks[i] || ' ' || toks[i + 1] AS shingle
-       FROM idx),
-sig AS (
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id, toks[i] || ' ' || toks[i + 1] AS shingle
+  FROM idx),
+sig AS MATERIALIZED (
   SELECT id,
          """ + mins + """
   FROM sh GROUP BY id
 ),
-bandv AS (
+bandv AS MATERIALIZED (
   """ + band_rows + """
 ),
 cand AS (
@@ -155,22 +159,33 @@ cand AS (
   FROM bandv a JOIN bandv b
     ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
 ),
-sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+sizes AS MATERIALIZED (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT c.id_1, c.id_2, CAST(COUNT(*) AS BIGINT) AS n_inter
   FROM cand c
   JOIN sh a ON a.id = c.id_1
   JOIN sh b ON b.id = c.id_2 AND b.shingle = a.shingle
   GROUP BY c.id_1, c.id_2
-)
-SELECT i.id_1, i.id_2,
-       ROUND(CAST(i.n_inter AS DOUBLE)
-             / CAST(s1.sz + s2.sz - i.n_inter AS DOUBLE), 6) AS jaccard
-FROM inter i
-JOIN sizes s1 ON i.id_1 = s1.id
-JOIN sizes s2 ON i.id_2 = s2.id
-WHERE i.n_inter * 5 >= (s1.sz + s2.sz - i.n_inter) * 3
-"""
+),
+pairs AS MATERIALIZED (
+  SELECT i.id_1, i.id_2,
+         ROUND(CAST(i.n_inter AS DOUBLE)
+               / CAST(s1.sz + s2.sz - i.n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter i
+  JOIN sizes s1 ON i.id_1 = s1.id
+  JOIN sizes s2 ON i.id_2 = s2.id
+  WHERE i.n_inter * {td} >= (s1.sz + s2.sz - i.n_inter) * {tn}
+)""".format(td=threshold_den, tn=threshold_num)
+
+
+def _lsh_verified_oracle(num_hashes: int = 32, bands: int = 16) -> str:
+    """DuckDB replay of the portable LSH pipeline, pair output. The
+    gate is deterministic at any SF (LSH recall is the operator's
+    contract, not a hash-compare hazard; equality/recall vs the
+    exhaustive join is pinned separately in tests/test_dedup.py)."""
+    return ("WITH " + _lsh_verified_ctes(num_hashes, bands)
+            + "\nSELECT id_1, id_2, jaccard FROM pairs")
 
 
 @register("dedup_lsh_verified", oracle=_lsh_verified_oracle(),
@@ -297,7 +312,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ITERATIVE graph algorithm with an exact hash oracle: DuckDB computes
     the same components via a recursive transitive-closure CTE. The
     cluster_id (min doc_id per component) is the keeper; everything else
-    in the cluster is droppable."""
+    in the cluster is droppable. The edge stage here is the exhaustive
+    verify tier (quadratic by contract — SCALE.md round 10); the
+    sf1-certified scale composition is `dedup_clusters_lsh`."""
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
@@ -323,11 +340,71 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of O(diameter), the variant for chain-shaped components.
     Verified against the identical recursive-CTE oracle; equivalence to
     min-label propagation is also property-tested on random graphs
-    (tests/test_dedup.py)."""
+    (tests/test_dedup.py). Edge stage = exhaustive verify tier; the
+    sf1-certified scale composition is `dedup_clusters_lsh`."""
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
     return duplicate_clusters_star(pairs)
+
+
+DEDUP_CLUSTERS_LSH_ORACLE = (
+    "WITH RECURSIVE " + _lsh_verified_ctes() + r""",
+edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+          UNION ALL SELECT id_2, id_1 FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       CAST(COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS INT) AS keep
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+""")
+
+
+@register("dedup_clusters_lsh", oracle=DEDUP_CLUSTERS_LSH_ORACLE,
+          tags=("dedup", "clusters", "connected-components", "lsh",
+                "portable", "pipeline"))
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production text-dedup composition END TO END at its scale
+    shape: MinHash-band LSH candidates → exact integer-Jaccard verify
+    (3/5) → connected components (O(log n) star contraction) → a
+    keep/drop decision for EVERY document (singletons keep themselves,
+    in a cluster only the min doc_id survives).
+
+    This is the cluster-family entry that stays runnable at large SF:
+    `dedup_clusters`/`dedup_clusters_star` build their edge set with the
+    exhaustive posting-list self-join (the verify tier — quadratic by
+    contract inside hot posting lists, excluded from sf1 sweeps), while
+    this one generates candidates through banded LSH, so the edge stage
+    shuffles band keys only. The md5-portable hash family means the
+    DuckDB oracle replays EVERY stage — signatures, banding, candidate
+    join, exact verify, transitive closure, keep/drop — so the whole
+    pipeline is one exact cross-engine artifact (recall remains LSH's
+    1−(1−j^r)^b contract, measured in tests/test_dedup.py; false
+    positives are impossible after the exact verify).
+
+    Reference parity: gpu-bdb near-dup dedup reaches clusters the same
+    way conceptually (candidates → verify → union-find); re-expressed
+    here as DataFrame joins + iterative contraction."""
+    from gpu_bdb_spark.operators.dedup import minhash_lsh_verified_portable
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    pairs = minhash_lsh_verified_portable(
+        d, "text", "doc_id", num_hashes=32, bands=16,
+        threshold_num=3, threshold_den=5)
+    labels = duplicate_clusters_star(pairs)
+    return d.select("doc_id").join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id"))
+        .cast("int").alias("keep"),
+    )
 
 
 DEDUP_INCREMENTAL_ORACLE = """

@@ -144,7 +144,14 @@ def jaccard_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify); false positives are impossible (exact integer verify), so
     output ⊆ the exhaustive quadratic join always. The DuckDB oracle
     replays every stage, so the hash gate is deterministic — recall is
-    the operator's stated contract, not a hash hazard."""
+    the operator's stated contract, not a hash hazard.
+
+    REGIME (measured, SCALE.md round 10): token-SET LSH needs low mean
+    inter-doc Jaccard — on a Zipfian corpus random docs share the
+    vocabulary head, P(band collision) ≈ J̄^r per band, and candidates
+    approach all-pairs; there `jaccard_join_prefix` is the right tool
+    (rare-token prefixes prune hard). The two candidate generators are
+    complementary; pick by a one-scan df profile (`skew_report`)."""
     from gpu_bdb_spark.functions import tokenize
     from gpu_bdb_spark.operators.dedup import lsh_verified_pairs_portable
 

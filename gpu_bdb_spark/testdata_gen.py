@@ -18,7 +18,9 @@ dense regime), Customer#%09d names (SymSpell linkage neighbors), the
 31-word document vocabulary with ~1/500 planted duplicate texts, and
 the 5-way lang split with 'en' at ~42%.
 
-Usage: python -m gpu_bdb_spark.testdata_gen <out_dir> <sf>
+Usage: python -m gpu_bdb_spark.testdata_gen <out_dir> <sf> [doc_vocab]
+(doc_vocab=0 -> driver-faithful 31-word vocabulary; >0 -> Zipf(s=1)
+synthetic vocabulary of that size for similarity-join certification).
 """
 
 from __future__ import annotations
@@ -88,7 +90,12 @@ def sizes(sf: float) -> dict[str, int]:
 
 
 def generate_table(spark: SparkSession, name: str, sf: float,
-                   partitions: int | None = None) -> DataFrame:
+                   partitions: int | None = None,
+                   doc_vocab_size: int = 0) -> DataFrame:
+    """doc_vocab_size=0 reproduces the driver's 31-word document
+    vocabulary; >0 switches documents.text to a Zipf(s=1) synthetic
+    vocabulary of that size (realistic skewed df for similarity-join
+    certification at large SF)."""
     n = sizes(sf)
     parts = partitions or max(4, spark.sparkContext.defaultParallelism)
 
@@ -184,12 +191,27 @@ def generate_table(spark: SparkSession, name: str, sf: float,
         seed = F.when((_mod(_h(i, F.lit("ddup")), 500) == 0)
                       & (i > 0), i - 1).otherwise(i)
         length = _mod(_h(seed, F.lit("dlen")), 91) + 10
-        vocab = F.array(*[F.lit(w) for w in DOC_VOCAB])
-        words = F.transform(
-            F.sequence(F.lit(1), length),
-            lambda j: F.element_at(
-                vocab, (F.pmod(F.xxhash64(seed, j, F.lit("dw")),
-                               F.lit(len(DOC_VOCAB))) + 1).cast("int")))
+        if doc_vocab_size > 0:
+            # Zipf(s=1) over a synthetic vocabulary w1..wV via the
+            # log-uniform inverse CDF: u~U[0,1) -> rank=floor(V^u) has
+            # density ~1/rank. Gives the skewed df a REAL corpus has,
+            # so posting lists / prefix filters / LSH buckets
+            # discriminate (the 31-word driver vocab is degenerate at
+            # sf>=1 - see SCALE.md round-9 sweep exclusions).
+            words = F.transform(
+                F.sequence(F.lit(1), length),
+                lambda j: F.concat(F.lit("w"), F.floor(F.pow(
+                    F.lit(float(doc_vocab_size)),
+                    F.pmod(F.xxhash64(seed, j, F.lit("dw")),
+                           F.lit(1_000_000)).cast("double")
+                    / 1_000_000.0)).cast("long")))
+        else:
+            vocab = F.array(*[F.lit(w) for w in DOC_VOCAB])
+            words = F.transform(
+                F.sequence(F.lit(1), length),
+                lambda j: F.element_at(
+                    vocab, (F.pmod(F.xxhash64(seed, j, F.lit("dw")),
+                                   F.lit(len(DOC_VOCAB))) + 1).cast("int")))
         text = F.array_join(words, " ")
         return ranged(n["documents"]).select(
             i.alias("doc_id"),
@@ -218,7 +240,8 @@ TESTDATA_TABLES = ("region", "nation", "customer", "supplier", "part",
 
 
 def write_testdata(spark: SparkSession, out_dir: str, sf: float,
-                   partitions: int | None = None) -> None:
+                   partitions: int | None = None,
+                   doc_vocab_size: int = 0) -> None:
     """Write all driver-shaped tables in the driver layout: ONE
     parquet FILE per table at {out}/{table}.parquet (DuckDB's scan
     takes file paths, not directories — single-file is the shared
@@ -230,7 +253,7 @@ def write_testdata(spark: SparkSession, out_dir: str, sf: float,
     out = out_dir.rstrip("/")
     os.makedirs(out, exist_ok=True)
     for name in TESTDATA_TABLES:
-        df = generate_table(spark, name, sf, partitions)
+        df = generate_table(spark, name, sf, partitions, doc_vocab_size)
         tmp = f"{out}/_tmp_{name}"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
@@ -246,11 +269,12 @@ def main() -> None:
 
     out_dir = sys.argv[1]
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    vocab = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     from gpu_bdb_spark.session import get_spark
 
     spark = get_spark(app_name="testdata-gen")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    write_testdata(spark, out_dir, sf)
+    write_testdata(spark, out_dir, sf, doc_vocab_size=vocab)
     for t in TESTDATA_TABLES:
         print(t, spark.read.parquet(f"{out_dir.rstrip('/')}/{t}.parquet")
               .count())

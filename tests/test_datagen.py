@@ -57,3 +57,29 @@ def test_generated_data_runs_queries(spark, tmp_path_factory):
     assert q29.count() > 0
     q23 = tpcxbb_query(23)(spark, tables)
     assert q23.count() >= 0
+
+
+def test_testdata_zipf_vocab_mode(spark):
+    """doc_vocab_size>0 switches documents.text to a Zipf(s=1)
+    synthetic vocabulary: deterministic across partitionings,
+    discriminative df (head token far above median), planted
+    duplicates preserved."""
+    from gpu_bdb_spark.testdata_gen import generate_table as gen_td
+
+    a = gen_td(spark, "documents", 0.02, partitions=2, doc_vocab_size=500)
+    b = gen_td(spark, "documents", 0.02, partitions=5, doc_vocab_size=500)
+    rows_a = sorted(map(tuple, a.collect()))
+    assert rows_a == sorted(map(tuple, b.collect()))
+
+    toks = a.select(F.explode(F.split("text", " ")).alias("w"))
+    df_counts = (toks.groupBy("w").count().orderBy(F.desc("count"))
+                 .collect())
+    assert len(df_counts) > 100  # far beyond the 31-word driver vocab
+    counts = [r["count"] for r in df_counts]
+    # Zipf head/median skew: rank-1 df dwarfs the median df
+    assert counts[0] > 10 * counts[len(counts) // 2]
+
+    # planted ~1/500 exact duplicates survive the vocab switch
+    n = a.count()
+    distinct_texts = a.select("text").distinct().count()
+    assert distinct_texts < n
