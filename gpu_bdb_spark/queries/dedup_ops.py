@@ -396,6 +396,13 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_verified_portable(
         d, "text", "doc_id", num_hashes=32, bands=16,
         threshold_num=3, threshold_den=5)
+    # Materialize the (small) verified pair set before CC: the star
+    # loop references it from several subtrees, and re-executing the
+    # candidate+verify pipeline per reference both doubles peak
+    # execution memory (measured: starved a default-1g session on the
+    # degenerate-vocab sf1 corpus) and multiplies work. At cluster
+    # scale pass checkpoint_dir instead (same contract).
+    pairs = pairs.select("id_1", "id_2").localCheckpoint()
     labels = duplicate_clusters_star(pairs)
     return d.select("doc_id").join(
         labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"

@@ -132,6 +132,10 @@ QUERIES = [
     "kmv_set_ops",
     "survival_km",
     "cusum_changepoint",
+    # round-9/10 entries
+    "view_then_purchase_windowed",
+    "jaccard_lsh_verified",
+    "dedup_clusters_lsh",
 ]
 
 HOSTILE = {
