@@ -511,35 +511,83 @@ def windowed_pair_counts(
     left_filter: Column,
     right_filter: Column,
     window_us: int,
+    strategy: str = "prefix",
 ) -> DataFrame:
     """Per-key count of (left, right) event pairs with
     0 < t_right − t_left ≤ window_us — the `view_then_purchase`
-    theta-join semantics — WITHOUT materializing pairs: union both
-    event roles into one per-key stream and, for each right event,
-    count left events inside the EXCLUSIVE trailing RANGE frame
-    [t − window_us, t − 1] on integer epoch micros. ONE shuffle on
-    the key and no join, so a bot-grade hot key costs
-    O(n log n) instead of the hash join's views×purchases task
-    blow-up (the quadratic the reference accepts in q12:199-206).
+    theta-join semantics — WITHOUT materializing pairs. Output
+    (key, n_pairs) for keys with ≥ 1 pair: identical to the join +
+    groupBy-count formulation (shared oracle + equivalence test).
 
-    Value-based RANGE bounds make tied timestamps peers — determinism
-    does not depend on row order — and the [−window, −1] frame encodes
-    the strict `t_right > t_left` edge exactly. Output (key, n_pairs)
-    for keys with ≥ 1 pair: identical to the join + groupBy-count
-    formulation (shared oracle + equivalence test).
+    strategy="prefix" (default, the true O(n log n) shape): for each
+    right event at t, the in-window left count is the DIFFERENCE of two
+    running totals — (#left ≤ t−1) − (#left ≤ t−window−1) — so each
+    right event becomes two signed probe rows unioned with the left
+    stream, ONE per-key sort, and a single UNBOUNDED-PRECEDING range
+    frame (which Spark advances incrementally, O(1) amortized per row).
+    Inclusive integer-micros cuts encode the strict t_right > t_left
+    edge and the closed lower edge exactly; RANGE peers make tied
+    timestamps order-independent.
+
+    strategy="frame" (the natural first shape — kept as the measured
+    counterexample): a trailing RANGE frame [t − window, −1] summed per
+    right event. Spark's SLIDING frames cannot retract, so the
+    aggregate buffer re-accumulates from frame start on every slide:
+    cost is O(n · rows_in_frame) per key — QUADRATIC when a hot key's
+    events pack inside one window span (measured: 140 s vs the hash
+    join's 19 s on a 100k×10k packed hot hour; the prefix form does the
+    same corpus in seconds — numbers in SCALE.md "hot-user probe").
+    The hash join's views×purchases blow-up (the quadratic the
+    reference accepts in q12:199-206) and the sliding frame's replay
+    are the SAME trap in different clothes; only the prefix form is
+    density-independent.
     """
     ord_us = _as_ordinal(df, ts_col)
-    ev = df.filter(left_filter | right_filter).select(
-        F.col(key_col),
-        ord_us.cast("long").alias("_us"),
-        F.when(left_filter, F.lit(1)).otherwise(F.lit(0)).alias("_w"),
+    if strategy == "frame":
+        ev = df.filter(left_filter | right_filter).select(
+            F.col(key_col),
+            ord_us.cast("long").alias("_us"),
+            F.when(left_filter, F.lit(1)).otherwise(F.lit(0)).alias("_w"),
+            right_filter.cast("int").alias("_is_r"),
+        )
+        w = (Window.partitionBy(key_col).orderBy("_us")
+             .rangeBetween(-int(window_us), -1))
+        cnt = ev.withColumn("_n", F.sum("_w").over(w))
+        return (
+            cnt.filter((F.col("_is_r") == 1) & (F.col("_n") > 0))
+            .groupBy(F.col(key_col))
+            .agg(F.sum("_n").cast("long").alias("n_pairs"))
+        )
+    if strategy != "prefix":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    W_us = int(window_us)
+    base = df.filter(left_filter | right_filter).select(
+        F.col(key_col).alias("_k"),
+        ord_us.cast("long").alias("_t"),
+        left_filter.cast("int").alias("_is_l"),
         right_filter.cast("int").alias("_is_r"),
     )
-    w = (Window.partitionBy(key_col).orderBy("_us")
-         .rangeBetween(-int(window_us), -1))
-    cnt = ev.withColumn("_n", F.sum("_w").over(w))
+    lefts = base.filter(F.col("_is_l") == 1).select(
+        "_k", F.col("_t").alias("_us"),
+        F.lit(1).alias("_w"), F.lit(0).alias("_sign"))
+    probes = base.filter(F.col("_is_r") == 1).select(
+        "_k",
+        F.explode(F.array(
+            F.struct((F.col("_t") - 1).alias("_us"),
+                     F.lit(1).alias("_sign")),
+            F.struct((F.col("_t") - W_us - 1).alias("_us"),
+                     F.lit(-1).alias("_sign")),
+        )).alias("_p"),
+    ).select("_k", F.col("_p._us").alias("_us"),
+             F.lit(0).alias("_w"), F.col("_p._sign").alias("_sign"))
+    u = lefts.unionByName(probes)
+    w = (Window.partitionBy("_k").orderBy("_us")
+         .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = u.withColumn("_cum", F.sum("_w").over(w))
     return (
-        cnt.filter((F.col("_is_r") == 1) & (F.col("_n") > 0))
-        .groupBy(F.col(key_col))
-        .agg(F.sum("_n").cast("long").alias("n_pairs"))
+        cum.filter(F.col("_sign") != 0)
+        .groupBy(F.col("_k").alias(key_col))
+        .agg(F.sum(F.col("_sign") * F.col("_cum")).cast("long")
+             .alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
     )

@@ -1114,3 +1114,113 @@ def gazetteer_mentions(
             (F.min("pos0") + 1).cast("long").alias("first_pos"),
         )
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_tokens: int = 4,
+) -> DataFrame:
+    """Span-level exact-substring dedup (the ExactSubstr idea of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed with fixed-length gram anchors instead of a
+    suffix array): every duplicated run of >= `gram_tokens` tokens is
+    cut from all but its globally-first occurrence, keeping the rest of
+    each document intact — doc-LEVEL dedup (dedup_exact / LSH) drops
+    whole documents; this removes the repeated SPANS inside otherwise
+    distinct documents (licence headers, quoted passages, templated
+    paragraphs).
+
+    Semantics: slide a `gram_tokens` window over every document's
+    whitespace tokens; a window occurrence is *duplicated* when its
+    gram occurs more than once corpus-wide (including self-overlap
+    within one document) and it is not the canonical first occurrence
+    (global min (doc, pos) order). Duplicated occurrences are expanded
+    to their covered token positions, overlapping covers merge into
+    maximal spans (gaps-and-islands on consecutive positions), covered
+    tokens are cut, and each document is reassembled from its surviving
+    tokens in order. Any duplicated run of length R >= L is covered by
+    its R-L+1 duplicated grams, so whole repeated passages vanish; as
+    in the paper, cutting can butt new (previously non-adjacent) token
+    sequences together, which is accepted rather than re-scanned.
+
+    Scale shape: the only corpus-width shuffle is the per-document
+    token window (unavoidable: order is the semantics). Everything
+    after moves bare keys — occurrence ranking shuffles (md5(gram),
+    doc, pos); covered-position distinct and the island window shuffle
+    (doc, pos) longs; the final anti-join cuts tokens without ever
+    carrying gram strings. No pairwise document comparison anywhere:
+    cost is linear in corpus tokens, independent of how many documents
+    share a span (the hot-gram group is a window partition, not a
+    join fan-out).
+
+    Returns (id, clean_text, n_kept, n_removed, n_spans) for EVERY
+    input document (clean_text = '' when everything was duplicated).
+    """
+    from pyspark.sql import Window
+
+    L = int(gram_tokens)
+    raw = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "tok"),
+    ).filter(F.col("tok") != "")
+    wd = Window.partitionBy("id").orderBy("pos0")
+    toks = raw.select(
+        "id", "tok",
+        (F.row_number().over(wd) - 1).cast("long").alias("pos"),
+    )
+
+    wp = Window.partitionBy("id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [
+        F.lead("tok", i).over(wp) for i in range(1, L)
+    ]
+    grams = toks.select(
+        "id", "pos",
+        F.md5(F.concat_ws(" ", *gram_parts)).alias("gh"),
+        F.lead("tok", L - 1).over(wp).alias("_last"),
+    ).filter(F.col("_last").isNotNull()).drop("_last")
+
+    wg = Window.partitionBy("gh")
+    wgo = wg.orderBy("id", "pos")
+    ranked = grams.select(
+        "id", "pos",
+        F.row_number().over(wgo).alias("_rn"),
+        F.count(F.lit(1)).over(wg).alias("_cnt"),
+    )
+    covered = (
+        ranked.filter((F.col("_cnt") > 1) & (F.col("_rn") > 1))
+        .select("id", F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + L - 1)).alias("pos"))
+        .distinct()
+    )
+
+    wi = Window.partitionBy("id").orderBy("pos")
+    isl = covered.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(wi))
+    spans = isl.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed"),
+        F.countDistinct("_grp").cast("long").alias("n_spans"),
+    )
+
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    parts = F.sort_array(F.collect_list(F.struct("pos", "tok")))
+    clean = kept.groupBy("id").agg(
+        F.array_join(F.transform(parts, lambda x: x["tok"]), " ")
+        .alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(clean, "id", "left")
+        .join(spans, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_removed", F.lit(0)).cast("long")
+            .alias("n_removed"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )

@@ -1067,3 +1067,89 @@ def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("long")) for j in range(32, 64)])
     return per_doc.select(
         "id", F.format_string("%08x%08x", hi, lo).alias("simhash_hex"))
+
+
+DEDUP_SPANS_ORACLE = r"""
+WITH toks0 AS (
+  SELECT doc_id, tok, pos0
+  FROM (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos0
+        FROM documents)
+  WHERE tok <> ''
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, tok,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1
+              AS BIGINT) AS pos
+  FROM toks0
+),
+grams AS (
+  SELECT doc_id, pos,
+         md5(concat_ws(' ', tok,
+                       lead(tok, 1) OVER w,
+                       lead(tok, 2) OVER w,
+                       lead(tok, 3) OVER w)) AS gh,
+         lead(tok, 3) OVER w AS lst
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY gh) AS cnt
+  FROM grams WHERE lst IS NOT NULL
+),
+cov AS MATERIALIZED (
+  SELECT DISTINCT doc_id, pos + k AS cpos
+  FROM (SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1)
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+),
+spans AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_removed,
+         CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
+  FROM (SELECT doc_id, cpos,
+               cpos - row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY cpos) AS grp
+        FROM cov)
+  GROUP BY doc_id
+),
+clean AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM toks t
+  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+  WHERE c.cpos IS NULL
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(c.clean_text, '') AS clean_text,
+       CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(s.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans
+FROM documents d
+LEFT JOIN clean c ON d.doc_id = c.doc_id
+LEFT JOIN spans s ON d.doc_id = s.doc_id
+"""
+
+
+@register("dedup_spans", oracle=DEDUP_SPANS_ORACLE,
+          tags=("dedup", "spans", "text"))
+def dedup_spans_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022 ExactSubstr via
+    fixed 4-token gram anchors): cut every duplicated >=4-token run from
+    all but its globally-first occurrence, reassembling each document
+    from its surviving tokens. Doc-level dedup drops whole documents;
+    this is the missing granularity — repeated licence headers / quoted
+    passages inside otherwise unique documents. The oracle replays the
+    full pipeline (md5 gram hashing, global first-occurrence ranking,
+    covered-position expansion, gaps-and-islands span merge, ordered
+    reassembly), so clean_text itself is hash-checked, not just counts.
+    """
+    from gpu_bdb_spark.operators.text import dedup_spans
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    return dedup_spans(d, "text", "doc_id", gram_tokens=4)

@@ -368,13 +368,18 @@ def view_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
           tags=("theta-join", "time", "scale-path", "window"))
 def view_then_purchase_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME pair-count semantics as `view_then_purchase`, computed
-    pair-free: one union stream per user, exclusive trailing RANGE
-    frame counts the views within the hour before each purchase
-    (operators/temporal.py `windowed_pair_counts`). ONE user-key
-    shuffle, no join, O(n log n) per user — the shape that survives a
-    bot-grade hot user at 100 TB. Held to the identical oracle, so the
-    equivalence with the theta-join formulation is hash-checked every
-    round."""
+    pair-free via prefix sums: each purchase becomes two signed probe
+    rows, one union stream per user, a single incremental
+    UNBOUNDED-PRECEDING range frame, and the in-window view count is
+    the difference of two running totals (operators/temporal.py
+    `windowed_pair_counts`, strategy="prefix"). ONE user-key shuffle,
+    no join, O(n log n) per user INDEPENDENT of event density — the
+    shape that survives a bot-grade hot user at 100 TB. (The natural
+    trailing-RANGE-frame form is NOT that shape: Spark's sliding
+    frames re-accumulate without retraction, measured quadratic on a
+    packed hot hour — SCALE.md "hot-user probe".) Held to the
+    identical oracle, so the equivalence with the theta-join
+    formulation is hash-checked every round."""
     from gpu_bdb_spark.operators.temporal import windowed_pair_counts
 
     e = read_table(spark, sf_dir, "events", ["user_id", "event_type", "ts"],

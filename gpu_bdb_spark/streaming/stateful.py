@@ -753,3 +753,75 @@ def streaming_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_cusum(
+    rows: DataFrame,
+    mu: float,
+    seq_col: str = "day",
+    val_col: str = "rev",
+    k_frac: float = 0.1,
+    h_mult: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of `temporal_ops.cusum_changepoint`: the one-sided
+    CUSUM chart S_t = max(0, r2(S_{t-1} + x_t − μ − k·μ)) run as a
+    single stateful chain over the (already collapsed) daily frame. μ is
+    a PARAMETER here — the monitored target mean, known upfront in a
+    production chart — where the batch entry derives it from the full
+    frame; the twin test feeds the batch-derived μ so drained ≡ batch is
+    bit-for-bit. State is (last_seq, repr(S)): S is always the output of
+    an r2 quantization (2-decimal float), so the repr string round-trips
+    losslessly — the streaming_time_weighted exact-string-state
+    discipline. Each step is the IDENTICAL fixed-order float expression
+    as the batch chain (same r2 = shortest-repr decimal HALF_UP), so no
+    quantization drift can accumulate across micro-batches. O(1) state;
+    rows within a micro-batch process in seq order; the usual
+    non-decreasing cross-batch contract applies. Append mode, one
+    output row per input day: (day, rev, cusum, flag)."""
+    from pyspark.sql import functions as F
+
+    mu_f = float(mu)
+    k_f = float(k_frac)
+    h_f = float(h_mult)
+
+    def update(key, pdfs, state):
+        import decimal as _dec
+
+        import pandas as _pd
+
+        q2 = _dec.Decimal("1e-2")
+
+        def r2(x):
+            return float(_dec.Decimal(repr(float(x))).quantize(
+                q2, rounding=_dec.ROUND_HALF_UP))
+
+        last_seq, s_str = state.get if state.exists else (-1 << 62, "")
+        s = float(s_str) if s_str else 0.0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(seq_col)
+            days, revs, sums, flags = [], [], [], []
+            for d_, v in zip(pdf[seq_col], pdf[val_col]):
+                s = max(0.0, r2(s + float(v) - mu_f - k_f * mu_f))
+                last_seq = int(d_)
+                days.append(int(d_))
+                revs.append(r2(v))
+                sums.append(s)
+                flags.append(int(s > h_f * mu_f))
+            yield _pd.DataFrame({
+                "day": days, "rev": revs, "cusum": sums, "flag": flags,
+            })
+        state.update((last_seq, repr(s)))
+
+    return (
+        rows.withColumn("_k", F.lit(0))
+        .groupBy("_k")
+        .applyInPandasWithState(
+            update,
+            outputStructType="day long, rev double, cusum double, flag int",
+            stateStructType="last_seq long, s string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

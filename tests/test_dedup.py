@@ -318,3 +318,55 @@ def test_minhash_portable_estimates_jaccard(spark):
     # exact bigram jaccard(1,2) ≈ 54/64 ≈ 0.84; jaccard(1,3) = 0
     assert agree_12 > 0.5
     assert agree_13 == 0.0
+
+
+def test_dedup_spans_planted(spark):
+    """Span-level exact-substring dedup: a 6-token passage planted in
+    three documents survives ONLY in its first-occurrence document;
+    unique text around it is untouched; self-overlapping in-document
+    repeats collapse to one copy; span accounting matches."""
+    from gpu_bdb_spark.operators.text import dedup_spans
+
+    passage = "the quick brown fox jumps high"          # 6 tokens
+    rows = [
+        (1, f"alpha beta {passage} gamma delta"),       # canonical
+        (2, f"uniq1 uniq2 uniq3 {passage} uniq4"),      # dup (later doc)
+        (3, f"{passage} solo5 solo6 solo7 solo8"),      # dup at pos 0
+        (4, "rep rep rep rep rep rep rep tail1 tail2"), # self-overlap run
+        (5, "all alone words nothing shared here"),     # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_spans(df, "text", "doc_id", gram_tokens=4).collect()}
+
+    assert out[1]["clean_text"] == rows[0][1]           # keeper intact
+    assert out[1]["n_removed"] == 0
+    # dup docs: the whole 6-token passage cut, surrounding text kept
+    assert out[2]["clean_text"] == "uniq1 uniq2 uniq3 uniq4"
+    assert out[2]["n_removed"] == 6 and out[2]["n_spans"] == 1
+    assert out[3]["clean_text"] == "solo5 solo6 solo7 solo8"
+    assert out[3]["n_removed"] == 6 and out[3]["n_spans"] == 1
+    # 7x 'rep': grams at pos 0..3 identical -> pos 0 canonical, pos 1-3
+    # dup -> covered tokens 1..6, keeping 'rep tail1 tail2'
+    assert out[4]["clean_text"] == "rep tail1 tail2"
+    assert out[4]["n_removed"] == 6 and out[4]["n_spans"] == 1
+    assert out[5]["clean_text"] == rows[4][1]
+    assert out[5]["n_removed"] == 0 and out[5]["n_spans"] == 0
+
+
+def test_dedup_spans_all_removed_and_short_docs(spark):
+    """A document that is a verbatim copy loses ALL tokens (clean_text
+    ''); documents shorter than the gram never produce grams and pass
+    through verbatim."""
+    from gpu_bdb_spark.operators.text import dedup_spans
+
+    body = "one two three four five six seven eight"
+    rows = [(1, body), (2, body), (3, "tiny doc"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_spans(df, "text", "doc_id", gram_tokens=4).collect()}
+    assert out[1]["clean_text"] == body
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+    assert out[2]["n_removed"] == 8 and out[2]["n_spans"] == 1
+    assert out[3]["clean_text"] == "tiny doc"
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 0

@@ -148,6 +148,7 @@ QUERIES = [
     "view_then_purchase_windowed",
     "jaccard_lsh_verified",
     "dedup_clusters_lsh",
+    "dedup_spans",
 ]
 
 

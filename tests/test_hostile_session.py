@@ -136,6 +136,7 @@ QUERIES = [
     "view_then_purchase_windowed",
     "jaccard_lsh_verified",
     "dedup_clusters_lsh",
+    "dedup_spans",
 ]
 
 HOSTILE = {

@@ -1239,3 +1239,46 @@ def test_psi_ingest_drained_equals_batch(spark, sf_dir,
         expect = psi_rollup(psi_histogram(o)).toPandas()
         assert expect["n_bins"][0] > 1 and got.equals(expect), (
             mode, got, expect)
+
+
+def test_streaming_cusum_equals_batch(spark, sf_dir, tmp_path_factory):
+    """One-sided CUSUM chart over a 3-micro-batch stream of the daily
+    revenue frame, with the batch-derived μ passed as the chart target:
+    repr-string state + the identical fixed-order r2 step make drained
+    ≡ batch bit-for-bit against the cusum_changepoint entry."""
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.queries.registry import all_specs
+    from gpu_bdb_spark.streaming.stateful import streaming_cusum
+
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_orderdate", "o_totalprice"])
+    daily = o.groupBy(
+        F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,4)"))
+          .cast("decimal(18,4)").cast("double").alias("rev"))
+    mu = daily.agg(
+        (F.sum(F.col("rev").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mu")).first()["mu"]
+    lo, hi = daily.select(F.min("day"), F.max("day")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    d = tmp_path_factory.mktemp("cusum_3b")
+    daily.filter(F.col("day") <= cut1).coalesce(1)\
+        .write.parquet(str(d / "f0"))
+    daily.filter((F.col("day") > cut1) & (F.col("day") <= cut2))\
+        .coalesce(1).write.parquet(str(d / "f1"))
+    daily.filter(F.col("day") > cut2).coalesce(1)\
+        .write.parquet(str(d / "f2"))
+    stream = (spark.readStream.schema(daily.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d / "f*")))
+    got = _run_to_memory_append(
+        spark, streaming_cusum(stream, mu), "cusum_3b")
+    expect = (all_specs()["cusum_changepoint"].fn(spark, sf_dir)
+              .toPandas())
+    got = got.sort_values("day", ignore_index=True)
+    expect = expect.sort_values("day", ignore_index=True)
+    assert len(got) == len(expect) > 0
+    assert got["day"].equals(expect["day"])
+    assert (got["cusum"].values == expect["cusum"].values).all()
+    assert (got["rev"].values == expect["rev"].values).all()
+    assert (got["flag"].values == expect["flag"].values).all()

@@ -337,3 +337,51 @@ def test_rolling_zscore_semantics(spark):
     sd = math.sqrt(2.0)
     assert out[12] == round((11.0 - 11.0) / sd, 6) == 0.0
     assert out[13] == round((99.0 - 11.0) / sd, 6)
+
+
+def test_windowed_pair_counts_strategies_agree(spark):
+    """prefix (signed probes + incremental unbounded frame) ≡ frame
+    (sliding trailing RANGE) ≡ materialized pair join, on a fixture
+    built to hit every edge: a view exactly AT a purchase (excluded),
+    at t−window (included, closed lower edge), at t−window−1 (just
+    out), tied views, tied purchases, and a key with no pairs."""
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.temporal import windowed_pair_counts
+
+    W = 100  # micros
+    rows = []
+
+    def ev(key, us, typ):
+        rows.append((key, typ, us))
+
+    # key 1: boundary battery around purchase at t=1000
+    ev(1, 1000, "purchase")
+    ev(1, 1000, "view")      # tie with purchase -> NOT counted
+    ev(1, 999, "view")       # in (strict upper edge)
+    ev(1, 900, "view")       # in (closed lower edge: 1000-100)
+    ev(1, 899, "view")       # out by one
+    # key 2: tied purchases + tied views
+    ev(2, 500, "purchase")
+    ev(2, 500, "purchase")
+    ev(2, 450, "view")
+    ev(2, 450, "view")
+    # key 3: views only (no output row)
+    ev(3, 100, "view")
+    ev(3, 200, "view")
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, us long"
+    ).select("user_id", "event_type",
+             F.timestamp_micros("us").alias("ts"))
+
+    def run(strategy):
+        out = windowed_pair_counts(
+            df, "user_id", "ts",
+            left_filter=F.col("event_type") == "view",
+            right_filter=F.col("event_type") == "purchase",
+            window_us=W, strategy=strategy)
+        return {r["user_id"]: r["n_pairs"] for r in out.collect()}
+
+    expect = {1: 2, 2: 4}
+    assert run("prefix") == expect
+    assert run("frame") == expect
