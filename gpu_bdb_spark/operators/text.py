@@ -1158,9 +1158,32 @@ def dedup_spans(
     Returns (id, clean_text, n_kept, n_removed, n_spans) for EVERY
     input document (clean_text = '' when everything was duplicated).
     """
+    toks, grams = _positioned_grams(df, text_col, id_col, int(gram_tokens))
+
     from pyspark.sql import Window
 
-    L = int(gram_tokens)
+    wg = Window.partitionBy("gh")
+    wgo = wg.orderBy("id", "pos")
+    ranked = grams.select(
+        "id", "pos",
+        F.row_number().over(wgo).alias("_rn"),
+        F.count(F.lit(1)).over(wg).alias("_cnt"),
+    )
+    starts = ranked.filter(
+        (F.col("_cnt") > 1) & (F.col("_rn") > 1)).select("id", "pos")
+    return _cut_covered_spans(
+        df.select(F.col(id_col).alias("id")), toks, starts,
+        int(gram_tokens), id_col)
+
+
+def _positioned_grams(df, text_col, id_col, L):
+    """Shared tokenize-and-gram stage for the span-cut family: split on
+    single spaces, drop empty tokens, renumber positions densely per
+    document, and hash every full L-token sliding window (codegen'd
+    lead chain — no interpreted HOFs). Returns (toks(id,tok,pos),
+    grams(id,pos,gh)); both window passes share one doc-key exchange."""
+    from pyspark.sql import Window
+
     raw = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "tok"),
@@ -1170,7 +1193,6 @@ def dedup_spans(
         "id", "tok",
         (F.row_number().over(wd) - 1).cast("long").alias("pos"),
     )
-
     wp = Window.partitionBy("id").orderBy("pos")
     gram_parts = [F.col("tok")] + [
         F.lead("tok", i).over(wp) for i in range(1, L)
@@ -1180,21 +1202,23 @@ def dedup_spans(
         F.md5(F.concat_ws(" ", *gram_parts)).alias("gh"),
         F.lead("tok", L - 1).over(wp).alias("_last"),
     ).filter(F.col("_last").isNotNull()).drop("_last")
+    return toks, grams
 
-    wg = Window.partitionBy("gh")
-    wgo = wg.orderBy("id", "pos")
-    ranked = grams.select(
-        "id", "pos",
-        F.row_number().over(wgo).alias("_rn"),
-        F.count(F.lit(1)).over(wg).alias("_cnt"),
-    )
+
+def _cut_covered_spans(ids, toks, starts, L, id_col):
+    """Shared cut-and-reassemble tail: expand gram-start occurrences to
+    covered token positions, merge overlaps into maximal spans
+    (gaps-and-islands on consecutive positions), cut covered tokens,
+    reassemble each document in order, and emit one row per input id
+    with (clean_text, n_kept, n_removed, n_spans). Every shuffle after
+    the expansion carries bare (id, pos) longs."""
+    from pyspark.sql import Window
+
     covered = (
-        ranked.filter((F.col("_cnt") > 1) & (F.col("_rn") > 1))
-        .select("id", F.explode(
+        starts.select("id", F.explode(
             F.sequence(F.col("pos"), F.col("pos") + L - 1)).alias("pos"))
         .distinct()
     )
-
     wi = Window.partitionBy("id").orderBy("pos")
     isl = covered.withColumn(
         "_grp", F.col("pos") - F.row_number().over(wi))
@@ -1202,7 +1226,6 @@ def dedup_spans(
         F.count(F.lit(1)).cast("long").alias("n_removed"),
         F.countDistinct("_grp").cast("long").alias("n_spans"),
     )
-
     kept = toks.join(covered, ["id", "pos"], "left_anti")
     parts = F.sort_array(F.collect_list(F.struct("pos", "tok")))
     clean = kept.groupBy("id").agg(
@@ -1210,9 +1233,8 @@ def dedup_spans(
         .alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
-
     return (
-        df.select(F.col(id_col).alias("id"))
+        ids
         .join(clean, "id", "left")
         .join(spans, "id", "left")
         .select(
@@ -1224,3 +1246,35 @@ def dedup_spans(
             F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         )
     )
+
+
+def scrub_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_tokens: int = 4,
+) -> DataFrame:
+    """Span-level benchmark decontamination: CUT from every training
+    document each token span whose `gram_tokens`-gram also appears in
+    the eval set, instead of dropping whole documents (`decontaminate`
+    flags/counts doc-level overlap; this is the scrub form used when a
+    contaminated document is otherwise valuable). Same cut semantics as
+    `dedup_spans`: matching gram occurrences expand to covered
+    positions, overlaps merge into maximal spans, survivors reassemble
+    in order.
+
+    Scale shape: the eval side is benchmark-sized by definition, so its
+    distinct gram hashes BROADCAST — the training corpus is scanned
+    once and never shuffled against the eval set; matching is a
+    map-side hash probe on the gram window output, and everything
+    downstream of the match moves bare (id, pos) longs (the
+    `_cut_covered_spans` tail).
+    """
+    L = int(gram_tokens)
+    toks, grams = _positioned_grams(df, text_col, id_col, L)
+    _, eval_grams = _positioned_grams(eval_df, text_col, id_col, L)
+    eval_ghs = eval_grams.select("gh").distinct()
+    starts = grams.join(F.broadcast(eval_ghs), "gh").select("id", "pos")
+    return _cut_covered_spans(
+        df.select(F.col(id_col).alias("id")), toks, starts, L, id_col)

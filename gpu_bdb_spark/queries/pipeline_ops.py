@@ -1102,3 +1102,104 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(d.select("doc_id", payload.alias("p")),
                          "p", "audio/wav", "doc_id")
     return decode_wav_real(media)
+
+
+DECONTAMINATE_SPANS_ORACLE = r"""
+WITH corpus_toks0 AS (
+  SELECT doc_id, tok, pos0
+  FROM (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos0
+        FROM documents WHERE doc_id % 17 <> 0)
+  WHERE tok <> ''
+),
+corpus_toks AS MATERIALIZED (
+  SELECT doc_id, tok,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1
+              AS BIGINT) AS pos
+  FROM corpus_toks0
+),
+corpus_grams AS (
+  SELECT doc_id, pos,
+         md5(concat_ws(' ', tok,
+                       lead(tok, 1) OVER w,
+                       lead(tok, 2) OVER w,
+                       lead(tok, 3) OVER w)) AS gh,
+         lead(tok, 3) OVER w AS lst
+  FROM corpus_toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+eval_toks AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos
+  FROM (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos0
+        FROM documents WHERE doc_id % 17 = 0)
+  WHERE tok <> ''
+),
+eval_grams AS MATERIALIZED (
+  SELECT DISTINCT gh FROM (
+    SELECT md5(concat_ws(' ', tok,
+                         lead(tok, 1) OVER w,
+                         lead(tok, 2) OVER w,
+                         lead(tok, 3) OVER w)) AS gh,
+           lead(tok, 3) OVER w AS lst
+    FROM eval_toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE lst IS NOT NULL
+),
+cov AS MATERIALIZED (
+  SELECT DISTINCT doc_id, pos + k AS cpos
+  FROM (SELECT g.doc_id, g.pos
+        FROM corpus_grams g JOIN eval_grams e USING (gh)
+        WHERE g.lst IS NOT NULL)
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+),
+spans AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_removed,
+         CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
+  FROM (SELECT doc_id, cpos,
+               cpos - row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY cpos) AS grp
+        FROM cov)
+  GROUP BY doc_id
+),
+clean AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM corpus_toks t
+  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+  WHERE c.cpos IS NULL
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(c.clean_text, '') AS clean_text,
+       CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(s.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans
+FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+LEFT JOIN clean c ON d.doc_id = c.doc_id
+LEFT JOIN spans s ON d.doc_id = s.doc_id
+"""
+
+
+@register("decontaminate_spans", oracle=DECONTAMINATE_SPANS_ORACLE,
+          tags=("pipeline", "contamination", "spans"))
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (the scrub form): cut every
+    token span whose 4-gram also appears in the eval slice
+    (doc_id % 17 == 0, the `decontaminate` convention) from the
+    training corpus, keeping the rest of each document. Eval gram
+    hashes broadcast; the corpus is scanned once; the cut/reassemble
+    tail is shared with `dedup_spans` and the oracle replays it string
+    for string (clean_text itself is hash-checked)."""
+    from gpu_bdb_spark.operators.text import scrub_spans
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    eval_df = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    return scrub_spans(corpus, eval_df, "text", "doc_id", gram_tokens=4)

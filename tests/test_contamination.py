@@ -94,3 +94,30 @@ def test_pii_scrub_counts_follow_rule_order(spark):
     assert row["n_email"] == 1
     assert row["n_number"] == 0
     assert row["body_scrubbed"] == "[EMAIL]"
+
+
+def test_scrub_spans_planted(spark):
+    """Span-level decontamination: eval-overlapping 4-gram spans are cut
+    from training docs, unique text survives, eval-only grams never
+    touch non-overlapping docs, and a fully-contaminated doc empties."""
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.text import scrub_spans
+
+    bench = "the quick brown fox jumps high"            # 6-token eval doc
+    train = [
+        (1, f"alpha beta {bench} gamma delta"),         # contaminated
+        (2, "all alone words nothing shared here"),     # clean
+        (3, bench),                                     # verbatim eval copy
+    ]
+    corpus = spark.createDataFrame(train, "doc_id bigint, text string")
+    eval_df = spark.createDataFrame(
+        [(100, bench)], "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           scrub_spans(corpus, eval_df, "text", "doc_id",
+                       gram_tokens=4).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["n_removed"] == 6 and out[1]["n_spans"] == 1
+    assert out[2]["clean_text"] == train[1][1]
+    assert out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0

@@ -149,6 +149,7 @@ QUERIES = [
     "jaccard_lsh_verified",
     "dedup_clusters_lsh",
     "dedup_spans",
+    "decontaminate_spans",
 ]
 
 

@@ -137,6 +137,7 @@ QUERIES = [
     "jaccard_lsh_verified",
     "dedup_clusters_lsh",
     "dedup_spans",
+    "decontaminate_spans",
 ]
 
 HOSTILE = {
