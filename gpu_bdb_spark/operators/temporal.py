@@ -591,3 +591,86 @@ def windowed_pair_counts(
              .alias("n_pairs"))
         .filter(F.col("n_pairs") > 0)
     )
+
+
+def trailing_event_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_us: int,
+    include_current: bool = True,
+) -> DataFrame:
+    """Per-EVENT trailing-window sufficient statistics — exact count and
+    decimal sums (Σv, Σv²) of the same key's events inside
+    [t − window_us, t] (or [t − window_us, t − 1] with
+    include_current=False) — computed by PREFIX SUMS instead of a
+    sliding RANGE frame. This is the density-independent escape hatch
+    for `rolling_user_24h` / `rolling_zscore`: Spark's sliding frames
+    re-accumulate from frame start on every slide (O(n · rows_in_frame)
+    per key — quadratic on a bot-grade key whose events pack inside one
+    window span, measured in SCALE.md "hot-user probe"), while here
+    each event becomes two signed probe rows against one incremental
+    UNBOUNDED-PRECEDING frame: O(n log n) per key regardless of
+    density. Decimal prefix differences are EXACT (no float
+    cancellation), so the stats equal the frame form's bit-for-bit —
+    pinned by equivalence test.
+
+    RANGE-peer semantics match the frame form's: the hi probe sits AT t
+    (inclusive) or t−1 (exclusive), so timestamp ties are full peers in
+    both directions. Returns one row per event:
+    (id_col, n long, sum_v decimal, sum_v2 decimal)."""
+    W = int(window_us)
+    ord_us = _as_ordinal(df, ts_col).cast("long")
+    v6 = F.col(value_col).cast("decimal(18,6)")
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("_id"),
+        ord_us.alias("_t"),
+        v6.alias("_v"),
+    )
+    contrib = base.select(
+        "_k", F.col("_t").alias("_us"),
+        F.lit(1).alias("_w"), F.col("_v"),
+        (F.col("_v") * F.col("_v")).cast("decimal(38,12)").alias("_v2"),
+        F.lit(0).alias("_sign"), F.lit(None).cast("long").alias("_pid"),
+    )
+    hi_off = 0 if include_current else -1
+    probes = base.select(
+        "_k",
+        F.explode(F.array(
+            F.struct((F.col("_t") + hi_off).alias("_us"),
+                     F.lit(1).alias("_sign")),
+            F.struct((F.col("_t") - W - 1).alias("_us"),
+                     F.lit(-1).alias("_sign")),
+        )).alias("_p"),
+        F.col("_id"),
+    ).select(
+        "_k", F.col("_p._us").alias("_us"),
+        F.lit(0).alias("_w"),
+        F.lit(0).cast("decimal(18,6)").alias("_v"),
+        F.lit(0).cast("decimal(38,12)").alias("_v2"),
+        F.col("_p._sign").alias("_sign"),
+        F.col("_id").alias("_pid"),
+    )
+    u = contrib.unionByName(probes)
+    w = (Window.partitionBy("_k").orderBy("_us")
+         .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = u.select(
+        "_sign", "_pid",
+        F.sum("_w").over(w).alias("_cn"),
+        F.sum("_v").over(w).alias("_cs"),
+        F.sum("_v2").over(w).alias("_cs2"),
+    )
+    return (
+        cum.filter(F.col("_sign") != 0)
+        .groupBy(F.col("_pid").alias(id_col))
+        .agg(
+            F.sum(F.col("_sign") * F.col("_cn")).cast("long").alias("n"),
+            F.sum(F.when(F.col("_sign") == 1, F.col("_cs"))
+                  .otherwise(-F.col("_cs"))).alias("sum_v"),
+            F.sum(F.when(F.col("_sign") == 1, F.col("_cs2"))
+                  .otherwise(-F.col("_cs2"))).alias("sum_v2"),
+        )
+    )

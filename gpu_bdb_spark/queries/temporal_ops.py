@@ -437,3 +437,96 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return seq.groupBy().applyInPandas(
         chain, "day long, rev double, cusum double, flag int")
+
+
+HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+              AS DECIMAL(18,4)) AS rev
+  FROM orders GROUP BY 1, 2
+),
+seq AS MATERIALIZED (
+  SELECT y, day, rev,
+         CAST(row_number() OVER (PARTITION BY y ORDER BY day) AS BIGINT)
+           AS i
+  FROM daily
+),
+r(y, i, day, rev, l, b) AS (
+  SELECT y, i, day, rev, CAST(rev AS DECIMAL(28,9)),
+         CAST(0 AS DECIMAL(28,9))
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.y, s.i, s.day, s.rev,
+         CAST(round(0.2 * s.rev + 0.8 * (r.l + r.b), 9) AS DECIMAL(28,9)),
+         CAST(round(0.1 * (CAST(round(0.2 * s.rev + 0.8 * (r.l + r.b), 9)
+                                AS DECIMAL(28,9)) - r.l)
+                    + 0.9 * r.b, 9) AS DECIMAL(28,9))
+  FROM r JOIN seq s ON s.y = r.y AND s.i = r.i + 1
+)
+SELECT y, day, CAST(rev AS DOUBLE) AS rev,
+       CAST(round(l, 6) AS DOUBLE) AS level,
+       CAST(round(b, 6) AS DOUBLE) AS trend,
+       CAST(round(l + b, 6) AS DOUBLE) AS forecast
+FROM r
+"""
+
+
+@register("holt_trend_daily", oracle=HOLT_ORACLE,
+          tags=("temporal", "smoothing", "holt", "sequential"))
+def holt_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing of daily revenue,
+    one chain per year — the level+trend extension of
+    `ewma_daily_revenue`: l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1}),
+    b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}, one-step forecast l + b.
+    α = 0.2, β = 0.1; init l₁ = x₁, b₁ = 0 (documented, replayed by the
+    oracle). Same discipline as EWMA: the fact table collapses to the
+    per-(year, day) decimal frame distributedly, the two-variable chain
+    runs per year in applyInPandas entirely in EXACT DECIMAL (quantize-9
+    HALF_UP per step, the QUANTIZED l_t feeding b_t — the oracle repeats
+    the rounded expression verbatim), outputs re-round to 6. The DuckDB
+    recursive CTE carries (l, b) and restates every step bit-for-bit."""
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_orderdate", "o_totalprice"], hint_broadcast=False)
+    daily = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.floor(micros("o_orderdate") / F.lit(86_400_000_000))
+        .cast("long").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("rev"))
+
+    def chain(pdf):
+        import decimal as _dec
+
+        _dec.getcontext().prec = 50
+        q9 = _dec.Decimal("1e-9")
+        q6 = _dec.Decimal("1e-6")
+        a, ac = _dec.Decimal("0.2"), _dec.Decimal("0.8")
+        beta, bc = _dec.Decimal("0.1"), _dec.Decimal("0.9")
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lv = tr = None
+        out_l, out_b, out_f = [], [], []
+        for x in pdf["rev"]:
+            x = _dec.Decimal(x)
+            if lv is None:
+                lv, tr = x.quantize(q9), _dec.Decimal(0).quantize(q9)
+            else:
+                prev = lv
+                lv = (a * x + ac * (prev + tr)).quantize(
+                    q9, rounding=_dec.ROUND_HALF_UP)
+                tr = (beta * (lv - prev) + bc * tr).quantize(
+                    q9, rounding=_dec.ROUND_HALF_UP)
+            out_l.append(float(lv.quantize(q6, rounding=_dec.ROUND_HALF_UP)))
+            out_b.append(float(tr.quantize(q6, rounding=_dec.ROUND_HALF_UP)))
+            out_f.append(float((lv + tr).quantize(
+                q6, rounding=_dec.ROUND_HALF_UP)))
+        pdf["level"] = out_l
+        pdf["trend"] = out_b
+        pdf["forecast"] = out_f
+        pdf["rev"] = [float(_dec.Decimal(x)) for x in pdf["rev"]]
+        return pdf[["y", "day", "rev", "level", "trend", "forecast"]]
+
+    return daily.groupBy("y").applyInPandas(
+        chain,
+        "y long, day long, rev double, level double, trend double, "
+        "forecast double")

@@ -825,3 +825,85 @@ def streaming_cusum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_holt(
+    rows: DataFrame,
+    key_col: str = "y",
+    seq_col: str = "day",
+    val_col: str = "rev",
+    alpha: str = "0.2",
+    beta: str = "0.1",
+) -> DataFrame:
+    """Streaming twin of `temporal_ops.holt_trend_daily`: one Holt
+    level+trend chain per key with BOTH running values carried as exact
+    decimal strings in state (the streaming_ewma discipline, extended
+    to a two-variable recursion). Each step quantizes level and trend
+    round-9 HALF_UP with the QUANTIZED level feeding the trend update —
+    identical order to the batch chain, so drained ≡ batch bit-for-bit.
+    State per key is (last_seq, l, b); rows within a micro-batch
+    process in seq order; non-decreasing cross-batch contract. Emits
+    (key, seq, val, level, trend, forecast) in append mode."""
+    a_str, b_str = alpha, beta
+
+    def update(key, pdfs, state):
+        import decimal as _dec
+
+        import pandas as _pd
+
+        _dec.getcontext().prec = 50
+        q9 = _dec.Decimal("1e-9")
+        q6 = _dec.Decimal("1e-6")
+        a = _dec.Decimal(a_str)
+        ac = _dec.Decimal(1) - a
+        bt = _dec.Decimal(b_str)
+        bc = _dec.Decimal(1) - bt
+        last_seq, l_s, b_s = state.get if state.exists else (-1 << 62, "", "")
+        lv = _dec.Decimal(l_s) if l_s else None
+        tr = _dec.Decimal(b_s) if b_s else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(seq_col)
+            out = {k: [] for k in
+                   ("seq", "val", "level", "trend", "forecast")}
+            for s_, v in zip(pdf[seq_col], pdf[val_col]):
+                x = _dec.Decimal(v)
+                if lv is None:
+                    lv = x.quantize(q9)
+                    tr = _dec.Decimal(0).quantize(q9)
+                else:
+                    prev = lv
+                    lv = (a * x + ac * (prev + tr)).quantize(
+                        q9, rounding=_dec.ROUND_HALF_UP)
+                    tr = (bt * (lv - prev) + bc * tr).quantize(
+                        q9, rounding=_dec.ROUND_HALF_UP)
+                last_seq = int(s_)
+                out["seq"].append(int(s_))
+                out["val"].append(float(x))
+                out["level"].append(float(lv.quantize(
+                    q6, rounding=_dec.ROUND_HALF_UP)))
+                out["trend"].append(float(tr.quantize(
+                    q6, rounding=_dec.ROUND_HALF_UP)))
+                out["forecast"].append(float((lv + tr).quantize(
+                    q6, rounding=_dec.ROUND_HALF_UP)))
+            yield _pd.DataFrame({
+                "y": [key[0]] * len(out["seq"]), "day": out["seq"],
+                "rev": out["val"], "level": out["level"],
+                "trend": out["trend"], "forecast": out["forecast"],
+            })
+        state.update((last_seq,
+                      str(lv) if lv is not None else "",
+                      str(tr) if tr is not None else ""))
+
+    return (
+        rows.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=("y long, day long, rev double, level double,"
+                              " trend double, forecast double"),
+            stateStructType="last_seq long, l string, b string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

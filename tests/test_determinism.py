@@ -150,6 +150,7 @@ QUERIES = [
     "dedup_clusters_lsh",
     "dedup_spans",
     "decontaminate_spans",
+    "holt_trend_daily",
 ]
 
 

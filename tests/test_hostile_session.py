@@ -138,6 +138,7 @@ QUERIES = [
     "dedup_clusters_lsh",
     "dedup_spans",
     "decontaminate_spans",
+    "holt_trend_daily",
 ]
 
 HOSTILE = {

@@ -355,3 +355,36 @@ def test_bloom_probe_broadcasts_bitset(spark, sf_dir):
     against the dimension."""
     plan = formatted_plan(all_specs()["bloom_filter_probe"].fn(spark, sf_dir))
     assert has_broadcast_join(plan), plan
+
+
+def test_windowed_pair_counts_prefix_has_no_join(spark, sf_dir):
+    """The prefix-sum formulation must stay join-free: union + ONE
+    incremental unbounded-preceding frame + aggregate. Any Join node
+    means the pair-materializing shape crept back (the 100 TB hot-user
+    guarantee rests on this — SCALE.md round-11 hot-user probe)."""
+    plan = formatted_plan(
+        all_specs()["view_then_purchase_windowed"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:800]
+    assert "Window" in plan
+
+
+def test_scrub_spans_broadcasts_eval_grams(spark, sf_dir):
+    """decontaminate_spans: the eval gram-hash probe must be a broadcast
+    hash join (benchmark-sized side), never a corpus-vs-eval shuffle;
+    and no nested-loop/cartesian anywhere in the cut tail."""
+    plan = formatted_plan(
+        all_specs()["decontaminate_spans"].fn(spark, sf_dir))
+    assert has_broadcast_join(plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_spans_no_pairwise_join(spark, sf_dir):
+    """dedup_spans: occurrence ranking is a WINDOW over the gram hash —
+    a hot gram must be a window partition, never a join fan-out. No
+    nested-loop/cartesian; the covered-position legs are joins on bare
+    (id, pos) only."""
+    plan = formatted_plan(all_specs()["dedup_spans"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan

@@ -1282,3 +1282,43 @@ def test_streaming_cusum_equals_batch(spark, sf_dir, tmp_path_factory):
     assert (got["cusum"].values == expect["cusum"].values).all()
     assert (got["rev"].values == expect["rev"].values).all()
     assert (got["flag"].values == expect["flag"].values).all()
+
+
+def test_streaming_holt_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Per-year Holt level+trend chains over a 3-micro-batch stream of
+    the daily revenue frame: two decimal strings of state, quantized
+    level feeding the trend update in the same order as batch —
+    drained ≡ batch bit-for-bit against the holt_trend_daily entry."""
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.queries.registry import all_specs
+    from gpu_bdb_spark.streaming.stateful import streaming_holt
+
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_orderdate", "o_totalprice"])
+    daily = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("rev"))
+    lo, hi = daily.select(F.min("day"), F.max("day")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    d = tmp_path_factory.mktemp("holt_3b")
+    daily.filter(F.col("day") <= cut1).coalesce(1)\
+        .write.parquet(str(d / "f0"))
+    daily.filter((F.col("day") > cut1) & (F.col("day") <= cut2))\
+        .coalesce(1).write.parquet(str(d / "f1"))
+    daily.filter(F.col("day") > cut2).coalesce(1)\
+        .write.parquet(str(d / "f2"))
+    stream = (spark.readStream.schema(daily.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d / "f*")))
+    got = _run_to_memory_append(
+        spark, streaming_holt(stream, "y", "day", "rev"), "holt_3b")
+    expect = (all_specs()["holt_trend_daily"].fn(spark, sf_dir)
+              .toPandas())
+    key = ["y", "day"]
+    got = got.sort_values(key, ignore_index=True)
+    expect = expect.sort_values(key, ignore_index=True)
+    assert len(got) == len(expect) > 0
+    assert got[key].equals(expect[key])
+    for c in ("level", "trend", "forecast", "rev"):
+        assert (got[c].values == expect[c].values).all(), c

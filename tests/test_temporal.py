@@ -385,3 +385,54 @@ def test_windowed_pair_counts_strategies_agree(spark):
     expect = {1: 2, 2: 4}
     assert run("prefix") == expect
     assert run("frame") == expect
+
+
+def test_trailing_event_stats_equals_sliding_frame(spark):
+    """Prefix-sum per-event trailing stats ≡ the sliding RANGE frame
+    form, bit-for-bit on exact decimals, for BOTH edge conventions
+    (inclusive = rolling_user_24h's [-W, 0]; exclusive =
+    rolling_zscore's [-W, -1]) on a fixture with timestamp ties and
+    events exactly W apart."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.temporal import trailing_event_stats
+
+    W = 1000
+    rows = []
+    eid = 0
+    for key, ts_list in [
+        (1, [0, 500, 500, 1000, 1500, 1501, 2501]),   # ties + exact W
+        (2, [100, 100, 100, 100]),                    # all tied
+        (3, [5000]),                                  # singleton
+    ]:
+        for t in ts_list:
+            eid += 1
+            rows.append((eid, key, t, float(eid) * 1.25))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, value double")
+
+    for include_current, hi in ((True, 0), (False, -1)):
+        w = (Window.partitionBy("user_id").orderBy("us")
+             .rangeBetween(-W, hi))
+        v6 = F.col("value").cast("decimal(18,6)")
+        frame = df.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_f"),
+            F.sum(v6).over(w).alias("s_f"),
+            F.sum((v6 * v6).cast("decimal(38,12)")).over(w).alias("s2_f"),
+        )
+        # exclusive frame with no preceding rows -> count 0, sums NULL;
+        # the prefix form's signed aggregate yields 0 for empty windows
+        prefix = trailing_event_stats(
+            df, "user_id", "us", "event_id", "value", W,
+            include_current=include_current)
+        joined = frame.join(prefix, "event_id")
+        bad = joined.filter(
+            (F.col("n_f") != F.col("n"))
+            | (F.coalesce(F.col("s_f"), F.lit(0).cast("decimal(18,6)"))
+               != F.col("sum_v"))
+            | (F.coalesce(F.col("s2_f"), F.lit(0).cast("decimal(38,12)"))
+               != F.col("sum_v2"))).count()
+        assert bad == 0, f"include_current={include_current}"
+        assert joined.count() == len(rows)
