@@ -530,3 +530,112 @@ def holt_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         chain,
         "y long, day long, rev double, level double, trend double, "
         "forecast double")
+
+
+SEASONAL_DECOMPOSE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+              AS DECIMAL(18,4)) AS rev
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT day, rev,
+         count(*) OVER w AS n7,
+         CAST(SUM(rev) OVER w AS DECIMAL(28,4)) AS sum7
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT day, rev, n7, sum7, (day + 4) % 7 AS wd,
+         CASE WHEN n7 = 7
+              THEN CAST(7 * rev AS DECIMAL(28,4)) - sum7 END AS det7
+  FROM win
+),
+seas AS (
+  SELECT wd,
+         CAST(SUM(det7) AS DOUBLE) AS s_sum,
+         CAST(COUNT(det7) AS BIGINT) AS s_n
+  FROM det GROUP BY wd
+)
+SELECT d.day,
+       CAST(d.rev AS DOUBLE) AS rev,
+       CASE WHEN d.n7 = 7 THEN CAST(d.sum7 AS DOUBLE) / 7.0 END AS trend,
+       CASE WHEN s.s_n > 0
+            THEN s.s_sum / (7.0 * CAST(s.s_n AS DOUBLE)) END AS seasonal,
+       CASE WHEN d.n7 = 7 AND s.s_n > 0
+            THEN (CAST(d.rev AS DOUBLE) - CAST(d.sum7 AS DOUBLE) / 7.0)
+                 - s.s_sum / (7.0 * CAST(s.s_n AS DOUBLE)) END AS remainder
+FROM det d LEFT JOIN seas s USING (wd)
+"""
+
+
+@register("seasonal_decompose_daily", oracle=SEASONAL_DECOMPOSE_ORACLE,
+          tags=("temporal", "decomposition", "seasonal"))
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of daily revenue:
+    trend = centered 7-day moving average (NULL at series edges /
+    gaps — the frame must hold exactly 7 days), weekly seasonal =
+    per-weekday mean of the detrended series, remainder = the rest.
+
+    Cross-engine exactness WITHOUT any quotient rounding: every
+    aggregate is an exact decimal (the 7-day total, and 7·x − Σ7 — the
+    detrended value SCALED BY 7 so it never leaves decimal), and each
+    published float is a FIXED-ORDER chain of correctly-rounded IEEE
+    ops on bit-identical inputs (sum7/7.0; s_sum/(7.0·n); (rev − trend)
+    − seasonal) — the ab_test_conversion argument, so no round()
+    appears at all. Decimal→double casts stay exact (int forms ≪ 2^53).
+
+    Scale shape: the fact table collapses distributedly to the
+    day-cardinality frame FIRST; the total-order ±3-day window then
+    sorts a few-thousand-row frame (single partition by construction —
+    the rfm ntile precedent), the weekday frame is 7 rows and joins
+    back broadcast. The sliding frame here is day-granular: its width
+    is 7 ROWS by definition, immune to the bot-density trap measured
+    in SCALE.md round 11."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_orderdate", "o_totalprice"], hint_broadcast=False)
+    daily = o.groupBy(
+        F.floor(micros("o_orderdate") / F.lit(86_400_000_000))
+        .cast("long").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,4)"))
+          .cast("decimal(18,4)").alias("rev"))
+    w = Window.orderBy("day").rangeBetween(-3, 3)
+    win = daily.select(
+        "day", "rev",
+        F.count(F.lit(1)).over(w).alias("n7"),
+        F.sum("rev").over(w).cast("decimal(28,4)").alias("sum7"),
+    )
+    det = win.select(
+        "day", "rev", "n7", "sum7",
+        F.pmod(F.col("day") + 4, F.lit(7)).alias("wd"),
+        F.when(F.col("n7") == 7,
+               (F.lit(7) * F.col("rev")).cast("decimal(28,4)")
+               - F.col("sum7")).alias("det7"),
+    )
+    seas = det.groupBy("wd").agg(
+        F.sum("det7").cast("double").alias("s_sum"),
+        F.count("det7").cast("long").alias("s_n"),
+    )
+    trend = F.when(F.col("n7") == 7,
+                   F.col("sum7").cast("double") / F.lit(7.0))
+    seasonal = F.when(
+        F.col("s_n") > 0,
+        F.col("s_sum") / (F.lit(7.0) * F.col("s_n").cast("double")))
+    return (
+        det.join(F.broadcast(seas), "wd", "left")
+        .select(
+            "day",
+            F.col("rev").cast("double").alias("rev"),
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            F.when((F.col("n7") == 7) & (F.col("s_n") > 0),
+                   (F.col("rev").cast("double")
+                    - F.col("sum7").cast("double") / F.lit(7.0))
+                   - (F.col("s_sum")
+                      / (F.lit(7.0) * F.col("s_n").cast("double"))))
+            .alias("remainder"),
+        )
+    )

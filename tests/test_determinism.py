@@ -151,6 +151,7 @@ QUERIES = [
     "dedup_spans",
     "decontaminate_spans",
     "holt_trend_daily",
+    "seasonal_decompose_daily",
 ]
 
 

@@ -139,6 +139,7 @@ QUERIES = [
     "dedup_spans",
     "decontaminate_spans",
     "holt_trend_daily",
+    "seasonal_decompose_daily",
 ]
 
 HOSTILE = {
