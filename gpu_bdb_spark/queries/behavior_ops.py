@@ -1244,3 +1244,122 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         chain, "t_days long, n_risk long, d long, c long, survival double")
     return km.select("t_days", "n_risk", F.col("d").alias("n_events"),
                      F.col("c").alias("n_censored"), "survival")
+
+
+def _sprt_consts():
+    """Driver-side SPRT constants, quantized decimal scale 12 and
+    inlined into BOTH engines (the decayed_engagement no-libm-on-the-
+    compare-path discipline): H0 p=0.25 vs H1 p=0.30, alpha=beta=0.05."""
+    import decimal as _dec
+    import math as _math
+
+    q12 = _dec.Decimal("1e-12")
+
+    def q(x):
+        return _dec.Decimal(repr(x)).quantize(
+            q12, rounding=_dec.ROUND_HALF_UP)
+
+    return {
+        "c1": q(_math.log(0.30 / 0.25)),      # per-conversion increment
+        "c0": q(_math.log(0.70 / 0.75)),      # per-non-conversion
+        "a": q(_math.log(0.95 / 0.05)),       # accept-H1 boundary
+        "b": q(_math.log(0.05 / 0.95)),       # accept-H0 boundary
+    }
+
+
+_SPRT = _sprt_consts()
+
+SPRT_ORACLE = f"""
+WITH ud AS (
+  SELECT epoch_us(ts) // {DAY_US} AS day, user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+d AS (
+  SELECT CAST(day AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(conv) AS BIGINT) AS n_converted
+  FROM ud GROUP BY 1
+),
+l AS (
+  SELECT day, n_users, n_converted,
+         SUM(CAST(n_converted * CAST({_SPRT["c1"]} AS DECIMAL(20,12))
+                  + (n_users - n_converted)
+                    * CAST({_SPRT["c0"]} AS DECIMAL(20,12))
+                  AS DECIMAL(26,12)))
+           OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+  FROM d
+)
+SELECT day, n_users, n_converted,
+       CAST(llr AS DOUBLE) AS llr,
+       CASE WHEN llr >= CAST({_SPRT["a"]} AS DECIMAL(20,12))
+              THEN 'accept_h1'
+            WHEN llr <= CAST({_SPRT["b"]} AS DECIMAL(20,12))
+              THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM l
+"""
+
+
+@register("sprt_conversion", oracle=SPRT_ORACLE,
+          tags=("behavior", "sequential", "sprt", "ab-test"))
+def sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the daily conversion
+    stream (H0 p=0.25 vs H1 p=0.30, alpha=beta=0.05): the sequential-
+    DECISION companion to `cusum_changepoint`'s drift chart and
+    `ab_test_conversion`'s fixed-horizon z-test. Per day, trials =
+    distinct active users, conversions = users who purchased; the
+    log-likelihood ratio is a pure CUMULATIVE SUM of per-day increments
+    k·ln(p1/p0) + (n−k)·ln(q1/q0) — no recursion at all, so the chain
+    is one unbounded-preceding window over the day-cardinality frame.
+    The log constants and Wald boundaries are driver-side decimals
+    inlined into BOTH engines (no libm on the compare path), the
+    accumulation is exact DECIMAL, the boundary comparisons are
+    decimal-vs-decimal, and the published llr is the EXACT scale-12
+    decimal cast to double with NO rounding (int form stays far under
+    2^53 — a round(…, 6) here hit a genuine half-way tie at sf0.01 and
+    the engines disagreed; raw exact cast sidesteps the tie class
+    entirely). The decision column is bit-deterministic.
+    Scale shape: the fact table collapses to (day, user) distinct
+    pairs, then to the day frame, before any sequential logic."""
+    e = read_table(spark, sf_dir, "events", ["user_id", "event_type", "ts"],
+                   hint_broadcast=False)
+    from gpu_bdb_spark.functions import micros
+
+    from pyspark.sql import Window
+
+    ud = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy(
+            F.floor(micros("ts") / F.lit(DAY_US)).cast("long").alias("day"),
+            "user_id")
+        .agg(F.max((F.col("event_type") == "purchase").cast("int"))
+             .alias("conv"))
+    )
+    d = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_converted"),
+    )
+    # counts must be NARROW decimals before the multiply: long ×
+    # decimal(20,12) overflows precision 38 and Spark silently REDUCES
+    # THE SCALE of the product to 9 (allowPrecisionLoss) — measured as
+    # a ~1e-7 llr drift vs the oracle. decimal(10,0) × decimal(14,12)
+    # = decimal(25,12): exact.
+    c1 = F.lit(str(_SPRT["c1"])).cast("decimal(14,12)")
+    c0 = F.lit(str(_SPRT["c0"])).cast("decimal(14,12)")
+    a = F.lit(str(_SPRT["a"])).cast("decimal(14,12)")
+    b = F.lit(str(_SPRT["b"])).cast("decimal(14,12)")
+    k = F.col("n_converted").cast("decimal(10,0)")
+    nk = (F.col("n_users") - F.col("n_converted")).cast("decimal(10,0)")
+    inc = (k * c1 + nk * c0).cast("decimal(26,12)")
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    llr = F.sum(inc).over(w)
+    return d.select(
+        "day", "n_users", "n_converted",
+        llr.cast("double").alias("llr"),
+        F.when(llr >= a, F.lit("accept_h1"))
+        .when(llr <= b, F.lit("accept_h0"))
+        .otherwise(F.lit("continue")).alias("decision"),
+    )

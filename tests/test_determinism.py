@@ -152,6 +152,7 @@ QUERIES = [
     "decontaminate_spans",
     "holt_trend_daily",
     "seasonal_decompose_daily",
+    "sprt_conversion",
 ]
 
 
