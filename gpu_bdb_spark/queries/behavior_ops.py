@@ -1292,7 +1292,7 @@ l AS (
   FROM d
 )
 SELECT day, n_users, n_converted,
-       CAST(llr AS DOUBLE) AS llr,
+       CAST(CAST(llr AS VARCHAR) AS DOUBLE) AS llr,
        CASE WHEN llr >= CAST({_SPRT["a"]} AS DECIMAL(20,12))
               THEN 'accept_h1'
             WHEN llr <= CAST({_SPRT["b"]} AS DECIMAL(20,12))
@@ -1317,10 +1317,12 @@ def sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlined into BOTH engines (no libm on the compare path), the
     accumulation is exact DECIMAL, the boundary comparisons are
     decimal-vs-decimal, and the published llr is the EXACT scale-12
-    decimal cast to double with NO rounding (int form stays far under
-    2^53 — a round(…, 6) here hit a genuine half-way tie at sf0.01 and
-    the engines disagreed; raw exact cast sidesteps the tie class
-    entirely). The decision column is bit-deterministic.
+    decimal cast to double with NO rounding (a round(…, 6) here hit a
+    genuine half-way tie at sf0.01 and the engines disagreed; raw cast
+    sidesteps the tie class entirely). The oracle routes that cast
+    through VARCHAR: at sf1 the llr's scale-12 int form crosses 2^53
+    (llr ≈ 9007+) and DuckDB's int128→double→÷10¹² double-rounds — the
+    round-9 taxonomy's lesson 3, measured again here. The decision column is bit-deterministic.
     Scale shape: the fact table collapses to (day, user) distinct
     pairs, then to the day frame, before any sequential logic."""
     e = read_table(spark, sf_dir, "events", ["user_id", "event_type", "ts"],
