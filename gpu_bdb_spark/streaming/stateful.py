@@ -907,3 +907,70 @@ def streaming_holt(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_sprt(
+    rows: DataFrame,
+    c1: str,
+    c0: str,
+    a: str,
+    b: str,
+    seq_col: str = "day",
+) -> DataFrame:
+    """Streaming twin of `behavior_ops.sprt_conversion`: Wald's SPRT run
+    as a standing monitor over the (already collapsed) daily
+    (n_users, n_converted) frame. The per-conversion / per-non-
+    conversion log-likelihood increments and the Wald boundaries arrive
+    as DECIMAL STRINGS (the same driver-side inlined constants the
+    batch entry and its oracle share — no libm anywhere), the running
+    LLR is carried as an exact decimal string in state, and the
+    boundary compares are decimal-vs-decimal — drained ≡ batch is
+    bit-for-bit by construction. O(1) state; non-decreasing cross-batch
+    seq contract. Emits (day, n_users, n_converted, llr, decision) in
+    append mode."""
+    from pyspark.sql import functions as F
+
+    c1_s, c0_s, a_s, b_s = c1, c0, a, b
+
+    def update(key, pdfs, state):
+        import decimal as _dec
+
+        import pandas as _pd
+
+        _dec.getcontext().prec = 50
+        c1d, c0d = _dec.Decimal(c1_s), _dec.Decimal(c0_s)
+        ad, bd = _dec.Decimal(a_s), _dec.Decimal(b_s)
+        last_seq, llr_s = state.get if state.exists else (-1 << 62, "0")
+        llr = _dec.Decimal(llr_s)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(seq_col)
+            out = {k: [] for k in
+                   ("day", "n_users", "n_converted", "llr", "decision")}
+            for d_, n, k_ in zip(pdf[seq_col], pdf["n_users"],
+                                 pdf["n_converted"]):
+                llr += int(k_) * c1d + (int(n) - int(k_)) * c0d
+                last_seq = int(d_)
+                out["day"].append(int(d_))
+                out["n_users"].append(int(n))
+                out["n_converted"].append(int(k_))
+                out["llr"].append(float(llr))
+                out["decision"].append(
+                    "accept_h1" if llr >= ad
+                    else ("accept_h0" if llr <= bd else "continue"))
+            yield _pd.DataFrame(out)
+        state.update((last_seq, str(llr)))
+
+    return (
+        rows.withColumn("_k", F.lit(0))
+        .groupBy("_k")
+        .applyInPandasWithState(
+            update,
+            outputStructType=("day long, n_users long, n_converted long, "
+                              "llr double, decision string"),
+            stateStructType="last_seq long, llr string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1322,3 +1322,55 @@ def test_streaming_holt_equals_batch(spark, sf_dir, tmp_path_factory):
     assert got[key].equals(expect[key])
     for c in ("level", "trend", "forecast", "rev"):
         assert (got[c].values == expect[c].values).all(), c
+
+
+def test_streaming_sprt_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Wald SPRT as a standing monitor over a 3-micro-batch stream of
+    the daily conversion frame, sharing the batch entry's inlined
+    decimal constants: exact-decimal string state makes drained ≡
+    batch bit-for-bit against the sprt_conversion entry."""
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.queries.behavior_ops import _SPRT, DAY_US
+    from gpu_bdb_spark.queries.registry import all_specs
+    from gpu_bdb_spark.streaming.stateful import streaming_sprt
+
+    e = read_table(spark, sf_dir, "events",
+                   ["user_id", "event_type", "ts"])
+    ud = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy(
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                    / F.lit(DAY_US)).cast("long").alias("day"),
+            "user_id")
+        .agg(F.max((F.col("event_type") == "purchase").cast("int"))
+             .alias("conv"))
+    )
+    daily = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_converted"))
+    lo, hi = daily.select(F.min("day"), F.max("day")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    d = tmp_path_factory.mktemp("sprt_3b")
+    daily.filter(F.col("day") <= cut1).coalesce(1)\
+        .write.parquet(str(d / "f0"))
+    daily.filter((F.col("day") > cut1) & (F.col("day") <= cut2))\
+        .coalesce(1).write.parquet(str(d / "f1"))
+    daily.filter(F.col("day") > cut2).coalesce(1)\
+        .write.parquet(str(d / "f2"))
+    stream = (spark.readStream.schema(daily.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d / "f*")))
+    got = _run_to_memory_append(
+        spark,
+        streaming_sprt(stream, str(_SPRT["c1"]), str(_SPRT["c0"]),
+                       str(_SPRT["a"]), str(_SPRT["b"])),
+        "sprt_3b")
+    expect = (all_specs()["sprt_conversion"].fn(spark, sf_dir)
+              .toPandas())
+    got = got.sort_values("day", ignore_index=True)
+    expect = expect.sort_values("day", ignore_index=True)
+    assert len(got) == len(expect) > 0
+    assert got["day"].equals(expect["day"])
+    assert (got["llr"].values == expect["llr"].values).all()
+    assert got["decision"].equals(expect["decision"])
+    assert got["n_users"].equals(expect["n_users"])
+    assert got["n_converted"].equals(expect["n_converted"])
