@@ -639,3 +639,133 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("remainder"),
         )
     )
+
+
+def _hw_oracle() -> str:
+    """Holt-Winters additive recursive-CTE oracle, assembled
+    programmatically: the quantized level expression must be inlined
+    into the trend and seasonal updates (SQL can't alias within the
+    recursive SELECT), and the weekday-indexed seasonal is 7 carried
+    columns with a CASE per column."""
+    wd = "(s.day + 4) % 7"
+    s_used = ("CASE " + " ".join(
+        f"WHEN {wd} = {i} THEN r.s{i}" for i in range(7)) + " END")
+    lt = (f"CAST(round(0.2 * (s.rev - ({s_used})) "
+          f"+ 0.8 * (r.l + r.b), 9) AS DECIMAL(28,9))")
+    bt = (f"CAST(round(0.1 * ({lt} - r.l) + 0.9 * r.b, 9) "
+          f"AS DECIMAL(28,9))")
+    snew = (f"CAST(round(0.3 * (s.rev - {lt}) + 0.7 * ({s_used}), 9) "
+            f"AS DECIMAL(28,9))")
+    scols = ",\n         ".join(
+        f"CASE WHEN {wd} = {i} THEN {snew} ELSE r.s{i} END AS s{i}"
+        for i in range(7))
+    zero = "CAST(0 AS DECIMAL(28,9))"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+              AS DECIMAL(18,4)) AS rev
+  FROM orders GROUP BY 1, 2
+),
+seq AS MATERIALIZED (
+  SELECT y, day, rev,
+         CAST(row_number() OVER (PARTITION BY y ORDER BY day) AS BIGINT)
+           AS i
+  FROM daily
+),
+r(y, i, day, rev, fitted, l, b,
+  s0, s1, s2, s3, s4, s5, s6) AS (
+  SELECT y, i, day, rev, CAST(NULL AS DECIMAL(28,9)),
+         CAST(rev AS DECIMAL(28,9)), {zero},
+         {zero}, {zero}, {zero}, {zero}, {zero}, {zero}, {zero}
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.y, s.i, s.day, s.rev,
+         CAST(r.l + r.b + ({s_used}) AS DECIMAL(28,9)),
+         {lt},
+         {bt},
+         {scols}
+  FROM r JOIN seq s ON s.y = r.y AND s.i = r.i + 1
+)
+SELECT y, day, CAST(rev AS DOUBLE) AS rev,
+       CAST(round(l, 6) AS DOUBLE) AS level,
+       CAST(round(b, 6) AS DOUBLE) AS trend,
+       CAST(round(fitted, 6) AS DOUBLE) AS fitted
+FROM r
+"""
+
+
+@register("holt_winters_daily", oracle=_hw_oracle(),
+          tags=("temporal", "smoothing", "holt-winters", "seasonal",
+                "sequential"))
+def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing of daily revenue
+    (weekly period), one chain per year — the seasonal completion of
+    the smoothing family (EWMA → Holt → Holt-Winters): with weekday
+    seasonal state s_w, l_t = α(x_t − s_w) + (1−α)(l+b),
+    b_t = β(l_t − l) + (1−β)b, s_w ← γ(x_t − l_t) + (1−γ)s_w, and the
+    published `fitted` is the PRIOR one-step forecast l+b+s_w (NULL on
+    each chain's first row). α=0.2, β=0.1, γ=0.3; init l₁=x₁, b₁=0,
+    s≡0 (documented; the oracle replays it). Seasonality is indexed by
+    WEEKDAY, not recursion position, so day gaps cannot misalign the
+    period. Exactness discipline: exact-decimal chain quantized
+    round-9 per step, the QUANTIZED level feeding both the trend and
+    seasonal updates — the DuckDB recursive CTE (assembled by
+    `_hw_oracle`, carrying the 7 seasonal columns) restates every step
+    bit-for-bit."""
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_orderdate", "o_totalprice"], hint_broadcast=False)
+    daily = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.floor(micros("o_orderdate") / F.lit(86_400_000_000))
+        .cast("long").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("rev"))
+
+    def chain(pdf):
+        import decimal as _dec
+
+        _dec.getcontext().prec = 50
+        q9 = _dec.Decimal("1e-9")
+        q6 = _dec.Decimal("1e-6")
+        al, alc = _dec.Decimal("0.2"), _dec.Decimal("0.8")
+        be, bec = _dec.Decimal("0.1"), _dec.Decimal("0.9")
+        ga, gac = _dec.Decimal("0.3"), _dec.Decimal("0.7")
+        z9 = _dec.Decimal(0).quantize(q9)
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lv = tr = None
+        s = {i: z9 for i in range(7)}
+        out_l, out_b, out_f = [], [], []
+
+        def r6(d):
+            return (None if d is None else
+                    float(d.quantize(q6, rounding=_dec.ROUND_HALF_UP)))
+
+        for day, x in zip(pdf["day"], pdf["rev"]):
+            x = _dec.Decimal(x)
+            w = int((int(day) + 4) % 7)
+            if lv is None:
+                lv, tr = x.quantize(q9), z9
+                out_f.append(None)
+            else:
+                sw = s[w]
+                out_f.append(r6(lv + tr + sw))
+                prev = lv
+                lv = (al * (x - sw) + alc * (prev + tr)).quantize(
+                    q9, rounding=_dec.ROUND_HALF_UP)
+                tr = (be * (lv - prev) + bec * tr).quantize(
+                    q9, rounding=_dec.ROUND_HALF_UP)
+                s[w] = (ga * (x - lv) + gac * sw).quantize(
+                    q9, rounding=_dec.ROUND_HALF_UP)
+            out_l.append(r6(lv))
+            out_b.append(r6(tr))
+        pdf["level"] = out_l
+        pdf["trend"] = out_b
+        pdf["fitted"] = out_f
+        pdf["rev"] = [float(_dec.Decimal(x)) for x in pdf["rev"]]
+        return pdf[["y", "day", "rev", "level", "trend", "fitted"]]
+
+    return daily.groupBy("y").applyInPandas(
+        chain,
+        "y long, day long, rev double, level double, trend double, "
+        "fitted double")
