@@ -601,6 +601,10 @@ def trailing_event_stats(
     value_col: str,
     window_us: int,
     include_current: bool = True,
+    value_decimal: str = "decimal(18,6)",
+    sq_decimal: str = "decimal(38,12)",
+    count_nonnull: bool = False,
+    payload: tuple = (),
 ) -> DataFrame:
     """Per-EVENT trailing-window sufficient statistics — exact count and
     decimal sums (Σv, Σv²) of the same key's events inside
@@ -620,21 +624,37 @@ def trailing_event_stats(
     RANGE-peer semantics match the frame form's: the hi probe sits AT t
     (inclusive) or t−1 (exclusive), so timestamp ties are full peers in
     both directions. Returns one row per event:
-    (id_col, n long, sum_v decimal, sum_v2 decimal)."""
+    (id_col, key_col, n long, sum_v decimal, sum_v2 decimal, *payload).
+
+    `value_decimal` sets the quantization scale of the per-value decimal
+    (match it to the oracle's CAST — e.g. decimal(12,4) for
+    rolling_user_24h, decimal(18,6) for rolling_zscore); `sq_decimal`
+    the squared-sum width. `count_nonnull=True` counts only non-NULL
+    values (SQL COUNT(value) semantics) instead of rows. `payload`
+    names extra per-event columns carried through on the probe rows
+    (e.g. the event's own value for z-scoring) — join-free."""
     W = int(window_us)
     ord_us = _as_ordinal(df, ts_col).cast("long")
-    v6 = F.col(value_col).cast("decimal(18,6)")
+    id_type = df.schema[id_col].dataType
+    v6 = F.col(value_col).cast(value_decimal)
     base = df.select(
         F.col(key_col).alias("_k"),
         F.col(id_col).alias("_id"),
         ord_us.alias("_t"),
         v6.alias("_v"),
+        *[F.col(c) for c in payload],
+    )
+    weight = (
+        F.when(F.col("_v").isNotNull(), 1).otherwise(0)
+        if count_nonnull else F.lit(1)
     )
     contrib = base.select(
         "_k", F.col("_t").alias("_us"),
-        F.lit(1).alias("_w"), F.col("_v"),
-        (F.col("_v") * F.col("_v")).cast("decimal(38,12)").alias("_v2"),
-        F.lit(0).alias("_sign"), F.lit(None).cast("long").alias("_pid"),
+        weight.alias("_w"), F.col("_v"),
+        (F.col("_v") * F.col("_v")).cast(sq_decimal).alias("_v2"),
+        F.lit(0).alias("_sign"), F.lit(None).cast(id_type).alias("_pid"),
+        *[F.lit(None).cast(base.schema[c].dataType).alias(c)
+          for c in payload],
     )
     hi_off = 0 if include_current else -1
     probes = base.select(
@@ -646,31 +666,35 @@ def trailing_event_stats(
                      F.lit(-1).alias("_sign")),
         )).alias("_p"),
         F.col("_id"),
+        *[F.col(c) for c in payload],
     ).select(
         "_k", F.col("_p._us").alias("_us"),
         F.lit(0).alias("_w"),
-        F.lit(0).cast("decimal(18,6)").alias("_v"),
-        F.lit(0).cast("decimal(38,12)").alias("_v2"),
+        F.lit(0).cast(value_decimal).alias("_v"),
+        F.lit(0).cast(sq_decimal).alias("_v2"),
         F.col("_p._sign").alias("_sign"),
         F.col("_id").alias("_pid"),
+        *[F.col(c) for c in payload],
     )
     u = contrib.unionByName(probes)
     w = (Window.partitionBy("_k").orderBy("_us")
          .rangeBetween(Window.unboundedPreceding, Window.currentRow))
     cum = u.select(
-        "_sign", "_pid",
+        "_k", "_sign", "_pid",
         F.sum("_w").over(w).alias("_cn"),
         F.sum("_v").over(w).alias("_cs"),
         F.sum("_v2").over(w).alias("_cs2"),
+        *payload,
     )
     return (
         cum.filter(F.col("_sign") != 0)
-        .groupBy(F.col("_pid").alias(id_col))
+        .groupBy(F.col("_pid").alias(id_col), F.col("_k").alias(key_col))
         .agg(
             F.sum(F.col("_sign") * F.col("_cn")).cast("long").alias("n"),
             F.sum(F.when(F.col("_sign") == 1, F.col("_cs"))
                   .otherwise(-F.col("_cs"))).alias("sum_v"),
             F.sum(F.when(F.col("_sign") == 1, F.col("_cs2"))
                   .otherwise(-F.col("_cs2"))).alias("sum_v2"),
+            *[F.any_value(c).alias(c) for c in payload],
         )
     )

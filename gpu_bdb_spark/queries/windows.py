@@ -19,6 +19,7 @@ from gpu_bdb_spark.functions import dec, micros
 from gpu_bdb_spark.io import read_table
 from gpu_bdb_spark.operators.sessionize import session_stats, sessionize
 from gpu_bdb_spark.operators.stats import regression_sums, slope_intercept
+from gpu_bdb_spark.operators.temporal import trailing_event_stats
 from gpu_bdb_spark.queries.registry import register
 
 # ---------------------------------------------------------------------------
@@ -391,26 +392,28 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           tags=("window", "range-frame", "rolling"))
 def rolling_user_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing-24-hour activity: count and exact decimal sum
-    of the same user's events in a RANGE frame over epoch micros (the
-    moving-aggregate shape; RANGE — not ROWS — so simultaneous events
-    are full peers in both engines). One shuffle on user_id; the frame
-    is evaluated by Spark's sliding window aggregator, never a
-    self-join."""
+    of the same user's events in [t − 24h, t] (RANGE peers — not ROWS —
+    so simultaneous events are full peers in both engines). Computed by
+    PREFIX SUMS (operators/temporal.trailing_event_stats), not a
+    trailing RANGE frame: Spark's sliding frames re-accumulate from
+    frame start per slide — O(n · rows_in_frame) per key, quadratic on
+    a bot-grade user whose events pack inside one window span (measured
+    1783.5 s vs 9.2 s on a 200k-event packed hot user, SCALE.md). The
+    prefix shape is density-independent: two signed probe rows per
+    event against ONE incremental UNBOUNDED-PRECEDING frame, join-free,
+    and bit-exact-equal to the frame form on exact decimals
+    (test_temporal.py pins both edge conventions)."""
     e = read_table(spark, sf_dir, "events",
                    ["event_id", "user_id", "ts", "value"],
                    hint_broadcast=False)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(micros("ts"))
-        .rangeBetween(-86_400_000_000, 0)
-    )
-    return e.select(
+    stats = trailing_event_stats(
+        e, "user_id", "ts", "event_id", "value", 86_400_000_000,
+        include_current=True, value_decimal="decimal(12,4)")
+    return stats.select(
         "event_id",
         "user_id",
-        F.count(F.lit(1)).over(w).alias("n_24h"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(12,4)")).over(w)
-            .cast("double"), 2).alias("sum_24h"),
+        F.col("n").alias("n_24h"),
+        F.round(F.col("sum_v").cast("double"), 2).alias("sum_24h"),
     )
 
 
@@ -568,26 +571,31 @@ def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed order on identical inputs, so even the |z| > 3 cut compares
     bit-identical doubles cross-engine (ab_test_conversion argument);
     degenerate baselines (n < 2 or non-positive variance from float
-    cancellation) yield NULL deterministically. One shuffle on the
-    user key; the frame is a sliding aggregate, never a self-join."""
+    cancellation) yield NULL deterministically. Computed by PREFIX SUMS
+    (operators/temporal.trailing_event_stats) instead of a sliding
+    RANGE frame — the frame form is O(n · rows_in_frame) per key
+    (quadratic on a packed hot user, measured 194× slower in SCALE.md);
+    the prefix sufficient statistics are exact decimals equal to the
+    frame form's bit-for-bit, and the finishing mean/variance/z chain
+    below is the SAME fixed IEEE order, so the output (including the
+    |z| > 3 cut) is unchanged. The event's own value rides the probe
+    rows as payload — no join back to the fact."""
     e = read_table(spark, sf_dir, "events",
                    ["event_id", "user_id", "ts", "value"],
                    hint_broadcast=False)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(micros("ts"))
-        .rangeBetween(-604_800_000_000, -1)
-    )
-    v6 = F.col("value").cast("decimal(18,6)")
-    n = F.count("value").over(w)
-    sx = F.sum(v6).over(w).cast("double")
-    sxx = F.sum(v6 * v6).over(w).cast("double")
+    stats = trailing_event_stats(
+        e, "user_id", "ts", "event_id", "value", 604_800_000_000,
+        include_current=False, value_decimal="decimal(18,6)",
+        count_nonnull=True, payload=("value",))
+    n = F.col("n")
+    sx = F.col("sum_v").cast("double")
+    sxx = F.col("sum_v2").cast("double")
     nd = n.cast("double")
     var = (sxx - sx * sx / nd) / (n - 1).cast("double")
     zraw = F.when(
         (n >= 2) & (var > 0),
         (F.col("value") - sx / nd) / F.sqrt(var))
-    return e.select(
+    return stats.select(
         "event_id", "user_id",
         n.cast("long").alias("n_prev"),
         F.round(zraw, 6).alias("z"),

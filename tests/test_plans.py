@@ -388,3 +388,21 @@ def test_dedup_spans_no_pairwise_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+def test_rolling_entries_use_prefix_shape(spark, sf_dir):
+    """rolling_user_24h / rolling_zscore (VERDICT r04 weak finding):
+    the registered entries must run the density-independent prefix-sum
+    shape — join-free, and the only window frame is the incremental
+    UNBOUNDED-PRECEDING cumulative (no trailing RANGE lower bound whose
+    re-accumulation is quadratic on a packed hot key; measured 194×,
+    SCALE.md round-11). A Join node or a bounded-lower-bound frame
+    means the sliding-frame shape crept back."""
+    import re
+
+    for name in ("rolling_user_24h", "rolling_zscore"):
+        plan = formatted_plan(all_specs()[name].fn(spark, sf_dir))
+        assert "Join" not in plan, (name, plan[:800])
+        frames = re.findall(r"specifiedwindowframe\([^)]*", plan)
+        assert frames, (name, plan[:800])
+        for fr in frames:
+            assert "unboundedpreceding" in fr, (name, fr)

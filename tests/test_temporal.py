@@ -436,3 +436,46 @@ def test_trailing_event_stats_equals_sliding_frame(spark):
                != F.col("sum_v2"))).count()
         assert bad == 0, f"include_current={include_current}"
         assert joined.count() == len(rows)
+
+def test_trailing_event_stats_params_match_frame(spark):
+    """New trailing_event_stats parameters (round 5): count_nonnull
+    (SQL COUNT(value) semantics), value_decimal quantization, payload
+    carry-through, and a STRING id column (ADVICE r04: the probe-row
+    placeholder must derive its type from the input, not assume long).
+    Equivalence vs the sliding frame on a fixture WITH NULL values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.temporal import trailing_event_stats
+
+    W = 1000
+    rows = []
+    for i, (key, t, v) in enumerate([
+        (1, 0, 1.2345), (1, 500, None), (1, 500, 2.5),
+        (1, 1000, None), (1, 1600, 7.77), (2, 10, None), (2, 10, 3.0),
+    ]):
+        rows.append((f"e{i}", key, t, v, f"tag{i}"))
+    df = spark.createDataFrame(
+        rows, "eid string, user_id long, us long, value double, tag string")
+
+    w = (Window.partitionBy("user_id").orderBy("us").rangeBetween(-W, 0))
+    v4 = F.col("value").cast("decimal(12,4)")
+    frame = df.select(
+        "eid", "tag",
+        F.count("value").over(w).alias("n_f"),
+        F.sum(v4).over(w).alias("s_f"),
+    )
+    prefix = trailing_event_stats(
+        df, "user_id", "us", "eid", "value", W,
+        value_decimal="decimal(12,4)", count_nonnull=True,
+        payload=("tag",))
+    assert prefix.schema["eid"].dataType.typeName() == "string"
+    joined = frame.withColumnRenamed("tag", "tag_f").join(prefix, "eid")
+    bad = joined.filter(
+        (F.col("n_f") != F.col("n"))
+        | (F.coalesce(F.col("s_f"), F.lit(0).cast("decimal(12,4)"))
+           != F.col("sum_v"))
+        | (F.col("tag_f") != F.col("tag"))
+        | (F.col("user_id").isNull())).count()
+    assert bad == 0
+    assert joined.count() == len(rows)
