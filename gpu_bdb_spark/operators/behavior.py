@@ -446,11 +446,22 @@ def conversion_lag_rollup(per_user: DataFrame) -> DataFrame:
     per-user frame, and the single finishing expression
     (a + ((b−a)·rem)/den) / 1e6 is a fixed-order IEEE chain both
     engines share bit-for-bit — so NO terminal rounding is needed (the
-    ab_test discipline: correctly-rounded ops in fixed order)."""
+    ab_test discipline: correctly-rounded ops in fixed order).
+
+    The global rank window runs over DISTINCT lag values with counts
+    (ADVICE r04) — the unavoidable single-partition total order is
+    bounded by lag-value cardinality, never converted-user
+    cardinality; rank k+1 is picked from each value's [cum−cnt+1, cum]
+    run."""
     conv = per_user.filter(F.col("lag_us").isNotNull())
-    ranked = conv.select(
-        F.col("lag_us"),
-        F.row_number().over(Window.orderBy("lag_us")).alias("_r"))
+    dist = conv.groupBy("lag_us").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"))
+    cum = F.sum("_c").over(
+        Window.orderBy("lag_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = dist.select(
+        "lag_us", (cum - F.col("_c") + 1).alias("_rlo"),
+        cum.alias("_rhi"))
     totals = per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n_users_from"),
         F.count("lag_us").cast("long").alias("n_converted"))
@@ -459,9 +470,11 @@ def conversion_lag_rollup(per_user: DataFrame) -> DataFrame:
         pos = (F.col("n_converted") - 1) * num
         k = F.floor(pos / den).cast("long")
         return [
-            F.min(F.when(F.col("_r") == k + 1, F.col("lag_us")))
+            F.min(F.when((F.col("_rlo") <= k + 1)
+                         & (k + 1 <= F.col("_rhi")), F.col("lag_us")))
             .alias(f"_a{tag}"),
-            F.min(F.when(F.col("_r") == k + 2, F.col("lag_us")))
+            F.min(F.when((F.col("_rlo") <= k + 2)
+                         & (k + 2 <= F.col("_rhi")), F.col("lag_us")))
             .alias(f"_b{tag}"),
         ]
 

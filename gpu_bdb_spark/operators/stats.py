@@ -158,13 +158,24 @@ def interpolated_percentiles(
     fixed-order IEEE both engines replay bit-for-bit (restate it
     verbatim in the oracle — no terminal round needed). Returns one
     row: (n_name, *out_names).
+
+    The rank window is unpartitioned by construction (a global order
+    statistic needs a total order), but it runs over the DISTINCT
+    values with counts — a map-side-combined aggregate first — so the
+    single-partition sort is bounded by value cardinality, never row
+    cardinality (ADVICE r04): rank k+1 is picked from each distinct
+    value's [cum−cnt+1, cum] run instead of per-row row_number.
     """
     from pyspark.sql import Window
 
     vals = df.filter(F.col(value_col).isNotNull())
-    ranked = vals.select(
-        F.col(value_col).alias("_v"),
-        F.row_number().over(Window.orderBy(value_col)).alias("_r"))
+    dist = vals.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c"))
+    cum = F.sum("_c").over(
+        Window.orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = dist.select(
+        "_v", (cum - F.col("_c") + 1).alias("_rlo"), cum.alias("_rhi"))
     totals = vals.agg(F.count(F.lit(1)).cast("long").alias(n_name))
 
     picks = []
@@ -172,9 +183,11 @@ def interpolated_percentiles(
         pos = (F.col(n_name) - 1) * num
         k = F.floor(pos / den).cast("long")
         picks += [
-            F.min(F.when(F.col("_r") == k + 1, F.col("_v")))
+            F.min(F.when((F.col("_rlo") <= k + 1)
+                         & (k + 1 <= F.col("_rhi")), F.col("_v")))
             .alias(f"_a_{name}"),
-            F.min(F.when(F.col("_r") == k + 2, F.col("_v")))
+            F.min(F.when((F.col("_rlo") <= k + 2)
+                         & (k + 2 <= F.col("_rhi")), F.col("_v")))
             .alias(f"_b_{name}"),
         ]
     picked = ranked.crossJoin(F.broadcast(totals)).agg(*picks)

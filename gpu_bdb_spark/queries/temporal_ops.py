@@ -246,14 +246,18 @@ def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for 0 ≤ epoch_us < 1e20 and 0 ≤ event_id < 1e12 (lpad TRUNCATES
     longer inputs; negative epochs break lexicographic order), so the
     key is guarded by assert_true — out-of-domain rows fail the query
-    loudly instead of silently mis-ordering first/last."""
+    loudly instead of silently mis-ordering first/last. NULL ts /
+    event_id pass the guard (they produce a NULL order key that
+    min_by/max_by ignore, the pre-guard behavior) — only genuinely
+    out-of-domain VALUES fail (ADVICE r04)."""
     e = read_table(spark, sf_dir, "events",
                    ["event_id", "ts", "user_id", "value"],
                    hint_broadcast=False)
     us = micros("ts")
     in_domain = (
-        (us >= 0) & (F.col("event_id") >= 0)
-        & (F.col("event_id") < F.lit(1_000_000_000_000)))
+        ((us >= 0) & (F.col("event_id") >= 0)
+         & (F.col("event_id") < F.lit(1_000_000_000_000)))
+        | us.isNull() | F.col("event_id").isNull())
     ordk = F.when(
         F.assert_true(
             in_domain,

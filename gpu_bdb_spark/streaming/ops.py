@@ -319,6 +319,12 @@ def cms_latest_version(sketch_path: str):
                 and os.path.isfile(full)):
             with open(full) as f:
                 data = f.read().strip()
+            # defensive: skip an empty/dangling marker (pre-round-5
+            # commits had a write-after-create window; a marker whose
+            # data dir is gone is unreadable either way)
+            if not data or not os.path.isdir(
+                    os.path.join(sketch_path, data)):
+                continue
             versions[int(name[8:])] = os.path.join(sketch_path, data)
     if not versions:
         return None, None
@@ -388,16 +394,26 @@ def _commit_version(base_path: str, batch_id: int, merged,
         merged.write.mode("overwrite").parquet(
             os.path.join(base_path, data))
         marker = os.path.join(base_path, f"commit-v{batch_id}")
+        # Write the marker CONTENT first into a hidden tmp file, then
+        # os.link it into place: link(2) is atomic AND exclusive
+        # (EEXIST if a concurrent committer won), so a reader can never
+        # observe an empty marker (ADVICE r04 — the old O_CREAT|O_EXCL
+        # + write left a window where cms_latest_version resolved the
+        # data dir to ""). On a real object store this whole mode maps
+        # to a single atomic PUT of the marker object.
+        tmp = os.path.join(base_path, f".marker-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, marker)
         except FileExistsError:
             shutil.rmtree(os.path.join(base_path, data),
                           ignore_errors=True)
             return
-        with os.fdopen(fd, "w") as f:
-            f.write(data)
-            f.flush()
-            os.fsync(f.fileno())
+        finally:
+            os.unlink(tmp)
     else:
         raise ValueError(f"unknown commit_mode {commit_mode!r}")
     _prune_versions(base_path, batch_id)
@@ -421,6 +437,11 @@ def _prune_versions(base_path: str, batch_id: int) -> None:
                 and os.path.isfile(full)):
             with open(full) as f:
                 data = f.read().strip()
+            # an empty marker would resolve its data dir to base_path
+            # itself — pruning it would rmtree the whole table. Skip
+            # (same guard as cms_latest_version).
+            if not data:
+                continue
             committed[int(name[8:])] = (
                 full, os.path.join(base_path, data))
     keep = sorted(committed)[-2:]

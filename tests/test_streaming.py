@@ -1374,3 +1374,39 @@ def test_streaming_sprt_equals_batch(spark, sf_dir, tmp_path_factory):
     assert got["decision"].equals(expect["decision"])
     assert got["n_users"].equals(expect["n_users"])
     assert got["n_converted"].equals(expect["n_converted"])
+
+def test_pointer_commit_marker_never_empty(spark, tmp_path):
+    """ADVICE r04: pointer-mode commit links the marker into place with
+    its content already durable (os.link of a fsync'd tmp file), so a
+    concurrent cms_latest_version can never resolve an empty marker to
+    base_path; and an empty/dangling legacy marker is skipped by both
+    the reader and the pruner instead of resolving to the table root."""
+    import os
+
+    from gpu_bdb_spark.streaming.ops import (_commit_version,
+                                             _prune_versions,
+                                             cms_latest_version)
+
+    base = str(tmp_path / "sketch")
+    df = spark.range(3).selectExpr("id AS key", "id AS cnt")
+    _commit_version(base, 0, df, "pointer")
+    v, path = cms_latest_version(base)
+    assert v == 0 and path is not None and os.path.isdir(path)
+    with open(os.path.join(base, "commit-v0")) as f:
+        assert f.read().strip().startswith("data-v0-")
+    # no stray tmp marker left behind
+    assert not [n for n in os.listdir(base) if n.startswith(".marker-")]
+
+    # a legacy empty marker must be invisible to the reader and inert
+    # to the pruner (an empty marker resolves to base_path — pruning it
+    # would rmtree the whole table)
+    with open(os.path.join(base, "commit-v1"), "w"):
+        pass
+    v, path = cms_latest_version(base)
+    assert v == 0
+    _commit_version(base, 2, df, "pointer")
+    _commit_version(base, 3, df, "pointer")
+    _prune_versions(base, 3)
+    assert os.path.isdir(base)
+    v, _ = cms_latest_version(base)
+    assert v == 3

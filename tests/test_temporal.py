@@ -479,3 +479,31 @@ def test_trailing_event_stats_params_match_frame(spark):
         | (F.col("user_id").isNull())).count()
     assert bad == 0
     assert joined.count() == len(rows)
+
+def test_m4_downsample_ignores_null_ts_and_id(spark, tmp_path):
+    """ADVICE r04: NULL ts / event_id rows must pass the lpad-domain
+    assert_true guard (they produce a NULL order key that min_by/max_by
+    ignore) — only genuinely out-of-domain VALUES fail loudly."""
+    from gpu_bdb_spark.queries.registry import all_specs
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 5, 1.0),
+         (None, "2024-01-01 00:20:00", 5, 2.0),
+         (2, None, 5, 3.0),
+         (3, "2024-01-01 00:30:00", 5, 4.0)],
+        "event_id long, ts string, user_id long, value double",
+    ).select(F.col("event_id"), F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "value",
+             F.lit("view").alias("event_type"), F.lit("{}").alias("props"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = all_specs()["m4_downsample"].fn(spark, str(tmp_path)).collect()
+    # NULL ts groups under a NULL bucket (pre-guard behavior); the
+    # NULL-event_id row stays in the real bucket with a NULL order key
+    # that min_by/max_by ignore
+    assert len(out) == 2
+    by_bucket = {r["bucket"] is None: r for r in out}
+    main, nullb = by_bucket[False], by_bucket[True]
+    assert main["n"] == 3
+    assert main["v_first"] == 1.0 and main["v_last"] == 4.0
+    assert main["v_min"] == 1.0 and main["v_max"] == 4.0
+    assert nullb["n"] == 1 and nullb["v_first"] is None
