@@ -20,6 +20,16 @@ Each query runs $SPARK_GRAFT_REPEATS times (default 3; the reference runs
 N_REPEATS=5, benchmark_runner.py:9) and reports the BEST repeat, so
 round-over-round comparisons measure the plan, not JIT/page-cache jitter.
 The spread is reported per query in "spread" (max-min across repeats).
+
+Plan-cache priming (round-5 verdict item): before its timed repeats,
+each query runs ONCE untimed at sf0.001. Whole-stage-codegen classes are
+cached by generated-source hash, so the tiny-SF run compiles the same
+units the sf0.1 plan uses; without it the first timed repeat pays a
+codegen/classload tax that best-of-N hides in "value" but leaks into
+"spread" (dedup_minhash_lsh measured ±3 s cold vs 1.8 s warm —
+SCALE.md). The timed repeats still include per-repeat plan BUILD cost;
+only one-time JVM compilation is amortized, exactly like the
+reference's repeat amortization.
 """
 
 from __future__ import annotations
@@ -41,6 +51,13 @@ BASELINE13 = (
     "pricing_summary", "revenue_by_nation", "sessionize_events",
     "text_quality", "token_counts", "window_rank_orders",
 )
+
+#: Full-series entries promoted for extension-family regression
+#: visibility (round-5 verdict item 2) whose sf0.1 wall is tens of
+#: seconds: one timed repeat each (their ~30-40 s scale makes best-of-N
+#: jitter-trimming proportionally irrelevant, and 3 repeats would
+#: triple bench wall for no signal). Never in the frozen series.
+HEAVY_ONCE = ("pagerank_neardup",)
 
 
 def main() -> None:
@@ -64,8 +81,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
+        # prime this query's codegen units at sf0.001 (untimed; see
+        # module docstring)
+        spec.fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop").mode("overwrite").save()
         runs: list[float] = []
-        for _ in range(repeats):
+        for _ in range(1 if name in HEAVY_ONCE else repeats):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -24,6 +24,31 @@ from pyspark.sql import functions as F
 from gpu_bdb_spark.functions import tokenize
 from gpu_bdb_spark.operators.text import fingerprint, ngrams
 
+#: Mersenne prime modulus for the portable Carter–Wegman minhash family.
+#: With h1 < 2^32 and a < 2^30, a·h1 + b < 2^62 + 2^61 < 2^63 — exact
+#: signed-64-bit arithmetic in Spark AND DuckDB, no overflow under ANSI.
+_CW_P = (1 << 61) - 1
+
+
+def minhash_cw_constants(num_hashes: int) -> list:
+    """Fixed pseudorandom (a_i, b_i) pairs for the portable minhash
+    family sig_i = min((a_i·h1 + b_i) mod 2^61−1) — derived from md5 of
+    the seed index so both the Spark plan and the generated DuckDB
+    oracle inline the SAME literals. a_i ∈ [1, 2^30), b_i ∈ [0, 2^61−1).
+    Independent multipliers per seed keep the per-seed minima
+    independent (min-wise property) — unlike Kirsch–Mitzenmacher
+    h1 + i·h2, whose argmin collapses to argmin(h2) for large i."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode())
+                .hexdigest()[:8], 16) % (1 << 30) or 1
+        b = int(hashlib.md5(f"minhash-b-{i}".encode())
+                .hexdigest()[:16], 16) % _CW_P
+        out.append((a, b))
+    return out
+
 
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -135,13 +160,17 @@ def minhash_lsh_pairs(
     petabyte-corpus dedup layout.
     """
     rows = num_hashes // bands
-    # Both sides of the bucket self-join (and the verify joins below) would
-    # re-evaluate the shingle/signature subtree per branch — Spark plans a
-    # self-join as two scans. Persist the two narrow reused intermediates
-    # (the reference persists reused intermediates the same way, ~50 sites,
-    # e.g. q08:156-166).
-    shingled = shingled.persist()
-    signed = minhash_signatures(shingled, num_hashes).persist()
+    # Deliberately NOT persisted: the multi-consumer branches (bucket
+    # self-join sides, signature re-attach, shingle re-attach) re-execute
+    # the cheap xxhash64 subtrees, but that is FASTER than caching —
+    # persist forces materialization of wide shingle arrays + cache
+    # write/read and breaks whole-stage pipelines across the boundary
+    # (measured at sf0.1 under the per-entry cache boundary: 5.4-6.2 s
+    # with both persists, 2.4-3.1 s with none — the round-6 triangles/
+    # walks lesson again). Contrast minhash_lsh_verified_portable, whose
+    # md5 signature stage IS expensive enough to persist. Re-execution
+    # is deterministic (xxhash64 over deterministic arrays).
+    signed = minhash_signatures(shingled, num_hashes)
     # One pass: emit every band's (band, band_hash) from a single projection
     # and explode — a per-band union would re-evaluate the signature
     # expressions once per band (observed 16× cost at bench time).
@@ -294,21 +323,30 @@ def lsh_verified_pairs_portable(
     ⊆ the exhaustive quadratic join always."""
     rows = num_hashes // bands
     shingled = sets_df.persist()
+    # Carter–Wegman hash family (round 5): ONE md5 per member → 32-bit
+    # base hash h1; hash_i = (a_i·h1 + b_i) mod (2^61−1) with fixed
+    # pseudorandom constants (`minhash_cw_constants`) inlined as
+    # literals in BOTH engines. vs the old md5-per-(seed, member):
+    # num_hashes× fewer md5 evals (measured 4.4-5.0 s → 1.6-2.0 s for
+    # the 32-sig stage on 5k docs at sf0.1), and the DuckDB oracle gets
+    # the same cut. All products < 2^62 — exact BIGINT, no overflow
+    # even under ANSI. NOTE: Kirsch–Mitzenmacher h1 + i·h2 was tried
+    # first and is statistically WRONG for minhash — for large i the
+    # argmin collapses to argmin(h2), so the per-seed minima are fully
+    # correlated (measured agreement 2/32 on a J = 0.84 pair); CW's
+    # independent multipliers restore the min-wise property
+    # (test_dedup.py::test_minhash_portable_estimates_jaccard).
+    h1 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     sh_posting = shingled.select(
-        F.col("id"), F.explode("members").alias("shingle"))
-
-    def h(i: int):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 8),
-            16, 10).cast("long")
-
-    # Persist: the band self-join plans two scans of this subtree, and
-    # the 32-way md5 aggregate is the expensive stage (md5 is ~10× an
-    # xxhash64) — without this it runs twice. Narrow frame: id + 32
-    # longs. The registry boundary unpersists at the next entry.
+        F.col("id"), F.explode("members").alias("shingle")
+    ).select("id", h1.alias("h1"))
+    cw = minhash_cw_constants(num_hashes)
+    # Persist: the band self-join plans two scans of this subtree —
+    # narrow frame (id + num_hashes longs); the registry boundary
+    # unpersists at the next entry.
     signed = sh_posting.groupBy("id").agg(
-        *[F.min(h(i)).alias(f"sig_{i}") for i in range(num_hashes)]).persist()
+        *[F.min((F.lit(a) * F.col("h1") + F.lit(b)) % F.lit(_CW_P))
+          .alias(f"sig_{i}") for i, (a, b) in enumerate(cw)]).persist()
     # One projection + explode emits every band key (a per-band union
     # would re-evaluate the signature aggregate per band); the band key
     # is the comma-joined member sigs — portable, unlike xxhash64(...).
@@ -809,12 +847,13 @@ def minhash_signatures_portable(
             .alias("shingle"),
         )
     )
-
-    def h(i: int):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 8),
-            16, 10).cast("long")
-
-    return sh.groupBy("id").agg(
-        *[F.min(h(i)).alias(f"sig_{i}") for i in range(num_hashes)])
+    # Carter–Wegman family: ONE md5 per shingle → h1, then
+    # sig_i = min((a_i·h1 + b_i) mod 2^61−1) — num_hashes× fewer md5
+    # evals than the old per-(seed, shingle) form, same
+    # oracle-replayable arithmetic (see lsh_verified_pairs_portable for
+    # why Kirsch–Mitzenmacher is wrong here).
+    h1 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    cw = minhash_cw_constants(num_hashes)
+    return sh.select("id", h1.alias("h1")).groupBy("id").agg(
+        *[F.min((F.lit(a) * F.col("h1") + F.lit(b)) % F.lit(_CW_P))
+          .alias(f"sig_{i}") for i, (a, b) in enumerate(cw)])

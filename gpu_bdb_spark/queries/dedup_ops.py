@@ -126,9 +126,13 @@ def _lsh_verified_ctes(num_hashes: int = 32, bands: int = 16,
     CTEs per reference — at sf1 that turned this chain pathological;
     SCALE.md round-8/9 oracle-cost lessons)."""
     rows = num_hashes // bands
+    # Carter–Wegman family matching the operator: ONE md5 per shingle →
+    # h1, sig_i = MIN((a_i·h1 + b_i) % 2^61−1) with the same inlined
+    # constants — num_hashes× fewer md5 evals on BOTH engines.
+    from gpu_bdb_spark.operators.dedup import _CW_P, minhash_cw_constants
     mins = ",\n         ".join(
-        "MIN(CAST(concat('0x', substr(md5('{i}:' || shingle), 1, 8)) "
-        "AS BIGINT)) AS sig_{i}".format(i=i) for i in range(num_hashes))
+        f"MIN(({a} * h1 + {b}) % {_CW_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_cw_constants(num_hashes)))
     band_rows = "\n  UNION ALL ".join(
         "SELECT id, {b} AS band, {bh} AS bh FROM sig".format(
             b=b,
@@ -146,10 +150,14 @@ idx AS (
 sh AS MATERIALIZED (
   SELECT DISTINCT doc_id AS id, toks[i] || ' ' || toks[i + 1] AS shingle
   FROM idx),
+shh AS (
+  SELECT id,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h1
+  FROM sh),
 sig AS MATERIALIZED (
   SELECT id,
          """ + mins + """
-  FROM sh GROUP BY id
+  FROM shh GROUP BY id
 ),
 bandv AS MATERIALIZED (
   """ + band_rows + """
@@ -189,7 +197,8 @@ def _lsh_verified_oracle(num_hashes: int = 32, bands: int = 16) -> str:
 
 
 @register("dedup_lsh_verified", oracle=_lsh_verified_oracle(),
-          tags=("dedup", "minhash", "lsh", "portable", "pipeline"))
+          tags=("dedup", "minhash", "lsh", "portable", "pipeline"),
+          bench=True)
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation dedup pipeline — MinHash-band LSH candidate
     generation + exact integer-Jaccard verify (threshold 3/5) — with a
@@ -696,7 +705,7 @@ SELECT id, rank FROM pr WHERE iter = 6
 
 
 @register("pagerank_neardup", oracle=PAGERANK_ORACLE,
-          tags=("graph", "pagerank", "dedup", "centrality"))
+          tags=("graph", "pagerank", "dedup", "centrality"), bench=True)
 def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the near-duplicate graph (exact bigram
     Jaccard ≥ 0.6): 6 power-iteration rounds with decimal-quantized
@@ -712,9 +721,12 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_portable_oracle(num_hashes: int = 8) -> str:
+    # Carter–Wegman family: one md5 per shingle → h1,
+    # sig_i = MIN((a_i·h1 + b_i) % 2^61−1) (see _lsh_verified_ctes)
+    from gpu_bdb_spark.operators.dedup import _CW_P, minhash_cw_constants
     mins = ",\n       ".join(
-        "MIN(CAST(concat('0x', substr(md5('{i}:' || shingle), 1, 8)) "
-        "AS BIGINT)) AS sig_{i}".format(i=i) for i in range(num_hashes))
+        f"MIN(({a} * h1 + {b}) % {_CW_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_cw_constants(num_hashes)))
     return r"""
 WITH t AS (
   SELECT doc_id,
@@ -725,9 +737,13 @@ idx AS (
   SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t
 ),
 sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
-       FROM idx)
+       FROM idx),
+shh AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h1
+  FROM sh)
 SELECT doc_id AS id,
-       """ + mins + "\nFROM sh GROUP BY doc_id"
+       """ + mins + "\nFROM shh GROUP BY doc_id"
 
 
 @register("minhash_portable", oracle=_minhash_portable_oracle(8),
@@ -1136,7 +1152,7 @@ LEFT JOIN spans s ON d.doc_id = s.doc_id
 
 
 @register("dedup_spans", oracle=DEDUP_SPANS_ORACLE,
-          tags=("dedup", "spans", "text"))
+          tags=("dedup", "spans", "text"), bench=True)
 def dedup_spans_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup (Lee et al. 2022 ExactSubstr via
     fixed 4-token gram anchors): cut every duplicated >=4-token run from

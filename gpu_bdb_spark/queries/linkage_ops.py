@@ -55,7 +55,7 @@ FROM p WHERE inter * 20 >= un * 19
 
 
 @register("jaccard_join_prefix", oracle=JACCARD_JOIN_ORACLE,
-          tags=("linkage", "set-similarity", "prefix-filter"))
+          tags=("linkage", "set-similarity", "prefix-filter"), bench=True)
 def jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs with token-set Jaccard ≥ 0.95 via AllPairs prefix
     filtering (rarest-tokens-first prefixes → equi-join candidates →
@@ -81,9 +81,13 @@ def _jaccard_lsh_oracle(num_hashes: int = 32, bands: int = 16,
     join → exact integer verify) — the md5 family makes every stage
     engine-portable, so the gate is deterministic at any SF."""
     rows = num_hashes // bands
+    # Carter–Wegman family: one md5 per token → h1,
+    # sig_i = MIN((a_i·h1 + b_i) % 2^61−1)
+    # (matches lsh_verified_pairs_portable)
+    from gpu_bdb_spark.operators.dedup import _CW_P, minhash_cw_constants
     mins = ",\n         ".join(
-        "MIN(CAST(concat('0x', substr(md5('{i}:' || tok), 1, 8)) "
-        "AS BIGINT)) AS sig_{i}".format(i=i) for i in range(num_hashes))
+        f"MIN(({a} * h1 + {b}) % {_CW_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_cw_constants(num_hashes)))
     band_rows = "\n  UNION ALL ".join(
         "SELECT id, {b} AS band, {bh} AS bh FROM sig".format(
             b=b,
@@ -98,10 +102,14 @@ WITH t AS (
   FROM documents
 ),
 tk AS (SELECT id, unnest(toks) AS tok FROM t WHERE len(toks) > 0),
+tkh AS (
+  SELECT id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h1
+  FROM tk),
 sig AS (
   SELECT id,
          """ + mins + """
-  FROM tk GROUP BY id
+  FROM tkh GROUP BY id
 ),
 bandv AS (
   """ + band_rows + """

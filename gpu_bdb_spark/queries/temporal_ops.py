@@ -478,7 +478,7 @@ FROM r
 
 
 @register("holt_trend_daily", oracle=HOLT_ORACLE,
-          tags=("temporal", "smoothing", "holt", "sequential"))
+          tags=("temporal", "smoothing", "holt", "sequential"), bench=True)
 def holt_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend (double exponential) smoothing of daily revenue,
     one chain per year — the level+trend extension of
