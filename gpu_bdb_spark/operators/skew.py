@@ -56,3 +56,111 @@ def salted_collect_set(
         F.collect_set(value_col).alias("_part"))
     return partial.groupBy(key_col).agg(
         F.array_distinct(F.flatten(F.collect_list("_part"))).alias("values"))
+
+
+def key_skew_stats(df: DataFrame, *key_cols: str) -> dict:
+    """One-row skew diagnostics over an arbitrary (composite) key — the
+    data-driven pre-flight behind the auto-`strategy=` pickers below
+    (VERDICT r04 item 4: operators should pick the skew-safe plan from
+    DATA, not from the caller). Two hash aggregates (per-key counts with
+    map-side partials, then a single-row rollup) collected to the driver
+    — the collect is ONE row, the same budget as a convergence
+    signature. Keys with any NULL component are excluded (they don't
+    co-locate in a shuffle anyway).
+
+    Returns {n_keys, total_rows, max_key_rows, mean_key_rows,
+    skew_factor} — skew_factor = max/mean, the `skew_report` entry's
+    headline number."""
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & F.col(c).isNotNull()
+    row = (
+        df.filter(cond)
+        .groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+             F.sum("c").cast("long").alias("total_rows"),
+             F.max("c").cast("long").alias("max_key_rows"))
+        .collect()[0]
+    )
+    d = row.asDict()
+    if not d["n_keys"]:
+        d.update(total_rows=0, max_key_rows=0,
+                 mean_key_rows=0.0, skew_factor=1.0)
+        return d
+    d["mean_key_rows"] = d["total_rows"] / d["n_keys"]
+    d["skew_factor"] = d["max_key_rows"] / max(d["mean_key_rows"], 1e-12)
+    return d
+
+
+def pick_pair_count_strategy(
+    stats: dict,
+    hot_key_rows: int = 10_000,
+    hot_skew: float = 100.0,
+) -> str:
+    """prefix vs frame for `windowed_pair_counts` /
+    `trailing_event_stats`. The trailing-RANGE-frame form re-accumulates
+    per slide — O(n · rows_in_frame) per key, measured 194× slower than
+    prefix sums on a 200k-event packed hot key but slightly FASTER in
+    the spread regime (4.6 s vs 6.0 s, SCALE.md hot-user probe) because
+    it skips the probe-row union. So: any key big enough to pack a
+    window (max_key_rows ≥ hot_key_rows), or max/mean skew ≥ hot_skew,
+    → "prefix"; else "frame"."""
+    if (stats["max_key_rows"] >= hot_key_rows
+            or stats["skew_factor"] >= hot_skew):
+        return "prefix"
+    return "frame"
+
+
+def pick_range_join_strategy(
+    stats: dict,
+    hot_cell_rows: int = 100_000,
+    hot_skew: float = 100.0,
+) -> str:
+    """bucket vs salted for `range_join`. Compute `stats` on the POINT
+    side keyed by (by..., bucket): salting spreads a hot cell across
+    n_salts reducers at the cost of replicating the interval side
+    ×n_salts, so it only pays when one cell dominates (measured
+    equivalence output≡bucket pinned in test_temporal.py)."""
+    if (stats["max_key_rows"] >= hot_cell_rows
+            or stats["skew_factor"] >= hot_skew):
+        return "salted"
+    return "bucket"
+
+
+def pick_simhash_strategy(
+    stats: dict,
+    hot_bucket_rows: int = 20_000,
+) -> str:
+    """plain vs chunked for `simhash_pairs`. Compute `stats` on the
+    pigeonhole block key: the bucket self-join reuses one exchange on
+    both sides, which DISABLES AQE's OptimizeSkewedJoin (SCALE.md
+    "SimHash hot-bucket chunking", measured 25.4 → 13.2 s), so a hot
+    bucket must be split at plan time — chunking pays only when a
+    bucket is pathological."""
+    return "chunked" if stats["max_key_rows"] >= hot_bucket_rows else "plain"
+
+
+def windowed_pair_counts_auto(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    left_filter,
+    right_filter,
+    window_us: int,
+    hot_key_rows: int = 10_000,
+    hot_skew: float = 100.0,
+) -> DataFrame:
+    """`windowed_pair_counts` with the strategy picked from the data:
+    one tiny diagnostic aggregate over the participating events chooses
+    prefix (density-independent) vs frame (cheaper when no key can pack
+    a window). Both arms are held to the same oracle, so the dispatch
+    can never change the answer — only the plan shape."""
+    from gpu_bdb_spark.operators.temporal import windowed_pair_counts
+
+    stats = key_skew_stats(
+        df.filter(left_filter | right_filter), key_col)
+    strategy = pick_pair_count_strategy(stats, hot_key_rows, hot_skew)
+    return windowed_pair_counts(
+        df, key_col, ts_col, left_filter, right_filter, window_us,
+        strategy=strategy)

@@ -392,6 +392,31 @@ def view_then_purchase_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("n_pairs", "n_view_purchase_pairs")
 
 
+@register("view_then_purchase_auto", oracle=VIEW_THEN_PURCHASE_ORACLE,
+          tags=("theta-join", "time", "auto-strategy", "skew"))
+def view_then_purchase_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-strategy composition (VERDICT r04 item 4): the SAME
+    pair-count semantics, with the plan shape picked from DATA — one
+    tiny per-key diagnostic aggregate (`operators/skew.key_skew_stats`,
+    a single collected row) chooses prefix sums when any key is hot
+    enough to pack a window (the 194×-measured quadratic regime of the
+    sliding frame) and the cheaper frame form otherwise
+    (`pick_pair_count_strategy`, thresholds documented there). Both
+    arms are held to this identical oracle, so dispatch can change only
+    the plan, never the answer; the arm choice itself is pinned on
+    planted hot/uniform fixtures in tests/test_skew.py."""
+    from gpu_bdb_spark.operators.skew import windowed_pair_counts_auto
+
+    e = read_table(spark, sf_dir, "events", ["user_id", "event_type", "ts"],
+                   hint_broadcast=False).filter(F.col("user_id").isNotNull())
+    return windowed_pair_counts_auto(
+        e, "user_id", "ts",
+        left_filter=F.col("event_type") == "view",
+        right_filter=F.col("event_type") == "purchase",
+        window_us=3600 * 1_000_000,
+    ).withColumnRenamed("n_pairs", "n_view_purchase_pairs")
+
+
 # ---------------------------------------------------------------------------
 # Count-distinct per group (reference workaround q25:32-45, q26:30-39;
 # native in Spark) + stats aggs (q23:32-43 mean/std)

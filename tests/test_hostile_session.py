@@ -141,6 +141,8 @@ QUERIES = [
     "holt_trend_daily",
     "seasonal_decompose_daily",
     "sprt_conversion",
+    # round-12 entries
+    "view_then_purchase_auto",
 ]
 
 HOSTILE = {

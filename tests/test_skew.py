@@ -125,3 +125,74 @@ def test_salted_collect_set_matches_plain(spark, sf_dir):
         for r in salted_collect_set(l, "l_returnflag", "l_partkey", 4).collect()
     }
     assert plain == salted
+
+
+def test_auto_strategy_pickers_choose_right_arm(spark):
+    """VERDICT r04 item 4: the data-driven strategy pickers must choose
+    the skew-safe arm on a planted hot key and the cheap arm on uniform
+    data — and the auto pair-count wrapper must return the same answer
+    either way (both arms share one oracle)."""
+    from gpu_bdb_spark.operators.skew import (key_skew_stats,
+                                              pick_pair_count_strategy,
+                                              pick_range_join_strategy,
+                                              pick_simhash_strategy,
+                                              windowed_pair_counts_auto)
+    from gpu_bdb_spark.operators.temporal import windowed_pair_counts
+
+    # planted hot key: user 7 packs 500 events inside one window span;
+    # 50 other users get 5 events each
+    hot = [(7, 1_000_000 + i * 10, "view" if i % 2 else "purchase")
+           for i in range(500)]
+    cold = [(u, 1_000_000 + i * 50_000_000, "view" if i % 2 else "purchase")
+            for u in range(100, 150) for i in range(5)]
+    df = spark.createDataFrame(
+        hot + cold, "user_id long, us long, event_type string")
+
+    stats_all = key_skew_stats(df, "user_id")
+    assert stats_all["n_keys"] == 51
+    assert stats_all["max_key_rows"] == 500
+    # thresholds scaled to the fixture: hot arm
+    assert pick_pair_count_strategy(
+        stats_all, hot_key_rows=400, hot_skew=1e9) == "prefix"
+    assert pick_pair_count_strategy(
+        stats_all, hot_key_rows=10_000, hot_skew=30.0) == "prefix"
+    # uniform data: cheap arm
+    stats_cold = key_skew_stats(
+        df.filter(F.col("user_id") != 7), "user_id")
+    assert pick_pair_count_strategy(
+        stats_cold, hot_key_rows=400, hot_skew=30.0) == "frame"
+
+    # range-join / simhash pickers on the same diagnostics shape
+    assert pick_range_join_strategy(
+        stats_all, hot_cell_rows=400, hot_skew=1e9) == "salted"
+    assert pick_range_join_strategy(
+        stats_cold, hot_cell_rows=400, hot_skew=30.0) == "bucket"
+    assert pick_simhash_strategy(stats_all, hot_bucket_rows=400) == "chunked"
+    assert pick_simhash_strategy(stats_cold, hot_bucket_rows=400) == "plain"
+
+    # the auto wrapper's answer equals BOTH explicit arms
+    kw = dict(key_col="user_id", ts_col="us",
+              left_filter=F.col("event_type") == "view",
+              right_filter=F.col("event_type") == "purchase",
+              window_us=1_000)
+    want = sorted(map(tuple, windowed_pair_counts(
+        df, strategy="prefix", **kw).collect()))
+    assert sorted(map(tuple, windowed_pair_counts(
+        df, strategy="frame", **kw).collect())) == want
+    got_hot = sorted(map(tuple, windowed_pair_counts_auto(
+        df, hot_key_rows=400, **kw).collect()))
+    got_cold_arm = sorted(map(tuple, windowed_pair_counts_auto(
+        df, hot_key_rows=10_000, hot_skew=1e9, **kw).collect()))
+    assert got_hot == want
+    assert got_cold_arm == want
+
+
+def test_key_skew_stats_null_and_empty(spark):
+    from gpu_bdb_spark.operators.skew import key_skew_stats
+
+    df = spark.createDataFrame(
+        [(None, 1), (1, 2), (1, 3)], "k long, v long")
+    s = key_skew_stats(df, "k")
+    assert s["n_keys"] == 1 and s["total_rows"] == 2
+    empty = key_skew_stats(df.filter(F.col("v") > 99), "k")
+    assert empty["n_keys"] == 0 and empty["skew_factor"] == 1.0
