@@ -698,3 +698,54 @@ def trailing_event_stats(
             *[F.any_value(c).alias(c) for c in payload],
         )
     )
+
+
+def seasonal_decompose_rollup(daily: DataFrame) -> DataFrame:
+    """Finishing stage of the classical additive decomposition over a
+    (day long, rev decimal(18,4)) frame — extracted so the batch entry
+    (`seasonal_decompose_daily`) and the streaming standing-table twin
+    (`streaming.ops.seasonal_serve`) share ONE expression tree and are
+    therefore bit-for-bit equal (the ks/psi serve pattern). Trend =
+    centered 7-day moving average (NULL unless the frame holds exactly
+    7 days), weekly seasonal = per-weekday mean of the ×7-scaled
+    detrended series, remainder = the rest; exactness argument in the
+    entry docstring (exact decimals everywhere, fixed-order IEEE
+    finishing, no rounding calls). The ±3-day window is day-granular —
+    a few-thousand-row single-partition frame by construction."""
+    w = Window.orderBy("day").rangeBetween(-3, 3)
+    win = daily.select(
+        "day", "rev",
+        F.count(F.lit(1)).over(w).alias("n7"),
+        F.sum("rev").over(w).cast("decimal(28,4)").alias("sum7"),
+    )
+    det = win.select(
+        "day", "rev", "n7", "sum7",
+        F.pmod(F.col("day") + 4, F.lit(7)).alias("wd"),
+        F.when(F.col("n7") == 7,
+               (F.lit(7) * F.col("rev")).cast("decimal(28,4)")
+               - F.col("sum7")).alias("det7"),
+    )
+    seas = det.groupBy("wd").agg(
+        F.sum("det7").cast("double").alias("s_sum"),
+        F.count("det7").cast("long").alias("s_n"),
+    )
+    trend = F.when(F.col("n7") == 7,
+                   F.col("sum7").cast("double") / F.lit(7.0))
+    seasonal = F.when(
+        F.col("s_n") > 0,
+        F.col("s_sum") / (F.lit(7.0) * F.col("s_n").cast("double")))
+    return (
+        det.join(F.broadcast(seas), "wd", "left")
+        .select(
+            "day",
+            F.col("rev").cast("double").alias("rev"),
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            F.when((F.col("n7") == 7) & (F.col("s_n") > 0),
+                   (F.col("rev").cast("double")
+                    - F.col("sum7").cast("double") / F.lit(7.0))
+                   - (F.col("s_sum")
+                      / (F.lit(7.0) * F.col("s_n").cast("double"))))
+            .alias("remainder"),
+        )
+    )

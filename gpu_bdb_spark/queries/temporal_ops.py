@@ -596,8 +596,13 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rfm ntile precedent), the weekday frame is 7 rows and joins
     back broadcast. The sliding frame here is day-granular: its width
     is 7 ROWS by definition, immune to the bot-density trap measured
-    in SCALE.md round 11."""
-    from pyspark.sql import Window
+    in SCALE.md round 11.
+
+    The finishing is shared with the streaming standing-table twin
+    (`streaming.ops.seasonal_ingest_batches` / `seasonal_serve`) via
+    `operators/temporal.seasonal_decompose_rollup`, so drained ≡ batch
+    bit-for-bit."""
+    from gpu_bdb_spark.operators.temporal import seasonal_decompose_rollup
 
     o = read_table(spark, sf_dir, "orders",
                    ["o_orderdate", "o_totalprice"], hint_broadcast=False)
@@ -606,43 +611,7 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("day"),
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,4)"))
           .cast("decimal(18,4)").alias("rev"))
-    w = Window.orderBy("day").rangeBetween(-3, 3)
-    win = daily.select(
-        "day", "rev",
-        F.count(F.lit(1)).over(w).alias("n7"),
-        F.sum("rev").over(w).cast("decimal(28,4)").alias("sum7"),
-    )
-    det = win.select(
-        "day", "rev", "n7", "sum7",
-        F.pmod(F.col("day") + 4, F.lit(7)).alias("wd"),
-        F.when(F.col("n7") == 7,
-               (F.lit(7) * F.col("rev")).cast("decimal(28,4)")
-               - F.col("sum7")).alias("det7"),
-    )
-    seas = det.groupBy("wd").agg(
-        F.sum("det7").cast("double").alias("s_sum"),
-        F.count("det7").cast("long").alias("s_n"),
-    )
-    trend = F.when(F.col("n7") == 7,
-                   F.col("sum7").cast("double") / F.lit(7.0))
-    seasonal = F.when(
-        F.col("s_n") > 0,
-        F.col("s_sum") / (F.lit(7.0) * F.col("s_n").cast("double")))
-    return (
-        det.join(F.broadcast(seas), "wd", "left")
-        .select(
-            "day",
-            F.col("rev").cast("double").alias("rev"),
-            trend.alias("trend"),
-            seasonal.alias("seasonal"),
-            F.when((F.col("n7") == 7) & (F.col("s_n") > 0),
-                   (F.col("rev").cast("double")
-                    - F.col("sum7").cast("double") / F.lit(7.0))
-                   - (F.col("s_sum")
-                      / (F.lit(7.0) * F.col("s_n").cast("double"))))
-            .alias("remainder"),
-        )
-    )
+    return seasonal_decompose_rollup(daily)
 
 
 def _hw_oracle() -> str:

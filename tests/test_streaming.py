@@ -1410,3 +1410,30 @@ def test_pointer_commit_marker_never_empty(spark, tmp_path):
     assert os.path.isdir(base)
     v, _ = cms_latest_version(base)
     assert v == 3
+
+
+def test_seasonal_ingest_drained_equals_batch(spark, sf_dir,
+                                              tmp_path_factory):
+    """r04 verdict item 7: the decomposition's sufficient statistic
+    (daily revenue) is additive, so three micro-batch commits through
+    the standing (day, rev_e4) table + the shared
+    seasonal_decompose_rollup equal the batch seasonal_decompose_daily
+    entry bit-for-bit — in both commit modes."""
+    from gpu_bdb_spark.io import read_table
+    from gpu_bdb_spark.queries.registry import all_specs
+    from gpu_bdb_spark.streaming.ops import (seasonal_ingest_batches,
+                                             seasonal_serve)
+
+    o = read_table(spark, sf_dir, "orders",
+                   ["o_orderdate", "o_totalprice", "o_orderkey"])
+    expect = (all_specs()["seasonal_decompose_daily"]
+              .fn(spark, sf_dir).sort("day").toPandas())
+    base = tmp_path_factory.mktemp("seasonal")
+    for mode in ("rename", "pointer"):
+        path = str(base / mode)
+        process = seasonal_ingest_batches(path, commit_mode=mode)
+        for b in range(3):
+            process(o.filter(F.pmod("o_orderkey", F.lit(3)) == b), b)
+        got = seasonal_serve(spark, path).sort("day").toPandas()
+        assert len(expect) > 100
+        assert got.equals(expect), (mode, got.head(), expect.head())
