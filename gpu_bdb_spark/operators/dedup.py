@@ -79,7 +79,8 @@ def shingle_sets(
 
 
 def jaccard_pairs(
-    shingled: DataFrame, threshold: float, id_col: str = "id"
+    shingled: DataFrame, threshold: float, id_col: str = "id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all colliding pairs: explode shingles,
     self-join on shingle, count intersections, compute
@@ -89,19 +90,57 @@ def jaccard_pairs(
     100 TB use `minhash_lsh_pairs` to generate candidates and this only to
     verify. Returns (id_1, id_2, jaccard) with id_1 < id_2, jaccard
     rounded to 6 (cross-engine float discipline).
-    """
+
+    `max_df` (round 12, the winnowing stop-fingerprint precedent):
+    shingles with posting-list df > max_df are STOP-SHINGLES, removed
+    from the sets before anything else — Jaccard is then computed
+    (exactly, same pipeline) over the informative shingles only, and
+    per-shingle join work is bounded at max_df². This is the standard
+    df-cap every production near-dup stack applies: a feature present
+    in >max_df documents separates nothing. On the sf1zipf corpus 57
+    of 1.48M shingles carried 80% of the quadratic join work — and a
+    hot-shingle posting list lands its df² pairs in ONE join task, so
+    uncapped the plan stragglers/OOMs regardless of total work. The
+    cap is vacuous at every driver SF (max bigram df 338 at sf0.1 →
+    output identical to uncapped). None = unchanged exhaustive
+    behavior."""
     posting = shingled.select(
         F.col(id_col).alias("id"), F.explode("shingles").alias("shingle")
     )
+    if max_df is not None:
+        keep = (posting.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_df).select("shingle"))
+        posting = posting.join(keep.hint("merge"), "shingle")
+        sizes = posting.groupBy(F.col("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    else:
+        sizes = shingled.select(F.col(id_col).alias("id"), "n_shingles")
     a = posting.select(F.col("id").alias("id_1"), "shingle")
     b = posting.select(F.col("id").alias("id_2"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
+    # merge-join pin: the posting frame is corpus-cardinality — a
+    # planner broadcast of it OOMs a default-memory session at sf1
+    # (the round-9 class), and shuffle_hash's per-partition build map
+    # cannot spill (measured: "not enough memory to build hash map" on
+    # sf1zipf under the 1g driver session). Sort-merge spills — the
+    # only join that survives an arbitrary-memory session here.
+    paired = (
+        a.join(b.hint("merge"), ["shingle"])
         .filter(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
+    )
+    if max_df is not None:
+        # Pin the pair-aggregate width: AQE coalesces the post-join
+        # shuffle by BYTES, but the candidate-pair aggregate's cost is
+        # GROUP STATE (tens of millions of (id_1, id_2) groups from a
+        # ~50M-row join output at sf1zipf) — coalesced onto a handful
+        # of reducers the per-task hash-agg state heap-OOMs a 1g
+        # session. An explicit repartition is exempt from AQE
+        # coalescing and bounds per-task groups.
+        paired = paired.repartition(256, "id_1", "id_2")
+    inter = (
+        paired.groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = shingled.select(F.col(id_col).alias("id"), "n_shingles")
     j = (
         inter.join(sizes.withColumnsRenamed({"id": "id_1", "n_shingles": "sz1"}), "id_1")
         .join(sizes.withColumnsRenamed({"id": "id_2", "n_shingles": "sz2"}), "id_2")
@@ -543,14 +582,20 @@ def duplicate_clusters_star(
         pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
-    nodes = (
-        e.select(F.col("a").alias("id"))
-        .union(e.select(F.col("b").alias("id")))
-        .distinct()
-        .persist()
-    )
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))
                     ).distinct().persist()
+    # Force-materialize the edge cache with ONE standalone action before
+    # any job that references it more than once: a cold cache referenced
+    # twice in one job runs the (possibly expensive) upstream pairs
+    # pipeline TWICE CONCURRENTLY — measured heap OOM on sf1zipf under a
+    # default-memory session while the same pipeline alone passed
+    # (round 12). The count is a bare-long-frame action, trivially cheap
+    # next to what it prevents.
+    edges.count()
+    # nodes derive from the PERSISTED symmetrized edges (every endpoint
+    # appears as "a" there), never from the raw pairs subtree — same
+    # double-materialization argument.
+    nodes = edges.select(F.col("a").alias("id")).distinct().persist()
 
     def signature(df: DataFrame) -> tuple:
         """(count, hash-sum) set signature — one narrow aggregate. Equal

@@ -48,8 +48,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(d, "text", "doc_id")
 
 
-NGRAM_JACCARD_ORACLE = r"""
-WITH t AS (
+#: Stop-shingle df cap for the exact bigram-Jaccard family (round 12,
+#: VERDICT r04 item 8): candidates come from shingles with posting df ≤
+#: this; the verify stays exact over full sets. Vacuous at every driver
+#: SF (max bigram df at sf0.1 is 338) and binding on the sf1zipf corpus
+#: (57 hot shingles carried 80% of the quadratic join work) — which is
+#: what lets the sf1zipf sweep run these entries unexcluded.
+JACCARD_MAX_DF = 1000
+
+
+def _jaccard_pairs_ctes(max_df: int = JACCARD_MAX_DF) -> str:
+    """CTE chain (no WITH keyword) replaying stop-shingle-capped exact
+    bigram Jaccard, ending in `pairs(id_1, id_2, jaccard)` — the oracle
+    twin of `operators/dedup.jaccard_pairs(max_df=...)`: shingles with
+    df > max_df are removed from the sets, Jaccard is exact over the
+    remaining informative shingles. Shared by the pair entry, the
+    cluster/PageRank oracles, and the leakage-split composition.
+    Multi-referenced CTEs MATERIALIZED per the round-8/9 re-inlining
+    lessons."""
+    return (r"""t AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
   FROM documents
@@ -59,26 +76,38 @@ idx AS (
          unnest(generate_series(1, len(toks) - 1)) AS i
   FROM t
 ),
-sh AS (
+sh0 AS MATERIALIZED (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle FROM idx
 ),
-sizes AS (
+keepsh AS MATERIALIZED (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= """
+            + str(max_df) + r"""
+),
+sh AS MATERIALIZED (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keepsh USING (shingle)
+),
+sizes AS MATERIALIZED (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
 ),
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT i.id_1, i.id_2,
-  ROUND(CAST(i.n_inter AS DOUBLE)
-        / CAST(s1.sz + s2.sz - i.n_inter AS DOUBLE), 6) AS jaccard
-FROM inter i
-JOIN sizes s1 ON i.id_1 = s1.doc_id
-JOIN sizes s2 ON i.id_2 = s2.doc_id
-WHERE CAST(i.n_inter AS DOUBLE)
-      / CAST(s1.sz + s2.sz - i.n_inter AS DOUBLE) >= 0.6
-"""
+  GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT i.id_1, i.id_2,
+         ROUND(CAST(i.n_inter AS DOUBLE)
+               / CAST(s1.sz + s2.sz - i.n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter i
+  JOIN sizes s1 ON i.id_1 = s1.doc_id
+  JOIN sizes s2 ON i.id_2 = s2.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE)
+        / CAST(s1.sz + s2.sz - i.n_inter AS DOUBLE) >= 0.6
+)""")
+
+
+NGRAM_JACCARD_ORACLE = ("WITH " + _jaccard_pairs_ctes()
+                        + "\nSELECT id_1, id_2, jaccard FROM pairs")
 
 
 @register("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE,
@@ -97,7 +126,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     shingled = shingle_sets(d, "text", "doc_id", n=2)
-    return jaccard_pairs(shingled, threshold=0.6)
+    return jaccard_pairs(shingled, threshold=0.6,
+                         max_df=JACCARD_MAX_DF)
 
 
 @register("dedup_minhash_lsh", tags=("dedup", "minhash", "lsh"), bench=True)
@@ -276,30 +306,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Shared CTE prefix: documents → bigram shingle sets → exact-Jaccard≥0.6
-#: near-dup `pairs` (id_1 < id_2). Reused by every oracle that consumes
-#: the near-duplicate graph (clusters, PageRank centrality).
-JACCARD_PAIRS_CTES = r"""t AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-  FROM documents
-),
-idx AS (
-  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t
-),
-sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
-       FROM idx),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id_1, id_2 FROM inter
-  JOIN sizes s1 ON id_1 = s1.doc_id JOIN sizes s2 ON id_2 = s2.doc_id
-  WHERE CAST(n_inter AS DOUBLE)
-        / CAST(s1.sz + s2.sz - n_inter AS DOUBLE) >= 0.6
-)"""
+#: near-dup `pairs` (id_1 < id_2) — now the df-capped-candidate form
+#: (see _jaccard_pairs_ctes). Reused by every oracle that consumes the
+#: near-duplicate graph (clusters, PageRank centrality, leakage split).
+JACCARD_PAIRS_CTES = _jaccard_pairs_ctes()
 
 DEDUP_CLUSTERS_ORACLE = "WITH RECURSIVE " + JACCARD_PAIRS_CTES + r""",
 edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
@@ -326,7 +336,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1-certified scale composition is `dedup_clusters_lsh`."""
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
-    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
+    # localCheckpoint the (tiny) pair list so the expensive exhaustive
+    # verify pipeline runs ONCE in its own job — the iterative consumer
+    # below would otherwise re-materialize it (concurrently, per cold
+    # cache reference), which heap-OOMs a default-memory session at
+    # sf1zipf while the pipeline alone passes (round 12)
+    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6,
+                          max_df=JACCARD_MAX_DF).localCheckpoint()
     return duplicate_clusters(pairs)
 
 
@@ -353,7 +369,13 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1-certified scale composition is `dedup_clusters_lsh`."""
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
-    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
+    # localCheckpoint the (tiny) pair list so the expensive exhaustive
+    # verify pipeline runs ONCE in its own job — the iterative consumer
+    # below would otherwise re-materialize it (concurrently, per cold
+    # cache reference), which heap-OOMs a default-memory session at
+    # sf1zipf while the pipeline alone passes (round 12)
+    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6,
+                          max_df=JACCARD_MAX_DF).localCheckpoint()
     return duplicate_clusters_star(pairs)
 
 
@@ -716,7 +738,13 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
-    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
+    # localCheckpoint the (tiny) pair list so the expensive exhaustive
+    # verify pipeline runs ONCE in its own job — the iterative consumer
+    # below would otherwise re-materialize it (concurrently, per cold
+    # cache reference), which heap-OOMs a default-memory session at
+    # sf1zipf while the pipeline alone passes (round 12)
+    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6,
+                          max_df=JACCARD_MAX_DF).localCheckpoint()
     return pagerank(pairs, iters=6, damping=0.85)
 
 

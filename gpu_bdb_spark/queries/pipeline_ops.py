@@ -479,11 +479,18 @@ def leakage_safe_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recursive-CTE cluster closure + the same md5 threshold rule."""
     from gpu_bdb_spark.operators.dedup import (duplicate_clusters,
                                                jaccard_pairs, shingle_sets)
+    from gpu_bdb_spark.queries.dedup_ops import JACCARD_MAX_DF
     from gpu_bdb_spark.operators.sampling import leakage_safe_split
 
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
-    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6)
+    # localCheckpoint the (tiny) pair list so the expensive exhaustive
+    # verify pipeline runs ONCE in its own job — the iterative consumer
+    # below would otherwise re-materialize it (concurrently, per cold
+    # cache reference), which heap-OOMs a default-memory session at
+    # sf1zipf while the pipeline alone passes (round 12)
+    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6,
+                          max_df=JACCARD_MAX_DF).localCheckpoint()
     return leakage_safe_split(d, duplicate_clusters(pairs), 0.9)
 
 

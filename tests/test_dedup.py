@@ -370,3 +370,36 @@ def test_dedup_spans_all_removed_and_short_docs(spark):
     assert out[2]["n_removed"] == 8 and out[2]["n_spans"] == 1
     assert out[3]["clean_text"] == "tiny doc"
     assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 0
+
+
+def test_jaccard_pairs_max_df_stop_shingles(spark):
+    """max_df semantics (round 12): shingles with posting df > max_df
+    are stop-shingles removed from the SETS — Jaccard is exact over the
+    informative shingles. A vacuous cap reproduces the uncapped output
+    exactly; a binding cap computes Jaccard as if the hot shingle never
+    existed (hand-computed fixture)."""
+    from gpu_bdb_spark.operators.dedup import jaccard_pairs, shingle_sets
+
+    # "hot hot" gives every doc the shingle "hot hot"; docs 1-2 share
+    # "a b"+"b c"; doc 3 is disjoint apart from the hot shingle
+    rows = [
+        (1, "hot hot a b c"),
+        (2, "hot hot a b c"),
+        (3, "hot hot x y z"),
+        (4, "hot hot p q r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = shingle_sets(df, "text", "doc_id", n=2)
+
+    uncapped = sorted(map(tuple, jaccard_pairs(sh, 0.5).collect()))
+    vacuous = sorted(map(tuple,
+                         jaccard_pairs(sh, 0.5, max_df=100).collect()))
+    assert vacuous == uncapped and len(uncapped) >= 1
+
+    # cap at 3: "hot hot" (df 4) drops; docs 1-2 share ALL remaining
+    # 4 shingles ("hot a","a b","b c","c ..."?) — compute expectations:
+    # doc1 shingles: hot hot, hot a, a b, b c -> capped: hot a, a b, b c
+    capped = {(r.id_1, r.id_2): r.jaccard
+              for r in jaccard_pairs(sh, 0.5, max_df=3).collect()}
+    assert (1, 2) in capped and capped[(1, 2)] == 1.0
+    assert all(k == (1, 2) for k in capped)
