@@ -22,14 +22,27 @@ round-over-round comparisons measure the plan, not JIT/page-cache jitter.
 The spread is reported per query in "spread" (max-min across repeats).
 
 Plan-cache priming (round-5 verdict item): before its timed repeats,
-each query runs ONCE untimed at sf0.001. Whole-stage-codegen classes are
-cached by generated-source hash, so the tiny-SF run compiles the same
-units the sf0.1 plan uses; without it the first timed repeat pays a
-codegen/classload tax that best-of-N hides in "value" but leaks into
-"spread" (dedup_minhash_lsh measured ±3 s cold vs 1.8 s warm —
-SCALE.md). The timed repeats still include per-repeat plan BUILD cost;
-only one-time JVM compilation is amortized, exactly like the
+each query runs ONCE untimed at the PRIME dir ($SPARK_GRAFT_PRIME_DIR,
+default: the sf0.001 sibling of sf_dir, falling back to
+/root/testdata/sf0.001; skipped entirely when neither exists — e.g. a
+relocated zipf corpus with no tiny sibling, ADVICE r05). Whole-stage-
+codegen classes are cached by generated-source hash, so the tiny-SF run
+compiles the same units the sf0.1 plan uses; without it the first timed
+repeat pays a codegen/classload tax that best-of-N hides in "value" but
+leaks into "spread" (dedup_minhash_lsh measured ±3 s cold vs 1.8 s warm
+— SCALE.md). The timed repeats still include per-repeat plan BUILD
+cost; only one-time JVM compilation is amortized, exactly like the
 reference's repeat amortization.
+
+Throughput series (round-5 verdict item 4): after the serial timings,
+a fixed 4-stream × 6-query concurrency phase (THROUGHPUT6, rotated
+per stream, FAIR pools — the session is built with
+spark.scheduler.mode=FAIR, a static conf) emits "throughput_qps" =
+streams × queries / wall. Like frozen-13, the set never grows, so the
+series is comparable across rounds and makes scheduler/concurrency
+regressions visible (a single-stream serial bench can't see them).
+Recipe: runner.run_registry_throughput(spark, sf_dir, THROUGHPUT6, 4).
+Disable with SPARK_GRAFT_THROUGHPUT=0.
 """
 
 from __future__ import annotations
@@ -59,12 +72,40 @@ BASELINE13 = (
 #: triple bench wall for no signal). Never in the frozen series.
 HEAVY_ONCE = ("pagerank_neardup",)
 
+#: Frozen throughput-phase set (round-5 verdict item 4): six cheap-to-
+#: moderate frozen-13 members, run 4 concurrent streams rotated. Fixed
+#: forever like BASELINE13 so the qps series stays comparable.
+THROUGHPUT6 = (
+    "pricing_summary", "revenue_by_nation", "agg_stats",
+    "token_counts", "sessionize_events", "window_rank_orders",
+)
+
+
+def _prime_dir(sf_dir: str) -> str | None:
+    """Codegen-priming data dir (ADVICE r05: never hardcode): env
+    override, else the sf0.001 sibling of sf_dir, else the default
+    testdata sf0.001; None (skip priming) when nothing exists."""
+    explicit = os.environ.get("SPARK_GRAFT_PRIME_DIR")
+    if explicit:
+        return explicit if os.path.isdir(explicit) else None
+    for cand in (
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"),
+        "/root/testdata/sf0.001",
+    ):
+        if os.path.isdir(cand):
+            return cand
+    return None
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
-    spark = get_spark(app_name="gpu_bdb_spark-bench")
+    # FAIR scheduling is a STATIC conf, needed by the throughput phase;
+    # the serial phase submits one job at a time, where FAIR ≡ FIFO.
+    spark = get_spark(app_name="gpu_bdb_spark-bench",
+                      extra_conf={"spark.scheduler.mode": "FAIR"})
+    prime_dir = _prime_dir(sf_dir)
 
     # Untimed warmup: load parquet/codegen/shuffle classes so the JVM
     # class-loading tax (~4 s) doesn't land on the first timed query (the
@@ -75,16 +116,17 @@ def main() -> None:
         raise SystemExit(f"frozen baseline queries missing from bench "
                          f"set: {missing}")
     warm = specs.get("pricing_summary") or next(iter(specs.values()))
-    warm.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+    warm.fn(spark, prime_dir or sf_dir).write.format("noop").mode(
         "overwrite").save()
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        # prime this query's codegen units at sf0.001 (untimed; see
+        # prime this query's codegen units at the tiny SF (untimed; see
         # module docstring)
-        spec.fn(spark, "/root/testdata/sf0.001").write.format(
-            "noop").mode("overwrite").save()
+        if prime_dir:
+            spec.fn(spark, prime_dir).write.format(
+                "noop").mode("overwrite").save()
         runs: list[float] = []
         for _ in range(1 if name in HEAVY_ONCE else repeats):
             t0 = time.perf_counter()
@@ -99,6 +141,18 @@ def main() -> None:
 
     base_total = round(sum(timings[n] for n in BASELINE13), 3)
     full_total = round(sum(timings.values()), 3)
+
+    # Fixed-stream concurrency phase (round-5 verdict item 4)
+    throughput = None
+    if os.environ.get("SPARK_GRAFT_THROUGHPUT", "1") != "0":
+        from gpu_bdb_spark.runner import run_registry_throughput
+        tp = run_registry_throughput(
+            spark, sf_dir, list(THROUGHPUT6), n_streams=4)
+        throughput = tp["queries_per_sec"]
+        print(f"  throughput: {throughput} q/s "
+              f"({tp['n_streams']} streams x {len(THROUGHPUT6)} queries "
+              f"in {tp['wall_s']}s)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "gpu_bdb_spark frozen 13-query baseline set wall time "
                   f"(best of {repeats})",
@@ -110,6 +164,9 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "repeats": repeats,
+        "throughput_qps": throughput,
+        "throughput_queries": list(THROUGHPUT6),
+        "throughput_streams": 4,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -630,9 +630,27 @@ def trailing_event_stats(
     (match it to the oracle's CAST — e.g. decimal(12,4) for
     rolling_user_24h, decimal(18,6) for rolling_zscore); `sq_decimal`
     the squared-sum width. `count_nonnull=True` counts only non-NULL
-    values (SQL COUNT(value) semantics) instead of rows. `payload`
-    names extra per-event columns carried through on the probe rows
-    (e.g. the event's own value for z-scoring) — join-free."""
+    values — of the RAW column, so the semantics are exactly SQL
+    COUNT(value) regardless of the quantization width (a value that
+    overflows `value_decimal` to NULL under non-ANSI still counts) —
+    instead of rows. `payload` names extra per-event columns carried
+    through on the probe rows (e.g. the event's own value for
+    z-scoring) — join-free.
+
+    NULL-sum semantics match the SQL window SUM exactly: when the
+    frame holds zero non-NULL values (empty window or all-NULL
+    values), `sum_v`/`sum_v2` are NULL, not 0 — a raw-column non-null
+    count rides the prefix sums to gate the signed difference.
+
+    Row identity is STRUCTURAL, not id-based: each source event's two
+    probe rows share a `monotonically_increasing_id` minted before the
+    explode, and the final aggregate groups on it — so NULL or
+    duplicate `id_col` values still yield one output row per source
+    event (matching the per-row SQL-window oracles), each with its own
+    payload. The mii never reaches the output: rows tying on
+    (key, ts) are RANGE-frame peers with identical statistics, so the
+    output multiset is a deterministic function of the input
+    regardless of which tied row gets which ordinal."""
     W = int(window_us)
     ord_us = _as_ordinal(df, ts_col).cast("long")
     id_type = df.schema[id_col].dataType
@@ -640,19 +658,20 @@ def trailing_event_stats(
     base = df.select(
         F.col(key_col).alias("_k"),
         F.col(id_col).alias("_id"),
+        F.monotonically_increasing_id().alias("_rid"),
         ord_us.alias("_t"),
         v6.alias("_v"),
+        F.when(F.col(value_col).isNotNull(), 1).otherwise(0)
+        .alias("_wnn"),
         *[F.col(c) for c in payload],
     )
-    weight = (
-        F.when(F.col("_v").isNotNull(), 1).otherwise(0)
-        if count_nonnull else F.lit(1)
-    )
+    weight = F.col("_wnn") if count_nonnull else F.lit(1)
     contrib = base.select(
         "_k", F.col("_t").alias("_us"),
-        weight.alias("_w"), F.col("_v"),
+        weight.alias("_w"), F.col("_wnn"), F.col("_v"),
         (F.col("_v") * F.col("_v")).cast(sq_decimal).alias("_v2"),
         F.lit(0).alias("_sign"), F.lit(None).cast(id_type).alias("_pid"),
+        F.lit(None).cast("long").alias("_rid"),
         *[F.lit(None).cast(base.schema[c].dataType).alias(c)
           for c in payload],
     )
@@ -666,37 +685,50 @@ def trailing_event_stats(
                      F.lit(-1).alias("_sign")),
         )).alias("_p"),
         F.col("_id"),
+        F.col("_rid"),
         *[F.col(c) for c in payload],
     ).select(
         "_k", F.col("_p._us").alias("_us"),
         F.lit(0).alias("_w"),
+        F.lit(0).alias("_wnn"),
         F.lit(0).cast(value_decimal).alias("_v"),
         F.lit(0).cast(sq_decimal).alias("_v2"),
         F.col("_p._sign").alias("_sign"),
         F.col("_id").alias("_pid"),
+        F.col("_rid"),
         *[F.col(c) for c in payload],
     )
     u = contrib.unionByName(probes)
     w = (Window.partitionBy("_k").orderBy("_us")
          .rangeBetween(Window.unboundedPreceding, Window.currentRow))
     cum = u.select(
-        "_k", "_sign", "_pid",
+        "_k", "_sign", "_pid", "_rid",
         F.sum("_w").over(w).alias("_cn"),
+        F.sum("_wnn").over(w).alias("_cnn"),
         F.sum("_v").over(w).alias("_cs"),
         F.sum("_v2").over(w).alias("_cs2"),
         *payload,
     )
-    return (
+    agg = (
         cum.filter(F.col("_sign") != 0)
-        .groupBy(F.col("_pid").alias(id_col), F.col("_k").alias(key_col))
+        .groupBy(F.col("_pid").alias(id_col), F.col("_k").alias(key_col),
+                 F.col("_rid"))
         .agg(
             F.sum(F.col("_sign") * F.col("_cn")).cast("long").alias("n"),
+            F.sum(F.col("_sign") * F.col("_cnn")).cast("long")
+            .alias("_nn"),
             F.sum(F.when(F.col("_sign") == 1, F.col("_cs"))
-                  .otherwise(-F.col("_cs"))).alias("sum_v"),
+                  .otherwise(-F.col("_cs"))).alias("_sv"),
             F.sum(F.when(F.col("_sign") == 1, F.col("_cs2"))
-                  .otherwise(-F.col("_cs2"))).alias("sum_v2"),
+                  .otherwise(-F.col("_cs2"))).alias("_sv2"),
             *[F.any_value(c).alias(c) for c in payload],
         )
+    )
+    return agg.select(
+        id_col, key_col, "n",
+        F.when(F.col("_nn") > 0, F.col("_sv")).alias("sum_v"),
+        F.when(F.col("_nn") > 0, F.col("_sv2")).alias("sum_v2"),
+        *payload,
     )
 
 

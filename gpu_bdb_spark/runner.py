@@ -145,6 +145,63 @@ def run_throughput(
     }
 
 
+def run_registry_throughput(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str],
+    n_streams: int = 4,
+) -> dict:
+    """Throughput phase over REGISTRY entries (the driver-contract
+    queries) instead of the TPCx-BB numbered set: `n_streams`
+    concurrent streams over one SparkSession, stream i running `names`
+    rotated by i so streams never hit the same query simultaneously
+    (same shape as `run_throughput`). Each stream tags its jobs with
+    its own FAIR pool; on a FIFO session the pools are inert and
+    streams still interleave at task granularity, so the number is
+    comparable either way as long as the session mode is held fixed
+    (bench.py builds FAIR).
+
+    Returns {"wall_s", "n_streams", "queries_per_sec", "per_stream"}.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gpu_bdb_spark.queries.registry import (all_specs,
+                                                collect_boundary,
+                                                interleaved_collection)
+
+    specs = all_specs()
+
+    def run_stream(i: int) -> dict[str, float]:
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"stream-{i}")
+        order = names[i % len(names):] + names[: i % len(names)]
+        out = {}
+        for name in order:
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        sc.setLocalProperty("spark.scheduler.pool", None)
+        return out
+
+    # Streams construct entries CONCURRENTLY: the registry's per-entry
+    # construct-time cache clear would evict another stream's persisted
+    # intermediates mid-query, so suspend it and take over the
+    # lifecycle obligation with one boundary after the phase.
+    t0 = time.perf_counter()
+    with interleaved_collection():
+        with ThreadPoolExecutor(max_workers=n_streams) as ex:
+            per_stream = list(ex.map(run_stream, range(n_streams)))
+    wall = round(time.perf_counter() - t0, 3)
+    collect_boundary(spark)
+    return {
+        "wall_s": wall,
+        "n_streams": n_streams,
+        "queries_per_sec": round(n_streams * len(names) / wall, 4),
+        "per_stream": {i: t for i, t in enumerate(per_stream)},
+    }
+
+
 def _main() -> None:
     """CLI: run TPCx-BB queries against a parquet data_dir.
 

@@ -413,22 +413,48 @@ def _commit_version(base_path: str, batch_id: int, merged,
                           ignore_errors=True)
             return
         finally:
-            os.unlink(tmp)
+            # missing_ok: a (pathological) stale-marker reap or manual
+            # cleanup must not mask the link outcome
+            import contextlib
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
     else:
         raise ValueError(f"unknown commit_mode {commit_mode!r}")
     _prune_versions(base_path, batch_id)
+
+
+#: Age (seconds) after which an orphan ``.marker-*`` tmp file — left by a
+#: committer that crashed between the fsync'd tmp write and the atomic
+#: os.link — is garbage-collected by ``_prune_versions``. Well above any
+#: real commit's fsync→link window, so a LIVE concurrent committer's tmp
+#: is never unlinked mid-commit (which would turn its duplicate-lost
+#: EEXIST into a spurious FileNotFoundError retry).
+_STALE_TMP_MARKER_S = 600.0
 
 
 def _prune_versions(base_path: str, batch_id: int) -> None:
     """Keep the newest two committed versions (the just-committed
     `batch_id` and its predecessor — the one a concurrent reader may
     still be scanning); drop everything older, marker first so a
-    version is never visible without its data."""
+    version is never visible without its data. Also reaps orphan
+    ``.marker-*`` tmp files older than ``_STALE_TMP_MARKER_S`` (ADVICE
+    r05: a crash between the tmp write and os.link otherwise litters
+    the table dir unboundedly across repeated failures)."""
     import os
     import shutil
+    import time
 
+    now = time.time()
     committed = {}
     for name in os.listdir(base_path):
+        if name.startswith(".marker-"):
+            tmp_full = os.path.join(base_path, name)
+            try:
+                if now - os.path.getmtime(tmp_full) > _STALE_TMP_MARKER_S:
+                    os.unlink(tmp_full)
+            except OSError:
+                pass  # concurrent committer just linked/unlinked it
+            continue
         full = os.path.join(base_path, name)
         if (name.startswith("v") and name[1:].isdigit()
                 and os.path.isdir(full)):

@@ -1411,6 +1411,24 @@ def test_pointer_commit_marker_never_empty(spark, tmp_path):
     v, _ = cms_latest_version(base)
     assert v == 3
 
+    # ADVICE r05: an orphan .marker-* tmp (crash between the fsync'd
+    # tmp write and os.link) is reaped by the pruner once STALE, but a
+    # fresh one (a live concurrent committer mid-commit) is left alone
+    from gpu_bdb_spark.streaming.ops import _STALE_TMP_MARKER_S
+
+    stale = os.path.join(base, ".marker-deadbeef")
+    fresh = os.path.join(base, ".marker-cafebabe")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("data-v9-bogus")
+    old = os.path.getmtime(stale) - _STALE_TMP_MARKER_S - 60
+    os.utime(stale, (old, old))
+    _prune_versions(base, 3)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+    v, _ = cms_latest_version(base)
+    assert v == 3
+
 
 def test_seasonal_ingest_drained_equals_batch(spark, sf_dir,
                                               tmp_path_factory):

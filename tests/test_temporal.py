@@ -423,17 +423,16 @@ def test_trailing_event_stats_equals_sliding_frame(spark):
             F.sum((v6 * v6).cast("decimal(38,12)")).over(w).alias("s2_f"),
         )
         # exclusive frame with no preceding rows -> count 0, sums NULL;
-        # the prefix form's signed aggregate yields 0 for empty windows
+        # the prefix form gates the signed diff on the non-null count,
+        # so it emits NULL there too (SQL window-SUM semantics)
         prefix = trailing_event_stats(
             df, "user_id", "us", "event_id", "value", W,
             include_current=include_current)
         joined = frame.join(prefix, "event_id")
         bad = joined.filter(
             (F.col("n_f") != F.col("n"))
-            | (F.coalesce(F.col("s_f"), F.lit(0).cast("decimal(18,6)"))
-               != F.col("sum_v"))
-            | (F.coalesce(F.col("s2_f"), F.lit(0).cast("decimal(38,12)"))
-               != F.col("sum_v2"))).count()
+            | ~F.col("s_f").eqNullSafe(F.col("sum_v"))
+            | ~F.col("s2_f").eqNullSafe(F.col("sum_v2"))).count()
         assert bad == 0, f"include_current={include_current}"
         assert joined.count() == len(rows)
 
@@ -473,12 +472,54 @@ def test_trailing_event_stats_params_match_frame(spark):
     joined = frame.withColumnRenamed("tag", "tag_f").join(prefix, "eid")
     bad = joined.filter(
         (F.col("n_f") != F.col("n"))
-        | (F.coalesce(F.col("s_f"), F.lit(0).cast("decimal(12,4)"))
-           != F.col("sum_v"))
+        | ~F.col("s_f").eqNullSafe(F.col("sum_v"))
         | (F.col("tag_f") != F.col("tag"))
         | (F.col("user_id").isNull())).count()
     assert bad == 0
     assert joined.count() == len(rows)
+
+
+def test_trailing_event_stats_null_and_duplicate_ids(spark):
+    """ADVICE r05: rows with NULL or duplicate id_col must yield one
+    output row PER SOURCE EVENT (structural mii pairing), each with its
+    own payload, matching the per-row SQL-window oracles; and all-NULL
+    windows emit sum_v NULL (SQL SUM), not 0."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.temporal import trailing_event_stats
+
+    W = 1000
+    # user 1: duplicate id 7 at tied ts with DIFFERENT payloads + a NULL
+    # id; user 2: all-NULL values (window SUM must be NULL, n counts rows)
+    rows = [
+        (7, 1, 100, 1.5, "a"),
+        (7, 1, 100, 2.5, "b"),
+        (None, 1, 600, 4.0, "c"),
+        (9, 2, 50, None, "d"),
+        (10, 2, 60, None, "e"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, value double, "
+              "tag string")
+    out = trailing_event_stats(
+        df, "user_id", "us", "event_id", "value", W,
+        include_current=True, payload=("tag",)).collect()
+    assert len(out) == len(rows)  # one row per source event
+    by_tag = {r["tag"]: r for r in out}
+    assert set(by_tag) == {"a", "b", "c", "d", "e"}
+    # tied duplicates are RANGE peers: identical stats, own payload
+    for t in ("a", "b"):
+        assert by_tag[t]["event_id"] == 7
+        assert by_tag[t]["n"] == 2
+        assert float(by_tag[t]["sum_v"]) == 4.0
+    assert by_tag["c"]["event_id"] is None
+    assert by_tag["c"]["n"] == 3
+    assert float(by_tag["c"]["sum_v"]) == 8.0
+    # all-NULL window: n counts rows (count_nonnull=False), SUM is NULL
+    assert by_tag["d"]["n"] == 1 and by_tag["d"]["sum_v"] is None
+    assert by_tag["e"]["n"] == 2 and by_tag["e"]["sum_v"] is None
+    assert by_tag["e"]["sum_v2"] is None
 
 def test_m4_downsample_ignores_null_ts_and_id(spark, tmp_path):
     """ADVICE r04: NULL ts / event_id rows must pass the lpad-domain
