@@ -348,6 +348,7 @@ def lsh_verified_pairs_portable(
     bands: int = 16,
     threshold_num: int = 3,
     threshold_den: int = 5,
+    pair_work_budget: int | None = None,
 ) -> DataFrame:
     """The portable LSH-candidate + exact-integer-verify pipeline over
     an ARBITRARY pre-built set frame (id, members array<string>,
@@ -359,7 +360,23 @@ def lsh_verified_pairs_portable(
     fallback when prefix filtering degenerates on uniform-df corpora,
     SCALE.md "jaccard_join_prefix"). Recall is LSH's 1−(1−j^r)^b
     contract; false positives are impossible (exact verify), so output
-    ⊆ the exhaustive quadratic join always."""
+    ⊆ the exhaustive quadratic join always.
+
+    `pair_work_budget` (VERDICT r05 item 1): when set, the MEASURED
+    bucket pair-work Σ_buckets C(sz,2) — the exact row count the band
+    self-join would emit, one cheap aggregate over the linear bucket
+    frame — is compared against the budget before the join is built.
+    Over budget (a vocabulary-degenerate corpus whose signature minima
+    collapse into shared buckets), candidates route to AllPairs prefix
+    filtering (`jaccard_set_join`), whose cost tracks prefix-token df
+    instead of signature collisions and whose recall is provably 1.0
+    (⊇ LSH's) — so the routed output is the exhaustive truth and an
+    exhaustive oracle restates it. Measured pair-work (SCALE.md round
+    13): driver fixtures 0.85M/0.87M/84M (sf0.001/0.01/0.1), sf1zipf
+    49M — all in-budget at 200M; only the synthetic uniform-vocab sf1
+    corpus (8.2G) routes, the regime where ANY candidate generator is
+    quadratic by math. The stat is one scalar collect (the convergence
+    -signature pattern) and is exactly replayable in SQL."""
     rows = num_hashes // bands
     shingled = sets_df.persist()
     # Carter–Wegman hash family (round 5): ONE md5 per member → 32-bit
@@ -402,6 +419,31 @@ def lsh_verified_pairs_portable(
         .select("id", F.col("bb.band").alias("band"),
                 F.col("bb.bh").alias("bh"))
     )
+    if pair_work_budget is not None:
+        # all-integer C(c,2): shiftright keeps the stat exact past 2^53
+        # (a double-divide would round on billion-row buckets); decimal
+        # sum is ANSI-overflow-proof at any corpus size
+        pw = (
+            buckets.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.coalesce(
+                F.sum(F.shiftright(F.col("c") * (F.col("c") - 1), 1)
+                      .cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)")).alias("pw"))
+            .collect()[0]["pw"]
+        )
+        if int(pw) > int(pair_work_budget):
+            shingled.unpersist()
+            signed.unpersist()
+            from gpu_bdb_spark.operators.linkage import jaccard_set_join
+            ex = jaccard_set_join(
+                sets_df.select("id", "members"), "id", "members",
+                threshold_num=threshold_num, threshold_den=threshold_den)
+            return ex.select(
+                F.col("id_a").alias("id_1"), F.col("id_b").alias("id_2"),
+                F.round(F.col("inter_n").cast("double")
+                        / F.col("union_n").cast("double"), 6)
+                .alias("jaccard"))
     candidates = (
         buckets.select("band", "bh", F.col("id").alias("id_1"))
         .join(buckets.select("band", "bh", F.col("id").alias("id_2"))
@@ -656,6 +698,72 @@ def duplicate_clusters_star(
     return labels
 
 
+def simhash_blocks(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """Pigeonhole block buckets for a 64-bit fingerprint frame: one row
+    per (id, sh, blk, val) with the 64 bits split into max_hamming + 1
+    equal blocks — the candidate-join key frame `simhash_pairs` joins
+    on, exposed separately so the auto dispatcher can run its skew
+    diagnostics on the join's OWN key distribution
+    (operators/skew.simhash_pairs_auto, VERDICT r05 item 2)."""
+    n_blocks = max_hamming + 1
+    width = -(-64 // n_blocks)  # ceil; uneven split is fine (any
+    # agreement block works), spans just overlap-pad the top
+    mask = (1 << width) - 1
+    blocks = F.array(*[
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.shiftrightunsigned(F.col(sim_col), b * width)
+            .bitwiseAND(F.lit(mask)).alias("val"),
+        )
+        for b in range(n_blocks)
+    ])
+    return fingerprints.select(
+        F.col(id_col).alias("id"), F.col(sim_col).alias("sh"),
+        F.explode(blocks).alias("bb"),
+    ).select("id", "sh", F.col("bb.blk").alias("blk"),
+             F.col("bb.val").alias("val"))
+
+
+def simhash64_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash with the PORTABLE md5 bit source as ONE long
+    fingerprint — the operator form of the `simhash_portable` entry's
+    construction (two 32-bit md5 halves, bit j decided by Σ±1 > 0 over
+    the token multiset), assembled hi<<32 | lo so the pigeonhole block
+    layout of `simhash_pairs` sees exactly the bits the DuckDB oracle
+    can restate (16-bit slices of the two halves). Two's-complement
+    wrap of the hi shift is the intended 64-bit pattern (bitwise ops
+    carry no ANSI overflow check)."""
+    t = df.select(F.col(id_col).alias("id"),
+                  F.explode(tokenize(text_col)).alias("token"))
+    h1 = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long")
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(h1 if j < 32 else h2,
+                             j if j < 32 else j - 32)
+                .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    per_doc = t.groupBy("id").agg(*aggs)
+    lo = reduce(lambda x, y: x + y, [
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long"))
+        .otherwise(F.lit(0).cast("long")) for j in range(32)])
+    hi = reduce(lambda x, y: x + y, [
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << (j - 32)).cast("long"))
+        .otherwise(F.lit(0).cast("long")) for j in range(32, 64)])
+    return per_doc.select(
+        "id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("simhash"))
+
+
 def simhash_pairs(
     fingerprints: DataFrame,
     max_hamming: int = 3,
@@ -696,26 +804,7 @@ def simhash_pairs(
     """
     if strategy not in ("plain", "chunked"):
         raise ValueError(f"unknown strategy: {strategy}")
-    n_blocks = max_hamming + 1
-    if 64 % n_blocks != 0:
-        # uneven split is fine for correctness (any agreement block
-        # works); use shifted spans of ceil width
-        pass
-    width = -(-64 // n_blocks)  # ceil
-    mask = (1 << width) - 1
-    blocks = F.array(*[
-        F.struct(
-            F.lit(b).alias("blk"),
-            F.shiftrightunsigned(F.col(sim_col), b * width)
-            .bitwiseAND(F.lit(mask)).alias("val"),
-        )
-        for b in range(n_blocks)
-    ])
-    buckets = fingerprints.select(
-        F.col(id_col).alias("id"), F.col(sim_col).alias("sh"),
-        F.explode(blocks).alias("bb"),
-    ).select("id", "sh", F.col("bb.blk").alias("blk"),
-             F.col("bb.val").alias("val"))
+    buckets = simhash_blocks(fingerprints, max_hamming, id_col, sim_col)
     left = buckets.select("blk", "val", F.col("id").alias("id_1"),
                           F.col("sh").alias("sh_1"))
     right = buckets.select("blk", "val", F.col("id").alias("id_2"),

@@ -47,6 +47,33 @@ def deterministic_sample(
     return df.filter(_hash_slot(F.col(key_col)) < F.lit(_threshold(fraction)))
 
 
+def certification_sample(
+    df: DataFrame, key_col: str, bound: int, fraction: float
+) -> DataFrame:
+    """Size-bounded certification tier (VERDICT r05 item 1): below
+    `bound` rows the frame passes through UNTOUCHED (every driver SF —
+    the full-corpus exact gate is unchanged); above it, the
+    deterministic md5 content-hash sample keeps ~`fraction` of rows so
+    an inherently quadratic oracle (exhaustive pair joins, candidate
+    verifies) shrinks by fraction² and stays tractable on big sweep
+    corpora. The count and the sample predicate are both exactly
+    replayable in SQL — pair with `certification_sample_sql` in the
+    oracle. The one count() action is a single-column scan."""
+    if df.count() <= int(bound):
+        return df
+    return deterministic_sample(df, fraction, key_col)
+
+
+def certification_sample_sql(
+    table: str, key_sql: str, bound: int, fraction: float
+) -> str:
+    """DuckDB WHERE-clause twin of `certification_sample`: true for
+    every row when the table is small, else the same md5 slot cut."""
+    return (f"(SELECT COUNT(*) FROM {table}) <= {int(bound)} "
+            f"OR substr(md5(CAST({key_sql} AS VARCHAR)), 1, "
+            f"{_HEX_DIGITS}) < '{_threshold(fraction)}'")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

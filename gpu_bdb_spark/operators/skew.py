@@ -164,3 +164,62 @@ def windowed_pair_counts_auto(
     return windowed_pair_counts(
         df, key_col, ts_col, left_filter, right_filter, window_us,
         strategy=strategy)
+
+
+def range_join_auto(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: tuple[str, ...] = (),
+    bucket_width_s: int = 3600,
+    n_salts: int = 8,
+    hot_cell_rows: int = 100_000,
+    hot_skew: float = 100.0,
+) -> DataFrame:
+    """`range_join` with bucket-vs-salted picked from the data (VERDICT
+    r05 item 2): the diagnostic aggregate runs on the POINT side keyed
+    by (by..., bucket) — exactly the equi-join key whose hot cell the
+    salted arm exists to spread — so the dispatch reads the join's own
+    skew, not a proxy. Both arms are output-equivalent (pinned in
+    test_temporal.py), so the choice can only change the plan shape."""
+    from gpu_bdb_spark.operators.temporal import _as_ordinal, range_join
+
+    width = int(bucket_width_s) * (
+        1_000_000 if dict(points.dtypes)[point_col].startswith("timestamp")
+        else 1
+    )
+    p = points.withColumn(
+        "_bkt", F.floor(_as_ordinal(points, point_col) / width))
+    stats = key_skew_stats(p, *by, "_bkt")
+    strategy = pick_range_join_strategy(stats, hot_cell_rows, hot_skew)
+    return range_join(
+        points, intervals, point_col=point_col, start_col=start_col,
+        end_col=end_col, by=by, strategy=strategy,
+        bucket_width_s=bucket_width_s, n_salts=n_salts)
+
+
+def simhash_pairs_auto(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    sim_col: str = "simhash",
+    hot_bucket_rows: int = 20_000,
+    n_chunks: int = 16,
+) -> DataFrame:
+    """`simhash_pairs` with plain-vs-chunked picked from the data
+    (VERDICT r05 item 2): the diagnostic runs on the pigeonhole block
+    buckets themselves (`simhash_blocks` — the self-join key whose hot
+    bucket AQE cannot split because the exchange is reused on both
+    sides). Chunking replicates the right side ×n_chunks, so it engages
+    only when a bucket is measured pathological; both arms emit the
+    identical pair set (pinned in test_dedup.py)."""
+    from gpu_bdb_spark.operators.dedup import simhash_blocks, simhash_pairs
+
+    buckets = simhash_blocks(fingerprints, max_hamming, id_col, sim_col)
+    stats = key_skew_stats(buckets, "blk", "val")
+    strategy = pick_simhash_strategy(stats, hot_bucket_rows)
+    return simhash_pairs(
+        fingerprints, max_hamming, id_col, sim_col,
+        strategy=strategy, n_chunks=n_chunks)

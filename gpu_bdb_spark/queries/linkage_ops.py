@@ -34,20 +34,49 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(c, "c_name", max_dist=1)
 
 
+#: Size-bounded certification tier (VERDICT r05 item 1): at or below
+#: this document count (every driver SF: 500/500/5000) the entries run
+#: the FULL corpus — byte-identical to the pre-tier gate; above it both
+#: the Spark side and the oracle restrict to the deterministic ¼ md5
+#: content-hash sample, shrinking the exhaustive oracle's pair space by
+#: 16× (sf1zipf: 80M → ~5M list-intersections) so the sweep certifies
+#: end-to-end under one default-memory session. The FULL-corpus run at
+#: big SFs stays covered by the containment/row-count invariant probe
+#: (.claude/skills/verify/probe_cert_sample.py): sampled output ==
+#: full output restricted to sampled ids.
+CERT_DOC_BOUND = 20_000
+CERT_FRACTION = 0.25
+
+#: Routing budget for the measured LSH bucket pair-work (see
+#: `lsh_verified_pairs_portable`): driver fixtures 0.85M/0.87M/84M and
+#: sf1zipf-sampled ~3M all stay on the LSH arm (certified hashes
+#: unchanged); only vocabulary-degenerate corpora (uniform sf1: 8.2G)
+#: route to the prefix verify.
+LSH_PAIR_WORK_BUDGET = 200_000_000
+
+
+def _cert_sample_sql() -> str:
+    from gpu_bdb_spark.operators.sampling import certification_sample_sql
+    return certification_sample_sql(
+        "documents", "doc_id", CERT_DOC_BOUND, CERT_FRACTION)
+
+
 #: Exhaustive-pair oracle with ONE pure-math restriction (round 12):
 #: J ≥ 19/20 forces |A∩B| ≤ min(szA, szB) and |A∪B| ≥ max(szA, szB), so
 #: 20·min ≥ 19·max is a NECESSARY condition derived from the threshold
 #: alone — no token ordering, prefixes, or any replay of our algorithm.
 #: It keeps the oracle an independent statement of the semantics while
-#: cutting the sf1zipf pair space 1.25G → 80M list-intersections
-#: (feasible), which is what lets the sf1zipf sweep run this entry
-#: unexcluded (VERDICT r04 item 8).
+#: cutting the sf1zipf pair space 1.25G → 80M list-intersections,
+#: which with the certification-sample tier (→ ~5M) is what lets the
+#: sf1zipf sweep run this entry unexcluded (VERDICT r04 item 8 +
+#: r05 item 1).
 JACCARD_JOIN_ORACLE = """
 WITH s AS (
   SELECT doc_id,
          list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
                                    x -> x <> '')) AS toks
   FROM documents
+  WHERE {cert}
 ),
 s2 AS MATERIALIZED (
   SELECT doc_id, toks, len(toks) AS sz FROM s WHERE len(toks) > 0),
@@ -71,19 +100,25 @@ FROM p WHERE inter * 20 >= un * 19
 """
 
 
-@register("jaccard_join_prefix", oracle=JACCARD_JOIN_ORACLE,
+@register("jaccard_join_prefix",
+          oracle=JACCARD_JOIN_ORACLE.format(cert=_cert_sample_sql()),
           tags=("linkage", "set-similarity", "prefix-filter"), bench=True)
 def jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs with token-set Jaccard ≥ 0.95 via AllPairs prefix
     filtering (rarest-tokens-first prefixes → equi-join candidates →
     exact integer verify) — the oracle is the EXHAUSTIVE quadratic
     list_intersect self-join, so the driver hash proves the prefix
-    blocking loses no pairs."""
+    blocking loses no pairs. Above CERT_DOC_BOUND docs both sides
+    certify on the deterministic ¼ content-hash sample (the
+    size-bounded tier; identical to the full gate at every driver
+    SF)."""
     from gpu_bdb_spark.functions import tokenize
     from gpu_bdb_spark.operators.linkage import jaccard_set_join
+    from gpu_bdb_spark.operators.sampling import certification_sample
 
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
+    d = certification_sample(d, "doc_id", CERT_DOC_BOUND, CERT_FRACTION)
     toks = d.select(
         "doc_id",
         tokenize(F.lower(F.col("text"))).alias("toks"))
@@ -94,9 +129,16 @@ def jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_lsh_oracle(num_hashes: int = 32, bands: int = 16,
                         num: int = 19, den: int = 20) -> str:
     """DuckDB replay of the composed LSH-candidate + token-Jaccard
-    verify pipeline, stage by stage (signatures → bands → candidate
-    join → exact integer verify) — the md5 family makes every stage
-    engine-portable, so the gate is deterministic at any SF."""
+    verify pipeline, stage by stage (certification sample → signatures
+    → bands → MEASURED pair-work routing → candidate join → exact
+    integer verify) — the md5 family makes every stage engine-portable,
+    so the gate is deterministic at any SF. The routing stat and both
+    arms are guarded at their INPUT CTEs (an output-level filter would
+    still build the expensive join), and every multiply-referenced CTE
+    is MATERIALIZED (the round-8 re-inlining lesson). The routed arm's
+    oracle is the EXHAUSTIVE size-compatible pair join — valid because
+    prefix filtering has provable recall 1.0, so its output IS the
+    exhaustive truth."""
     rows = num_hashes // bands
     # Carter–Wegman family: one md5 per token → h1,
     # sig_i = MIN((a_i·h1 + b_i) % 2^61−1)
@@ -112,28 +154,38 @@ def _jaccard_lsh_oracle(num_hashes: int = 32, bands: int = 16,
                 f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)))
         for b in range(bands))
     return r"""
-WITH t AS (
+WITH t AS MATERIALIZED (
   SELECT doc_id AS id,
          list_distinct(list_filter(
            string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks
   FROM documents
+  WHERE """ + _cert_sample_sql() + r"""
 ),
-tk AS (SELECT id, unnest(toks) AS tok FROM t WHERE len(toks) > 0),
+tk AS MATERIALIZED (
+  SELECT id, unnest(toks) AS tok FROM t WHERE len(toks) > 0),
 tkh AS (
   SELECT id,
          CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h1
   FROM tk),
-sig AS (
+sig AS MATERIALIZED (
   SELECT id,
          """ + mins + """
   FROM tkh GROUP BY id
 ),
-bandv AS (
+bandv AS MATERIALIZED (
   """ + band_rows + """
+),
+stat AS MATERIALIZED (
+  SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS pw
+  FROM (SELECT COUNT(*) AS c FROM bandv GROUP BY band, bh)
+),
+lsh_bandv AS (
+  SELECT * FROM bandv
+  WHERE (SELECT pw FROM stat) <= """ + str(LSH_PAIR_WORK_BUDGET) + r"""
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_1, b.id AS id_2
-  FROM bandv a JOIN bandv b
+  FROM lsh_bandv a JOIN lsh_bandv b
     ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
 ),
 sizes AS (SELECT id, CAST(len(toks) AS BIGINT) AS sz FROM t),
@@ -143,14 +195,40 @@ inter AS (
   JOIN tk a ON a.id = c.id_1
   JOIN tk b ON b.id = c.id_2 AND b.tok = a.tok
   GROUP BY c.id_1, c.id_2
+),
+lsh_out AS (
+  SELECT i.id_1, i.id_2,
+         ROUND(CAST(i.n_inter AS DOUBLE)
+               / CAST(s1.sz + s2.sz - i.n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter i
+  JOIN sizes s1 ON i.id_1 = s1.id
+  JOIN sizes s2 ON i.id_2 = s2.id
+  WHERE i.n_inter * """ + str(den) + """ >= (s1.sz + s2.sz - i.n_inter) * """ + str(num) + r"""
+),
+ex_s2 AS MATERIALIZED (
+  SELECT id, toks, len(toks) AS sz FROM t
+  WHERE len(toks) > 0
+    AND (SELECT pw FROM stat) > """ + str(LSH_PAIR_WORK_BUDGET) + r"""
+),
+ex_szs AS (SELECT DISTINCT sz FROM ex_s2),
+ex_compat AS MATERIALIZED (
+  SELECT a.sz AS sza, b.sz AS szb
+  FROM ex_szs a JOIN ex_szs b
+    ON a.sz * """ + str(den) + " >= b.sz * " + str(num) + """
+   AND b.sz * """ + str(den) + " >= a.sz * " + str(num) + r"""
+),
+ex_out AS (
+  SELECT a.id AS id_1, b.id AS id_2,
+         ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / CAST(a.sz + b.sz - len(list_intersect(a.toks, b.toks))
+                      AS DOUBLE), 6) AS jaccard
+  FROM ex_s2 a
+  JOIN ex_compat c ON a.sz = c.sza
+  JOIN ex_s2 b ON b.sz = c.szb AND a.id < b.id
+  WHERE len(list_intersect(a.toks, b.toks)) * """ + str(den) + r"""
+        >= (a.sz + b.sz - len(list_intersect(a.toks, b.toks))) * """ + str(num) + r"""
 )
-SELECT i.id_1, i.id_2,
-       ROUND(CAST(i.n_inter AS DOUBLE)
-             / CAST(s1.sz + s2.sz - i.n_inter AS DOUBLE), 6) AS jaccard
-FROM inter i
-JOIN sizes s1 ON i.id_1 = s1.id
-JOIN sizes s2 ON i.id_2 = s2.id
-WHERE i.n_inter * """ + str(den) + """ >= (s1.sz + s2.sz - i.n_inter) * """ + str(num) + """
+SELECT * FROM lsh_out UNION ALL SELECT * FROM ex_out
 """
 
 
@@ -171,17 +249,30 @@ def jaccard_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays every stage, so the hash gate is deterministic — recall is
     the operator's stated contract, not a hash hazard.
 
-    REGIME (measured, SCALE.md round 10): token-SET LSH needs low mean
-    inter-doc Jaccard — on a Zipfian corpus random docs share the
-    vocabulary head, P(band collision) ≈ J̄^r per band, and candidates
-    approach all-pairs; there `jaccard_join_prefix` is the right tool
-    (rare-token prefixes prune hard). The two candidate generators are
-    complementary; pick by a one-scan df profile (`skew_report`)."""
+    REGIME (measured, SCALE.md rounds 10 + 13): the failure mode of
+    token-SET LSH is vocabulary degeneracy — signature minima collapse
+    into shared buckets and the band join's output explodes. Round-13
+    MEASUREMENT inverted the earlier intuition about WHERE that bites:
+    the 31-word driver fixture is the most degenerate (pair-work/doc
+    16.9k at sf0.1), a Zipf corpus's tail DIVERSIFIES signatures
+    (pw/doc 980 at sf1zipf — in-regime!), and only the uniform-vocab
+    sf1 corpus truly explodes (8.2G). So the operator routes on the
+    MEASURED bucket pair-work (one cheap aggregate, exactly replayed in
+    the oracle's stat CTE), not on a vocabulary heuristic: over
+    LSH_PAIR_WORK_BUDGET it falls back to `jaccard_join_prefix`'s
+    prefix verify, whose recall is provably 1.0 so the routed output is
+    the exhaustive truth and the oracle's routed arm is the EXHAUSTIVE
+    size-compatible join. Above CERT_DOC_BOUND docs both engines
+    certify on the deterministic ¼ content-hash sample (size-bounded
+    tier — sf1zipf's 49M-pair verify would otherwise cost >25 min in
+    the single-threaded oracle)."""
     from gpu_bdb_spark.functions import tokenize
     from gpu_bdb_spark.operators.dedup import lsh_verified_pairs_portable
+    from gpu_bdb_spark.operators.sampling import certification_sample
 
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
+    d = certification_sample(d, "doc_id", CERT_DOC_BOUND, CERT_FRACTION)
     toks = F.array_distinct(tokenize(F.lower(F.col("text"))))
     sets = d.select(
         F.col("doc_id").alias("id"),
@@ -189,4 +280,5 @@ def jaccard_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_members"),
     ).filter(F.col("n_members") > 0)
     return lsh_verified_pairs_portable(
-        sets, num_hashes=32, bands=16, threshold_num=19, threshold_den=20)
+        sets, num_hashes=32, bands=16, threshold_num=19, threshold_den=20,
+        pair_work_budget=LSH_PAIR_WORK_BUDGET)

@@ -108,6 +108,39 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("range_join_auto", oracle=RANGE_JOIN_ORACLE,
+          tags=("temporal", "range-join", "auto-strategy"))
+def range_join_auto_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`range_join_windows` with bucket-vs-salted picked from MEASURED
+    (user, bucket) cell skew on the point side (VERDICT r05 item 2:
+    widen the data-driven dispatch; operators/skew.range_join_auto).
+    Both arms are output-equivalent (pinned in test_temporal.py) and
+    held to the SAME oracle as the bucketed entry, so the dispatch can
+    only change the plan shape; arm choice on planted hot/uniform
+    fixtures is pinned in test_skew.py."""
+    from gpu_bdb_spark.operators.skew import range_join_auto
+
+    e = read_table(spark, sf_dir, "events",
+                   ["event_id", "user_id", "ts", "event_type"],
+                   hint_broadcast=False)
+    anchors = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.timestamp_micros(micros("ts")
+                            + F.lit(7_200_000_000).cast("long")))
+        .alias("end_ts"),
+    )
+    points = e.select("user_id", "ts", "event_type")
+    j = range_join_auto(points, anchors, point_col="ts",
+                        start_col="start_ts", end_col="end_ts",
+                        by=("user_id",), bucket_width_s=7200)
+    return j.groupBy("anchor_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
 HYPERTABLE_ORACLE = """
 WITH g AS (SELECT CAST(unnest([3600, 86400, 604800]) AS BIGINT) AS gran_s),
 e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events)

@@ -155,6 +155,9 @@ QUERIES = [
     "sprt_conversion",
     # round-12 entries
     "view_then_purchase_auto",
+    # round-13 entries
+    "range_join_auto",
+    "simhash_pairs_auto",
 ]
 
 

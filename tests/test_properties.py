@@ -186,6 +186,37 @@ def test_deterministic_sample_nested_and_rate(spark):
         == 0
 
 
+def test_certification_sample_bound_and_sql_twin(spark):
+    """VERDICT r05 item 1: certification_sample passes small frames
+    through UNTOUCHED (driver SFs keep the full-corpus gate) and
+    applies the deterministic md5 cut above the bound; the SQL twin
+    selects exactly the same ids in DuckDB."""
+    import duckdb
+
+    from gpu_bdb_spark.operators.sampling import (certification_sample,
+                                                  certification_sample_sql)
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    # below the bound: identical frame (same plan rows, no filter)
+    assert certification_sample(df, "doc_id", 1000, 0.25).count() == 1000
+    sampled = {r.doc_id for r in
+               certification_sample(df, "doc_id", 999, 0.25).collect()}
+    assert 0 < len(sampled) < 1000
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS "
+                "SELECT range AS doc_id FROM range(1000)")
+    sql = certification_sample_sql("documents", "doc_id", 999, 0.25)
+    duck = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM documents WHERE {sql}").fetchall()}
+    assert duck == sampled
+    # below-bound twin keeps everything too
+    sql_all = certification_sample_sql("documents", "doc_id", 1000, 0.25)
+    assert con.execute(
+        f"SELECT COUNT(*) FROM documents WHERE {sql_all}"
+    ).fetchone()[0] == 1000
+
+
 def test_domain_mix_hits_target_proportions(spark):
     """domain_mix resamples to the requested mixture within hash-
     sampling noise, never upsamples, and the binding stratum (smallest

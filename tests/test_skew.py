@@ -187,6 +187,95 @@ def test_auto_strategy_pickers_choose_right_arm(spark):
     assert got_cold_arm == want
 
 
+def test_range_join_auto_picks_arm_and_matches(spark):
+    """VERDICT r05 item 2: range_join_auto must pick salted on a
+    planted hot (user, bucket) cell and bucket on uniform data, and
+    both dispatches must return the bucketed arm's exact output."""
+    from gpu_bdb_spark.operators.skew import range_join_auto
+    from gpu_bdb_spark.operators.temporal import range_join
+
+    # user 7: 300 points in ONE 1000-us bucket; 20 cold users spread
+    pts = [(7, 100 + i) for i in range(300)]
+    pts += [(u, 100 + i * 1000) for u in range(100, 120) for i in range(3)]
+    points = spark.createDataFrame(pts, "user_id long, ts long")
+    ivs = [(7, 0, 2000), (110, 500, 1500)]
+    intervals = spark.createDataFrame(
+        ivs, "user_id long, start long, end long")
+
+    kw = dict(point_col="ts", start_col="start", end_col="end",
+              by=("user_id",), bucket_width_s=1000)
+    want = sorted(map(tuple, range_join(
+        points, intervals, strategy="bucket", **kw).collect()))
+    got_salted_arm = sorted(map(tuple, range_join_auto(
+        points, intervals, hot_cell_rows=200, hot_skew=1e9,
+        **kw).collect()))
+    got_bucket_arm = sorted(map(tuple, range_join_auto(
+        points, intervals, hot_cell_rows=10_000, hot_skew=1e9,
+        **kw).collect()))
+    assert got_salted_arm == want
+    assert got_bucket_arm == want
+    assert len(want) > 0
+
+
+def test_simhash_pairs_auto_picks_arm_and_matches(spark):
+    """VERDICT r05 item 2: simhash_pairs_auto must pick chunked on a
+    planted hot pigeonhole bucket (all-identical fingerprints collide
+    on every block) and plain on diverse ones; both arms emit the
+    identical pair set."""
+    from gpu_bdb_spark.operators.dedup import simhash_pairs
+    from gpu_bdb_spark.operators.skew import simhash_pairs_auto
+
+    # 60 ids share fingerprint 0xABCD (hot bucket: every block ties);
+    # 40 ids get diverse fingerprints
+    rows = [(i, 0xABCD) for i in range(60)]
+    rows += [(100 + i, (i * 0x9E3779B97F4A7C15) & ((1 << 63) - 1))
+             for i in range(40)]
+    fp = spark.createDataFrame(rows, "id long, simhash long")
+
+    want = sorted(map(tuple, simhash_pairs(
+        fp, max_hamming=3, strategy="plain").collect()))
+    assert sorted(map(tuple, simhash_pairs(
+        fp, max_hamming=3, strategy="chunked").collect())) == want
+    got_chunked_arm = sorted(map(tuple, simhash_pairs_auto(
+        fp, max_hamming=3, hot_bucket_rows=50).collect()))
+    got_plain_arm = sorted(map(tuple, simhash_pairs_auto(
+        fp, max_hamming=3, hot_bucket_rows=10_000).collect()))
+    assert got_chunked_arm == want
+    assert got_plain_arm == want
+    assert len(want) >= 60 * 59 // 2  # the hot clique is all pairs
+
+
+def test_lsh_pair_work_router(spark):
+    """VERDICT r05 item 1: lsh_verified_pairs_portable with a
+    pair_work_budget must route to the prefix verify when the measured
+    bucket pair-work exceeds the budget — and the routed output equals
+    the LSH arm's on a fixture where LSH recall is exhaustive (J=1
+    duplicates collide in every band)."""
+    from gpu_bdb_spark.operators.dedup import lsh_verified_pairs_portable
+
+    docs = []
+    for i in range(30):
+        toks = [f"w{i}_{j}" for j in range(12)]
+        docs.append((2 * i, toks))
+        docs.append((2 * i + 1, list(toks)))  # exact dup partner
+    sets = spark.createDataFrame(
+        docs, "id long, members array<string>").withColumn(
+        "n_members", F.size("members").cast("long"))
+
+    kw = dict(num_hashes=32, bands=16, threshold_num=19, threshold_den=20)
+    want = sorted(map(tuple, lsh_verified_pairs_portable(
+        sets, **kw).collect()))
+    assert sorted((a, b) for a, b, _ in want) == sorted(
+        (2 * i, 2 * i + 1) for i in range(30))
+    # huge budget -> LSH arm; zero budget -> prefix arm; same answer
+    got_lsh = sorted(map(tuple, lsh_verified_pairs_portable(
+        sets, pair_work_budget=10**15, **kw).collect()))
+    got_prefix = sorted(map(tuple, lsh_verified_pairs_portable(
+        sets, pair_work_budget=0, **kw).collect()))
+    assert got_lsh == want
+    assert got_prefix == want
+
+
 def test_key_skew_stats_null_and_empty(spark):
     from gpu_bdb_spark.operators.skew import key_skew_stats
 
