@@ -34,6 +34,11 @@ leaks into "spread" (dedup_minhash_lsh measured ±3 s cold vs 1.8 s warm
 cost; only one-time JVM compilation is amortized, exactly like the
 reference's repeat amortization.
 
+Before reading a round-over-round move as a regression, read SCALE.md
+"Bench variance floor": the frozen-13 idle-machine band is 11.6-19 s on
+identical plans; compare per-query bests, never totals, and never trust
+a bench taken alongside other load.
+
 Throughput series (round-5 verdict item 4): after the serial timings,
 a fixed 4-stream × 6-query concurrency phase (THROUGHPUT6, rotated
 per stream, FAIR pools — the session is built with
