@@ -955,20 +955,33 @@ def cooccurrence_pmi(
         )
     )
     pairs = left.join(
-        # shuffle_hash: BOTH sides are fact-sized (positions × window);
-        # letting the planner broadcast the position stream worked at
-        # small SFs but failed the driver's default-memory session at
-        # sf1 ("Not enough memory to build and broadcast") — the pair
-        # join must never be a broadcast at corpus scale
+        # merge, not broadcast and not shuffle_hash: BOTH sides are
+        # fact-sized (positions × window). Letting the planner
+        # broadcast the position stream worked at small SFs but failed
+        # the driver's default-memory session at sf1 ("Not enough
+        # memory to build and broadcast"); shuffle_hash build maps
+        # cannot spill and inflate when AQE coalesces the inputs
+        # (round-12 OOM-chain lesson 1) — sort-merge is the only join
+        # that survives an arbitrary-memory session on two
+        # corpus-cardinality sides
         pos.select("doc_id", "pos", F.col("token").alias("_tok_r"))
-        .hint("shuffle_hash"),
+        .hint("merge"),
         ["doc_id", "pos"],
     ).select(
         F.least("_tok_l", "_tok_r").alias("token_a"),
         F.greatest("_tok_l", "_tok_r").alias("token_b"),
     )
-    pc = pairs.groupBy("token_a", "token_b").agg(
-        F.count(F.lit(1)).alias("n_ab"))
+    # Explicit repartition on the aggregate key (AQE-exempt): AQE
+    # coalesces the join output by BYTES, but the pair aggregate's cost
+    # is GROUP STATE — on a Zipf vocabulary the tail makes distinct
+    # (token_a, token_b) nearly as large as the pair stream, and the
+    # coalesced partial aggregate heap-OOM'd a default-memory session
+    # at sf1zipf while finishing its spill sort (round-13; same class
+    # as round-12 lesson 3). 256 hash partitions bound per-task groups
+    # to ~distinct_pairs/256 regardless of AQE's byte targets.
+    pc = pairs.repartition(256, "token_a", "token_b") \
+        .groupBy("token_a", "token_b").agg(
+            F.count(F.lit(1)).alias("n_ab"))
     p_total = pc.select(F.sum("n_ab").cast("long").alias("_p"))
     return (
         pc.filter(F.col("n_ab") >= F.lit(int(min_pair_count)))
