@@ -924,73 +924,87 @@ def cooccurrence_pmi(
     PMI = ln(n_ab·T² / (P·n_a·n_b)) where T = corpus tokens, P = total
     windowed pairs.
 
-    Scale shape: positions explode once; the pair stream is built by an
-    EQUI join on (doc, pos+k) for k ∈ 1..window (a codegen'd hash join,
-    ×window expansion — never an interpreted per-array pair lambda, and
-    never a positional range join); unigram counts re-attach by
-    broadcast (vocabulary-sized). The PMI input ratio is an exact
-    integer expression; ln is applied once at the edge and rounded to 6
-    (the repo-wide quantization contract for transcendentals).
+    Scale shape: positions explode once and immediately swap their
+    token STRING for a dense integer vocab id (broadcast join against
+    the vocabulary; ids assigned in token order so least/greatest by id
+    IS least/greatest by string) — everything corpus-sized downstream
+    carries only (long, long, int) rows. The pair stream is built by an
+    EQUI join on (doc, pos+k) for k ∈ 1..window (a codegen'd SORT-MERGE
+    join, ×window expansion — never an interpreted per-array pair
+    lambda, never a positional range join, never a broadcast or
+    shuffle_hash of a fact-sized side: the planner's broadcast OOM'd a
+    default-memory session at sf1, and shuffle_hash build maps cannot
+    spill and inflate when AQE coalesces the inputs — round-12 lesson).
+    The pair aggregate runs behind an EXPLICIT repartition on its key
+    (AQE-exempt): AQE coalesces the join output by BYTES, but aggregate
+    cost is GROUP STATE — on a Zipf vocabulary distinct (id_a, id_b) is
+    nearly as large as the pair stream, and the byte-coalesced partial
+    aggregate heap-OOM'd a default-memory session at sf1zipf
+    (round-13; the string form OOM'd even after the repartition when
+    92 prior sweep entries had squeezed the heap — the int-id rows are
+    ~4× smaller through both shuffles and the group map). Unigram
+    counts and names re-attach by broadcast (vocabulary-sized). The
+    vocab-id row_number is the one deliberate single-partition sort,
+    bounded by vocabulary size (the jaccard_set_join trade). The PMI
+    input ratio is an exact integer expression; ln is applied once at
+    the edge and rounded to 6 (the repo-wide quantization contract for
+    transcendentals).
     """
+    from pyspark.sql.window import Window
+
     pos = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokenize(text_col)).alias("pos", "token"),
     )
     uni = pos.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    # dense ids in TOKEN ORDER: min/max by id == min/max by string, so
+    # the unordered-pair normalization matches the oracle's
+    # least/greatest on the strings exactly
+    vocab = uni.select(
+        "token", "n_tok",
+        F.row_number().over(Window.orderBy("token")).alias("tid"),
+    )
     # total tokens from the vocabulary-sized aggregate, NOT another pass
     # over the exploded fact stream (saves one full tokenize+explode scan)
-    t_total = uni.select(F.sum("n_tok").cast("long").alias("_t"))
+    t_total = vocab.select(F.sum("n_tok").cast("long").alias("_t"))
+    posi = pos.join(F.broadcast(vocab.select("token", "tid")), "token") \
+        .select("doc_id", "pos", "tid")
     left = (
-        pos.select(
+        posi.select(
             "doc_id",
             "pos",
-            F.col("token").alias("_tok_l"),
+            F.col("tid").alias("_tid_l"),
             F.explode(
                 F.sequence(F.lit(1), F.lit(int(window)))).alias("_k"),
         )
         .select(
             "doc_id",
             (F.col("pos") + F.col("_k")).alias("pos"),
-            "_tok_l",
+            "_tid_l",
         )
     )
     pairs = left.join(
-        # merge, not broadcast and not shuffle_hash: BOTH sides are
-        # fact-sized (positions × window). Letting the planner
-        # broadcast the position stream worked at small SFs but failed
-        # the driver's default-memory session at sf1 ("Not enough
-        # memory to build and broadcast"); shuffle_hash build maps
-        # cannot spill and inflate when AQE coalesces the inputs
-        # (round-12 OOM-chain lesson 1) — sort-merge is the only join
-        # that survives an arbitrary-memory session on two
-        # corpus-cardinality sides
-        pos.select("doc_id", "pos", F.col("token").alias("_tok_r"))
+        posi.select("doc_id", "pos", F.col("tid").alias("_tid_r"))
         .hint("merge"),
         ["doc_id", "pos"],
     ).select(
-        F.least("_tok_l", "_tok_r").alias("token_a"),
-        F.greatest("_tok_l", "_tok_r").alias("token_b"),
+        F.least("_tid_l", "_tid_r").alias("_ida"),
+        F.greatest("_tid_l", "_tid_r").alias("_idb"),
     )
-    # Explicit repartition on the aggregate key (AQE-exempt): AQE
-    # coalesces the join output by BYTES, but the pair aggregate's cost
-    # is GROUP STATE — on a Zipf vocabulary the tail makes distinct
-    # (token_a, token_b) nearly as large as the pair stream, and the
-    # coalesced partial aggregate heap-OOM'd a default-memory session
-    # at sf1zipf while finishing its spill sort (round-13; same class
-    # as round-12 lesson 3). 256 hash partitions bound per-task groups
-    # to ~distinct_pairs/256 regardless of AQE's byte targets.
-    pc = pairs.repartition(256, "token_a", "token_b") \
-        .groupBy("token_a", "token_b").agg(
+    pc = pairs.repartition(256, "_ida", "_idb") \
+        .groupBy("_ida", "_idb").agg(
             F.count(F.lit(1)).alias("n_ab"))
     p_total = pc.select(F.sum("n_ab").cast("long").alias("_p"))
     return (
         pc.filter(F.col("n_ab") >= F.lit(int(min_pair_count)))
-        .join(F.broadcast(uni.select(F.col("token").alias("token_a"),
-                                     F.col("n_tok").alias("n_a"))),
-              "token_a")
-        .join(F.broadcast(uni.select(F.col("token").alias("token_b"),
-                                     F.col("n_tok").alias("n_b"))),
-              "token_b")
+        .join(F.broadcast(vocab.select(F.col("tid").alias("_ida"),
+                                       F.col("token").alias("token_a"),
+                                       F.col("n_tok").alias("n_a"))),
+              "_ida")
+        .join(F.broadcast(vocab.select(F.col("tid").alias("_idb"),
+                                       F.col("token").alias("token_b"),
+                                       F.col("n_tok").alias("n_b"))),
+              "_idb")
         .crossJoin(F.broadcast(t_total))
         .crossJoin(F.broadcast(p_total))
         .select(
