@@ -795,18 +795,39 @@ def _copurchase_edges(spark, sf_dir):
     the graph size governed by REPEATED co-occurrence, not by the raw
     pair explosion of large baskets, which is what lets the downstream
     graph operators run in bounded memory at any SF (the unfiltered
-    dense graph is kept as a stress probe in SCALE.md round 6)."""
+    dense graph is kept as a stress probe in SCALE.md round 6).
+
+    The support AGGREGATE runs behind an explicit AQE-exempt
+    repartition on the pair key: at sf1 almost every raw pair has
+    support 1 (measured 12.0M raw pair groups → 3,849 surviving edges
+    at sf1zipf), so the aggregate's cost is GROUP STATE nearly equal to
+    its input; AQE coalesces the self-join output by BYTES and the
+    byte-coalesced partial aggregate heap-OOM'd a default-memory
+    session (round-13 — the cooccurrence_pmi / round-12-lesson-3
+    class). 256 hash partitions bound per-task groups to ~47k.
+
+    The surviving edge list is localCheckpoint'ed: the graph consumers
+    reference it many times (random_walks: frontier + one join per
+    step; triangles: orientation + wedges + closure), and a COLD
+    multiply-referenced subtree can materialize its expensive upstream
+    CONCURRENTLY per reference (round-12 lesson 2 — random_walks_parts
+    OOM'd a default-memory session at sf1zipf exactly this way while
+    the single-consumer entries passed). The cut makes the 12M-group
+    build run once in its own job; every downstream plan then starts
+    from a few-thousand-row in-memory frame."""
     li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
                     hint_broadcast=False)
     l2 = li.withColumnsRenamed({"l_partkey": "p2"})
     return (
         li.join(l2, "l_orderkey")
         .filter(F.col("l_partkey") < F.col("p2"))
+        .repartition(256, "l_partkey", "p2")
         .groupBy(F.col("l_partkey").alias("id_1"),
                  F.col("p2").alias("id_2"))
         .agg(F.count(F.lit(1)).alias("_s"))
         .filter(F.col("_s") >= 2)
         .select("id_1", "id_2")
+        .localCheckpoint()
     )
 
 
