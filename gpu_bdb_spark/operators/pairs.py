@@ -30,6 +30,15 @@ def pair_counts(
     (`pair_counts_compact`) measured 2× slower at bench (interpreted
     higher-order functions) for typical basket sizes. Skewed groups are
     handled by AQE's skew-join splitting.
+
+    The pair COUNT runs behind an explicit AQE-exempt repartition on
+    the pair key: at fact scale most pairs occur once (sf1: 12.0M
+    distinct pairs from 12M pair rows), so the aggregate's group state
+    ≈ its input; AQE coalesces the self-join output by BYTES and the
+    coalesced partial aggregate heap-OOMs a default-memory session —
+    marginally: part_pairs passed four sf1zipf sweeps then died in the
+    fifth on unlucky task co-residency (round-13; the round-12-lesson-3
+    class). 256 hash partitions bound per-task groups deterministically.
     """
     c1, c2 = f"{out_prefix}_1", f"{out_prefix}_2"
     base = (
@@ -41,6 +50,7 @@ def pair_counts(
     b = base.select(F.col(group_col).alias("_g2"), F.col(item_col).alias(c2))
     return (
         a.join(b, (a._g == b._g2) & (F.col(c1) < F.col(c2)))
+        .repartition(256, c1, c2)
         .groupBy(c1, c2)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -65,11 +65,26 @@ def collect_boundary(spark: SparkSession) -> None:
     instead wrap construction in `interleaved_collection()` and call
     this itself once each batch is fully collected — otherwise entry
     A's persisted intermediates are silently dropped when B is
-    constructed and recompute once per consumer."""
+    constructed and recompute once per consumer.
+
+    The JVM System.gc() matters as much as the Python gc (round 13):
+    broadcasts, localCheckpoint blocks and shuffle state are reaped by
+    ContextCleaner only after their JVM objects become WEAKLY
+    reachable — which needs a JVM collection, which Python's gc does
+    not trigger. In a long default-memory sweep session the JVM may
+    not GC between entries, so a heavy entry can meet 100+ entries of
+    unreaped weak garbage exactly when it needs the heap (the sf1zipf
+    sweep died at entry ~114 on per-entry-green code). One explicit
+    full GC per entry costs ~0.1 s and makes the boundary actually
+    bound JVM-side residency."""
     import gc
 
     spark.catalog.clearCache()
     gc.collect()
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass  # Spark Connect / mocked sessions have no _jvm
 
 
 class interleaved_collection:
