@@ -26,6 +26,17 @@ TUNED_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalesces shuffles toward this BYTE size, but aggregate and
+    # hash-join cost is per-task STATE, not bytes: under the driver's
+    # default-memory session (1g heap / 8 task slots ≈ 54 MB execution
+    # memory per task) the stock 64 MB advisory packs an input-sized
+    # group state into a handful of tasks and heap-OOMs fact-scale
+    # pair aggregates — measured repeatedly in the round-13 sf1zipf
+    # sweeps, with different marginal entries dying per run. 16 MB
+    # bounds per-task state ~4× below the stock setting at the cost of
+    # more (cheap) tasks; a production deployment with multi-GB
+    # executors should raise it back via --conf.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
     # Dimension tables (region/nation/supplier/part at our SF; the 15 dims
     # of TPCx-BB) must broadcast — reference hand-rolls this by collapsing
     # them to 1 partition (readers.py:129-134).
@@ -102,6 +113,7 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.python.filterPushdown.enabled",
     ):
