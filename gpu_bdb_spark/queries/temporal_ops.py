@@ -168,11 +168,17 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ("event_type",), "value", hierarchical=True)
 
 
+def _gapfill_cert_sql() -> str:
+    from gpu_bdb_spark.operators.sampling import certification_sample_sql
+    return certification_sample_sql("events", "user_id", 200_000, 0.0625)
+
+
 GAPFILL_ORACLE = """
 WITH e AS (
   SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
          epoch_us(ts) AS us, event_id, value
   FROM events
+  WHERE {cert}
 ),
 last_per_bucket AS (
   SELECT user_id, bucket, value AS obs
@@ -195,19 +201,31 @@ FROM spine s LEFT JOIN last_per_bucket l USING (user_id, bucket)
 """
 
 
-@register("gapfill_locf_events", oracle=GAPFILL_ORACLE,
+@register("gapfill_locf_events",
+          oracle=GAPFILL_ORACLE.format(cert=_gapfill_cert_sql()),
           tags=("temporal", "gapfill", "locf", "hypertable"))
 def gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly gap filling with last-observation-carried-forward per
     user (TimescaleDB time_bucket_gapfill + locf shape): dense bucket
     spine per key, per-bucket deterministic last value via a
     partial-aggregating max_by, LOCF window; the fill picks existing
-    doubles, never computes, so it is bit-exact cross-engine."""
+    doubles, never computes, so it is bit-exact cross-engine.
+
+    Certification tier (round 13): the OUTPUT is spine-sized — users ×
+    hourly span, 10.5M rows at sf1zipf — and the driver collects it,
+    which OOMs a default-memory JVM on result serialization alone. So
+    above 200k event rows BOTH engines restrict to the deterministic
+    1/16 md5 USER sample (whole series kept or dropped together —
+    per-key semantics intact; driver SFs ≤ 100k rows stay full-corpus).
+    The operator itself is unbounded; at 100 TB its output is a TABLE
+    you write, not a frame you collect."""
+    from gpu_bdb_spark.operators.sampling import certification_sample
     from gpu_bdb_spark.operators.temporal import gapfill_locf
 
     e = read_table(spark, sf_dir, "events",
                    ["user_id", "ts", "event_id", "value"],
                    hint_broadcast=False)
+    e = certification_sample(e, "user_id", 200_000, 0.0625)
     return gapfill_locf(e, "user_id", "ts", "value", step_s=3600)
 
 
