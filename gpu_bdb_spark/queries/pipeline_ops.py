@@ -135,14 +135,20 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              key_col="doc_id", default_fraction=0.1)
 
 
+def _pack_cert_sql() -> str:
+    from gpu_bdb_spark.operators.sampling import certification_sample_sql
+    return certification_sample_sql("documents", "doc_id", 20_000, 0.25)
+
+
 PACK_ORACLE = r"""
 WITH RECURSIVE t AS (
   SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,
          CAST(len(list_filter(string_split_regex(text, '\s+'),
                               x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents
+  WHERE {cert}
 ),
-ordered AS (
+ordered AS MATERIALIZED (
   SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
   FROM t
 ),
@@ -207,18 +213,28 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(corpus, eval_df, "text", "doc_id", n=4)
 
 
-@register("pack_sequences_docs", oracle=PACK_ORACLE,
+@register("pack_sequences_docs",
+          oracle=PACK_ORACLE.replace("{cert}", _pack_cert_sql()),
           tags=("pipeline", "packing", "pretraining"))
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-fit sequence packing of documents into 400-token training
     slots inside 8 id-hash buckets — the distributed, deterministic form
     of pretraining sequence packing. The sequential per-bucket scan is
     an applyInPandas seam; DuckDB reproduces it exactly with a recursive
-    CTE (the oracle)."""
+    CTE (the oracle).
+
+    Certification tier (round 13): the oracle's recursion advances one
+    document per step, re-joining the ordered frame — quadratic in the
+    largest bucket, >21 min at sf1zipf's 50k docs. Above 20k docs BOTH
+    engines restrict to the deterministic ¼ md5 doc sample (next-fit is
+    order-dependent only WITHIN the sampled sequence, which both
+    engines see identically); driver SFs stay full-corpus."""
     from gpu_bdb_spark.operators.packing import pack_sequences
+    from gpu_bdb_spark.operators.sampling import certification_sample
 
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
+    d = certification_sample(d, "doc_id", 20_000, 0.25)
     from gpu_bdb_spark.functions import tokenize
 
     with_tokens = d.select(
