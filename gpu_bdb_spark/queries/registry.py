@@ -74,15 +74,20 @@ def collect_boundary(spark: SparkSession) -> None:
     not trigger. In a long default-memory sweep session the JVM may
     not GC between entries, so a heavy entry can meet 100+ entries of
     unreaped weak garbage exactly when it needs the heap (the sf1zipf
-    sweep died at entry ~114 on per-entry-green code). One explicit
-    full GC per entry costs ~0.1 s and makes the boundary actually
-    bound JVM-side residency."""
+    sweep died at entry ~114 on per-entry-green code). The full GC is
+    GATED to constrained heaps (max < 4 GiB): there it costs ~0.1 s
+    and is load-bearing; on a tuned multi-GB session it is pure tax (a
+    full GC scales with heap size — measured ~+0.2-0.5 s flat per
+    query across the whole sf0.1 bench on a 16 GiB heap) and the
+    headroom makes it unnecessary."""
     import gc
 
     spark.catalog.clearCache()
     gc.collect()
     try:
-        spark._jvm.System.gc()
+        rt = spark._jvm.java.lang.Runtime.getRuntime()
+        if rt.maxMemory() < 4 * 1024 * 1024 * 1024:
+            spark._jvm.System.gc()
     except Exception:
         pass  # Spark Connect / mocked sessions have no _jvm
 
