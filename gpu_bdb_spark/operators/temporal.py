@@ -639,8 +639,15 @@ def trailing_event_stats(
 
     NULL-sum semantics match the SQL window SUM exactly: when the
     frame holds zero non-NULL values (empty window or all-NULL
-    values), `sum_v`/`sum_v2` are NULL, not 0 — a raw-column non-null
-    count rides the prefix sums to gate the signed difference.
+    values), `sum_v`/`sum_v2` are NULL, not 0. The gate is a prefix
+    counter of non-NULL POST-CAST values (`_vnn`) — not the raw-column
+    counter — so a frame whose raw values are all non-NULL but every
+    one overflows `value_decimal` to NULL under non-ANSI still emits
+    NULL sums, exactly like SQL SUM(CAST(value AS decimal)). The raw
+    counter (`_wnn`) is kept solely as the `count_nonnull` weight,
+    preserving SQL COUNT(value) semantics for `n`. (`sum_v2` shares
+    the `_vnn` gate: `sq_decimal` must be wide enough to hold the
+    square of any non-NULL `value_decimal` — the defaults are.)
 
     Row identity is STRUCTURAL, not id-based: each source event's two
     probe rows share a `monotonically_increasing_id` minted before the
@@ -663,12 +670,13 @@ def trailing_event_stats(
         v6.alias("_v"),
         F.when(F.col(value_col).isNotNull(), 1).otherwise(0)
         .alias("_wnn"),
+        F.when(v6.isNotNull(), 1).otherwise(0).alias("_vnn"),
         *[F.col(c) for c in payload],
     )
     weight = F.col("_wnn") if count_nonnull else F.lit(1)
     contrib = base.select(
         "_k", F.col("_t").alias("_us"),
-        weight.alias("_w"), F.col("_wnn"), F.col("_v"),
+        weight.alias("_w"), F.col("_wnn"), F.col("_vnn"), F.col("_v"),
         (F.col("_v") * F.col("_v")).cast(sq_decimal).alias("_v2"),
         F.lit(0).alias("_sign"), F.lit(None).cast(id_type).alias("_pid"),
         F.lit(None).cast("long").alias("_rid"),
@@ -691,6 +699,7 @@ def trailing_event_stats(
         "_k", F.col("_p._us").alias("_us"),
         F.lit(0).alias("_w"),
         F.lit(0).alias("_wnn"),
+        F.lit(0).alias("_vnn"),
         F.lit(0).cast(value_decimal).alias("_v"),
         F.lit(0).cast(sq_decimal).alias("_v2"),
         F.col("_p._sign").alias("_sign"),
@@ -704,7 +713,7 @@ def trailing_event_stats(
     cum = u.select(
         "_k", "_sign", "_pid", "_rid",
         F.sum("_w").over(w).alias("_cn"),
-        F.sum("_wnn").over(w).alias("_cnn"),
+        F.sum("_vnn").over(w).alias("_cvnn"),
         F.sum("_v").over(w).alias("_cs"),
         F.sum("_v2").over(w).alias("_cs2"),
         *payload,
@@ -715,8 +724,8 @@ def trailing_event_stats(
                  F.col("_rid"))
         .agg(
             F.sum(F.col("_sign") * F.col("_cn")).cast("long").alias("n"),
-            F.sum(F.col("_sign") * F.col("_cnn")).cast("long")
-            .alias("_nn"),
+            F.sum(F.col("_sign") * F.col("_cvnn")).cast("long")
+            .alias("_vn"),
             F.sum(F.when(F.col("_sign") == 1, F.col("_cs"))
                   .otherwise(-F.col("_cs"))).alias("_sv"),
             F.sum(F.when(F.col("_sign") == 1, F.col("_cs2"))
@@ -726,8 +735,8 @@ def trailing_event_stats(
     )
     return agg.select(
         id_col, key_col, "n",
-        F.when(F.col("_nn") > 0, F.col("_sv")).alias("sum_v"),
-        F.when(F.col("_nn") > 0, F.col("_sv2")).alias("sum_v2"),
+        F.when(F.col("_vn") > 0, F.col("_sv")).alias("sum_v"),
+        F.when(F.col("_vn") > 0, F.col("_sv2")).alias("sum_v2"),
         *payload,
     )
 

@@ -188,12 +188,18 @@ def run_registry_throughput(
     # construct-time cache clear would evict another stream's persisted
     # intermediates mid-query, so suspend it and take over the
     # lifecycle obligation with one boundary after the phase.
+    # try/finally: a stream that raises must not skip the boundary —
+    # the long-lived session would keep every stream's persisted
+    # intermediates cached (the cache-lifecycle class the per-entry
+    # boundary exists to prevent).
     t0 = time.perf_counter()
-    with interleaved_collection():
-        with ThreadPoolExecutor(max_workers=n_streams) as ex:
-            per_stream = list(ex.map(run_stream, range(n_streams)))
-    wall = round(time.perf_counter() - t0, 3)
-    collect_boundary(spark)
+    try:
+        with interleaved_collection():
+            with ThreadPoolExecutor(max_workers=n_streams) as ex:
+                per_stream = list(ex.map(run_stream, range(n_streams)))
+        wall = round(time.perf_counter() - t0, 3)
+    finally:
+        collect_boundary(spark)
     return {
         "wall_s": wall,
         "n_streams": n_streams,

@@ -412,6 +412,18 @@ def _commit_version(base_path: str, batch_id: int, merged,
             shutil.rmtree(os.path.join(base_path, data),
                           ignore_errors=True)
             return
+        except FileNotFoundError as e:
+            # A committer paused longer than _STALE_TMP_MARKER_S between
+            # the fsync'd tmp write and this link (GC stall, suspend,
+            # debugger) had its tmp reaped by a concurrent pruner. Safe —
+            # nothing was published, the batch retries — but name the
+            # race so the rare failure is diagnosable (ADVICE r06).
+            raise RuntimeError(
+                f"pointer-commit tmp {tmp} vanished before os.link — "
+                f"stale-marker reap race (committer paused > "
+                f"{_STALE_TMP_MARKER_S:.0f}s between fsync and link); "
+                "retry-safe: no marker was published for batch "
+                f"{batch_id}") from e
         finally:
             # missing_ok: a (pathological) stale-marker reap or manual
             # cleanup must not mask the link outcome

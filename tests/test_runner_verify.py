@@ -100,3 +100,24 @@ def test_interleaved_collection_preserves_caches(spark, sf_dir):
     assert not cache_mgr.isEmpty()
     specs["pricing_summary"].fn(spark, sf_dir)
     assert cache_mgr.isEmpty()
+
+
+def test_throughput_boundary_runs_on_stream_failure(spark, sf_dir):
+    """ADVICE r06: a stream that raises inside run_registry_throughput
+    must not skip the trailing collect_boundary — otherwise every
+    stream's persisted intermediates stay cached in the long-lived
+    session (the cache-lifecycle accumulation class)."""
+    import pytest
+
+    from gpu_bdb_spark.queries.registry import collect_boundary
+    from gpu_bdb_spark.runner import run_registry_throughput
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    collect_boundary(spark)
+    # dedup_lsh_verified persists at construction; the bogus second
+    # entry makes its stream raise KeyError mid-phase
+    with pytest.raises(KeyError):
+        run_registry_throughput(
+            spark, sf_dir, ["dedup_lsh_verified", "no_such_entry"],
+            n_streams=2)
+    assert cache_mgr.isEmpty()

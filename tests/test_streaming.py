@@ -1429,6 +1429,30 @@ def test_pointer_commit_marker_never_empty(spark, tmp_path):
     v, _ = cms_latest_version(base)
     assert v == 3
 
+    # ADVICE r06: a committer whose tmp was reaped mid-pause (os.link
+    # hits FileNotFoundError) surfaces a RuntimeError NAMING the
+    # stale-reap race — retry-safe (no marker published), diagnosable
+    import pytest as _pytest
+
+    real_link = os.link
+
+    def reaped_link(src, dst):
+        os.unlink(src)  # simulate the concurrent pruner winning
+        return real_link(src, dst)
+
+    # _commit_version does a function-local `import os`, which binds
+    # this same module object — patching the attribute reaches it
+    os.link = reaped_link
+    try:
+        with _pytest.raises(RuntimeError, match="stale-marker reap"):
+            _commit_version(base, 4, df, "pointer")
+    finally:
+        os.link = real_link
+    # nothing published for batch 4; table still serves v3
+    assert not os.path.exists(os.path.join(base, "commit-v4"))
+    v, _ = cms_latest_version(base)
+    assert v == 3
+
 
 def test_seasonal_ingest_drained_equals_batch(spark, sf_dir,
                                               tmp_path_factory):

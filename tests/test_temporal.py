@@ -521,6 +521,50 @@ def test_trailing_event_stats_null_and_duplicate_ids(spark):
     assert by_tag["e"]["n"] == 2 and by_tag["e"]["sum_v"] is None
     assert by_tag["e"]["sum_v2"] is None
 
+
+def test_trailing_event_stats_overflow_gate_is_post_cast(spark):
+    """ADVICE r06: the NULL-sum gate must count non-NULL POST-CAST
+    values — a frame whose raw values are all non-NULL but every one
+    overflows value_decimal to NULL (non-ANSI) must emit sum_v NULL,
+    exactly like SQL SUM(CAST(value AS decimal)); a mixed frame sums
+    only the in-range values. Pinned against the sliding-frame SQL
+    form on a deliberately too-narrow decimal(4,2)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.temporal import trailing_event_stats
+
+    W = 1000
+    # user 1: both values overflow decimal(4,2) (|v| > 99.99) — raw
+    # non-NULL, so the old raw-column gate would emit sum_v = 0;
+    # user 2: one overflow + one in-range -> sum of the in-range only.
+    rows = [
+        (1, 1, 100, 500.0), (2, 1, 200, 1234.5),
+        (3, 2, 100, 500.0), (4, 2, 200, 7.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, value double")
+    out = trailing_event_stats(
+        df, "user_id", "us", "event_id", "value", W,
+        value_decimal="decimal(4,2)", sq_decimal="decimal(10,4)")
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-W, 0)
+    v = F.col("value").cast("decimal(4,2)")
+    frame = df.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_f"),
+        F.sum(v).over(w).alias("s_f"),
+        F.sum((v * v).cast("decimal(10,4)")).over(w).alias("s2_f"),
+    )
+    joined = frame.join(out, "event_id")
+    bad = joined.filter(
+        (F.col("n_f") != F.col("n"))
+        | ~F.col("s_f").eqNullSafe(F.col("sum_v"))
+        | ~F.col("s2_f").eqNullSafe(F.col("sum_v2"))).count()
+    assert bad == 0
+    by_id = {r["event_id"]: r for r in out.collect()}
+    assert by_id[2]["n"] == 2 and by_id[2]["sum_v"] is None
+    assert by_id[4]["n"] == 2 and float(by_id[4]["sum_v"]) == 7.25
+
 def test_m4_downsample_ignores_null_ts_and_id(spark, tmp_path):
     """ADVICE r04: NULL ts / event_id rows must pass the lpad-domain
     assert_true guard (they produce a NULL order key that min_by/max_by
