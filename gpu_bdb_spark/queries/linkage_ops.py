@@ -15,7 +15,7 @@ from gpu_bdb_spark.queries.registry import register
 
 def _fuzzy_cert_sql() -> str:
     from gpu_bdb_spark.operators.sampling import certification_sample_sql
-    return certification_sample_sql("customer", "c_name", 50_000, 0.25)
+    return certification_sample_sql("customer", "c_name", 50_000, 0.125)
 
 
 FUZZY_ORACLE = """
@@ -41,15 +41,17 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Certification tier (round 13): the oracle is quadratic BY DESIGN
     (that independence is the recall-1.0 proof) — 11.2G levenshtein
     calls at sf1's 150k customers. Above 50k rows both engines restrict
-    to the deterministic ¼ md5 NAME sample (pair predicates are
-    pairwise, so the sampled gate certifies exactly the sampled
-    sub-problem; the containment argument of probe_cert_sample.py
-    applies); driver SFs (≤15k) stay full-corpus."""
+    to the deterministic ⅛ md5 NAME sample (¼ until round 14 — trimmed
+    per the r06 verdict because the oracle's quadratic leg was the
+    sf1zipf sweep's heaviest at 319 s; pair predicates are pairwise, so
+    the sampled gate certifies exactly the sampled sub-problem; the
+    containment argument of probe_cert_sample.py applies); driver SFs
+    (≤15k) stay full-corpus."""
     from gpu_bdb_spark.operators.sampling import certification_sample
 
     c = read_table(spark, sf_dir, "customer", ["c_name"],
                    hint_broadcast=False)
-    c = certification_sample(c, "c_name", 50_000, 0.25)
+    c = certification_sample(c, "c_name", 50_000, 0.125)
     return fuzzy_pairs(c, "c_name", max_dist=1)
 
 
