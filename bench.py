@@ -47,7 +47,23 @@ streams × queries / wall. Like frozen-13, the set never grows, so the
 series is comparable across rounds and makes scheduler/concurrency
 regressions visible (a single-stream serial bench can't see them).
 Recipe: runner.run_registry_throughput(spark, sf_dir, THROUGHPUT6, 4).
+Since round 14 the phase is a 2-POINT CURVE (r06 verdict item 3): the
+same frozen set at 4 and 16 streams, emitted as "throughput_qps"
+(4-stream, comparable to every prior round) and "throughput_qps_16" —
+FAIR-pool contention regressions are invisible at low concurrency.
 Disable with SPARK_GRAFT_THROUGHPUT=0.
+
+Scale series (r06 verdict item 2): the 2× envelope was certified only
+at sf0.1; SCALE8 is a frozen 8-query set (scan/join/agg, window,
+prefix-sum rolling, text explode+tf-idf, minhash-LSH) timed ONCE each
+at a 10× corpus — $SPARK_GRAFT_SCALE_DIR, default
+<repo>/.localdata/sf1zipf (the round-10 corpus: round-9 generated sf1
+TPC-H tables + 50k documents over a Zipf(s=1) 30k-token vocabulary;
+regenerate with `python -m gpu_bdb_spark.testdata_gen
+.localdata/sf1zipf 1.0 30000` — SCALE.md round 10). Emitted as
+"scale_value" + per-query "scale_queries"; skipped (null) when the
+dir is absent so the sf0.1 series never breaks. Single repeat, same
+rationale as HEAVY_ONCE. Disable with SPARK_GRAFT_SCALE=0.
 """
 
 from __future__ import annotations
@@ -83,6 +99,22 @@ HEAVY_ONCE = ("pagerank_neardup",)
 THROUGHPUT6 = (
     "pricing_summary", "revenue_by_nation", "agg_stats",
     "token_counts", "sessionize_events", "window_rank_orders",
+)
+
+#: Frozen 10×-scale series (r06 verdict item 2): one family-diverse
+#: query per scale-relevant shape, timed once each at the sf1zipf
+#: corpus (6M lineitem / 1M events / 50k Zipf docs). Fixed forever so
+#: the series stays comparable; new scale candidates get probes in
+#: SCALE.md, not seats here.
+SCALE8 = (
+    "pricing_summary",        # 6M-row scan + decimal aggregate
+    "revenue_by_nation",      # broadcast fact⋈dim join
+    "agg_stats",              # distinct-leg + broadcast-join agg shape
+    "sessionize_events",      # 1M-event timeout sessionization window
+    "rolling_user_24h",       # prefix-sum trailing stats (hot-key-safe)
+    "token_counts",           # Zipf-corpus explode + hash aggregate
+    "tfidf_keywords",         # multi-exchange text + WindowGroupLimit
+    "dedup_minhash_lsh",      # banded LSH bucket join, in-regime on Zipf
 )
 
 
@@ -147,16 +179,50 @@ def main() -> None:
     base_total = round(sum(timings[n] for n in BASELINE13), 3)
     full_total = round(sum(timings.values()), 3)
 
-    # Fixed-stream concurrency phase (round-5 verdict item 4)
+    # 10×-scale series (r06 verdict item 2): one repeat per SCALE8
+    # query at the scale dir; primed like the main series
+    scale_timings: dict[str, float] | None = None
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".localdata", "sf1zipf"))
+    if (os.environ.get("SPARK_GRAFT_SCALE", "1") != "0"
+            and os.path.isdir(scale_dir)):
+        # SCALE8 draws from the FULL registry, not the bench-tagged
+        # subset — seating a query here must not grow full_value
+        from gpu_bdb_spark.queries.registry import all_specs
+        full_specs = all_specs()
+        missing = sorted(set(SCALE8) - set(full_specs))
+        if missing:
+            raise SystemExit(f"frozen scale queries missing from "
+                             f"registry: {missing}")
+        scale_timings = {}
+        for name in SCALE8:
+            if prime_dir:
+                full_specs[name].fn(spark, prime_dir).write.format(
+                    "noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            full_specs[name].fn(spark, scale_dir).write.format(
+                "noop").mode("overwrite").save()
+            scale_timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"  [scale] {name}: {scale_timings[name]:.3f}s",
+                  file=sys.stderr)
+
+    # Fixed-stream concurrency phase: 2-point curve (r06 verdict item 3)
     throughput = None
+    throughput16 = None
     if os.environ.get("SPARK_GRAFT_THROUGHPUT", "1") != "0":
         from gpu_bdb_spark.runner import run_registry_throughput
-        tp = run_registry_throughput(
-            spark, sf_dir, list(THROUGHPUT6), n_streams=4)
-        throughput = tp["queries_per_sec"]
-        print(f"  throughput: {throughput} q/s "
-              f"({tp['n_streams']} streams x {len(THROUGHPUT6)} queries "
-              f"in {tp['wall_s']}s)", file=sys.stderr)
+        for streams in (4, 16):
+            tp = run_registry_throughput(
+                spark, sf_dir, list(THROUGHPUT6), n_streams=streams)
+            if streams == 4:
+                throughput = tp["queries_per_sec"]
+            else:
+                throughput16 = tp["queries_per_sec"]
+            print(f"  throughput: {tp['queries_per_sec']} q/s "
+                  f"({tp['n_streams']} streams x {len(THROUGHPUT6)} "
+                  f"queries in {tp['wall_s']}s)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "gpu_bdb_spark frozen 13-query baseline set wall time "
@@ -170,8 +236,13 @@ def main() -> None:
         "spread": spread,
         "repeats": repeats,
         "throughput_qps": throughput,
+        "throughput_qps_16": throughput16,
         "throughput_queries": list(THROUGHPUT6),
         "throughput_streams": 4,
+        "scale_value": (round(sum(scale_timings.values()), 3)
+                        if scale_timings else None),
+        "scale_queries": scale_timings,
+        "scale_sf_dir": (scale_dir if scale_timings else None),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -63,6 +63,19 @@ TUNED_CONF: dict[str, str] = {
     # default; locally it keeps small files in one partition.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # GCLocker-starvation false OOM (round 14, measured): JNI-critical
+    # parquet decompression holds the GC lock while sibling tasks
+    # allocate ~1 MB I/O buffers; HotSpot's default of 2 allocation
+    # retries gives up and throws java.lang.OutOfMemoryError WITH FREE
+    # HEAP ("Retried waiting for GCLocker too often" in the gc log —
+    # the sf1zipf sweep died this way at entry ~113 with 120 MB used
+    # of 1 g, and round-13's "spill read-ahead buffer" death carries
+    # the same signature). More retries cost nothing when the lock is
+    # uncontended; this is a stability flag, not a memory-sizing knob.
+    # Launch-time only — lives in the builder conf, not runtime conf.
+    # (Diagnostic flag on JDK 17 — needs the unlock switch first.)
+    "spark.driver.extraJavaOptions":
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
 }
 
 

@@ -121,3 +121,26 @@ def test_throughput_boundary_runs_on_stream_failure(spark, sf_dir):
             spark, sf_dir, ["dedup_lsh_verified", "no_such_entry"],
             n_streams=2)
     assert cache_mgr.isEmpty()
+
+
+def test_bench_frozen_sets_resolve():
+    """The three frozen bench series must keep resolving against the
+    registry forever: BASELINE13 and THROUGHPUT6 from the bench-tagged
+    subset, SCALE8 from the full registry (seating a scale query must
+    not grow the full series — r06 verdict item 2)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from gpu_bdb_spark.queries.registry import all_specs, bench_specs
+
+    tagged, full = set(bench_specs()), set(all_specs())
+    assert set(bench.BASELINE13) <= tagged
+    assert set(bench.THROUGHPUT6) <= tagged
+    assert set(bench.SCALE8) <= full
+    assert len(bench.SCALE8) == 8
+    # non-bench-tagged SCALE8 members stay out of the full series
+    assert {"rolling_user_24h", "tfidf_keywords"} & (full - tagged)
