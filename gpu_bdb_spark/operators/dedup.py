@@ -508,7 +508,8 @@ def simhash64(
     return per_doc.select("id", sim.alias("simhash"))
 
 
-def _lineage_cut(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+def _lineage_cut(df: DataFrame, checkpoint_dir: str | None,
+                 storage_level=None) -> DataFrame:
     """Cut an iterative plan's lineage once per round.
 
     localCheckpoint (default) materializes to executor block storage —
@@ -519,9 +520,21 @@ def _lineage_cut(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     loss, at the price of one distributed write per round. Same lineage
     truncation either way — analysis cost stays O(1) per round instead
     of nesting (measured 1.6→41.5 s/round without cutting, SCALE.md).
+
+    `storage_level` (local path only): the default MEMORY_AND_DISK
+    deserialized blocks occupy unified-pool STORAGE memory, of which
+    `spark.memory.storageFraction` (50%) is PROTECTED from eviction —
+    a corpus-sized round snapshot halves the execution pool for every
+    later stage of the loop (round-14 kcore probe: SMJ sorts threw
+    UNABLE_TO_ACQUIRE_MEMORY "got 0" under a default 1g heap while
+    round blocks sat in storage). Iterative operators whose round
+    state can reach corpus size should pass StorageLevel.DISK_ONLY:
+    execution keeps the whole pool, at one ser/deser pass per round —
+    negligible at driver SFs, and the price of surviving on a
+    memory-constrained executor at scale.
     """
     if checkpoint_dir is None:
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=True, storageLevel=storage_level)
     sc = df.sparkSession.sparkContext
     # setCheckpointDir appends a per-context UUID subdir; set once and
     # keep it (first configured dir wins for the context's lifetime).

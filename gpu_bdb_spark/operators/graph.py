@@ -196,6 +196,17 @@ def random_walks(
     fixed small constant, so the loop unrolls into a linear chain of
     joins (no lineage-cut needed at these depths).
 
+    HUB-SAFETY (round-14 probe lesson, SCALE.md): the pick index must
+    be IN the join key, not a post-join filter. The earlier shape
+    joined frontier→adjacency on src alone and filtered idx == pick
+    after — emitting deg(cur) rows per walker, quadratic the moment
+    walkers pile onto a hub (the 20M-edge probe's ~1M-degree hub made
+    step 2 a ~1e11-row join). Now each step first joins the frontier
+    to a node→degree table (frontier-sized) to compute pick, then
+    equi-joins adjacency on BOTH (src, idx) — the hash join emits
+    exactly one row per walker regardless of degree skew. Picks are
+    unchanged bit-for-bit (same md5 formula, same deg value).
+
     Returns (walk_id, path) where path is the comma-joined node chain.
     """
     e = (
@@ -227,6 +238,10 @@ def random_walks(
             F.col("src").cast("string").alias("path"),
         )
     )
+    # node→degree side table (node-cardinality, 2 longs): lets pick be
+    # computed BEFORE the adjacency join so idx joins as an equi key
+    degs = adj.groupBy(F.col("src").alias("_dn")).agg(
+        F.count(F.lit(1)).cast("long").alias("_deg"))
     for t in range(1, int(walk_length) + 1):
         pick = F.pmod(
             F.conv(
@@ -236,11 +251,16 @@ def random_walks(
                         F.lit(str(t)), F.col("cur").cast("string"))),
                     1, 8),
                 16, 10).cast("long"),
-            F.col("deg"),
+            F.col("_deg"),
+        )
+        stepped = (
+            frontier.join(degs, frontier["cur"] == F.col("_dn"))
+            .select("walk_id", "cur", "path", pick.alias("_pick"))
         )
         frontier = (
-            frontier.join(indexed, frontier["cur"] == indexed["src"])
-            .filter(F.col("idx") == pick)
+            stepped.join(indexed,
+                         (stepped["cur"] == indexed["src"])
+                         & (stepped["_pick"] == indexed["idx"]))
             .select(
                 F.col("walk_id"),
                 F.col("dst").alias("cur"),
@@ -271,14 +291,43 @@ def kcore(
     Each round is one degree aggregate + two semi joins on the node
     key, lineage-cut per round (iterative-loop lesson, SCALE.md).
     Returns (node, degree) of the surviving subgraph after R rounds.
+
+    GROUP-STATE BOUND (round-14 probe lesson, SCALE.md): the per-round
+    degree aggregate's cost is group state, not bytes — a 40M-edge adj
+    materialized into few fat partitions put ~1M-group partial hash
+    maps in each of 8 concurrent tasks and threw AGGREGATE_OUT_OF_
+    MEMORY under a default 1g heap. Every lineage cut therefore goes
+    through an explicit AQE-exempt `repartition(parts, "src")`, sized
+    from the materialized edge count (~150k rows/partition, floor 8) —
+    groups per task are bounded by the hash partitioning, and both the
+    degree groupBy and the src-side keep join become exchange-free on
+    the cut frame. Tiny driver-SF graphs stay at 8 partitions, so the
+    certified plans gain no scheduling overhead.
+
+    Round snapshots are DISK_ONLY local checkpoints: adj is
+    corpus-sized, and MEMORY_AND_DISK blocks hold the protected half
+    of the unified pool's storage fraction for the whole loop —
+    measured at the 20M-edge probe, the round-0 SMJ sorts could not
+    acquire a single page under a default 1g heap until the snapshots
+    left memory (SCALE.md round 14).
     """
+    from pyspark.storagelevel import StorageLevel
+
     from gpu_bdb_spark.operators.dedup import _lineage_cut
 
     adj = pairs.select(F.col("id_1").alias("src"),
                        F.col("id_2").alias("dst")).unionByName(
         pairs.select(F.col("id_2").alias("src"),
                      F.col("id_1").alias("dst")))
-    adj = _lineage_cut(adj, checkpoint_dir)
+    adj = _lineage_cut(adj, checkpoint_dir,
+                       storage_level=StorageLevel.DISK_ONLY)
+    # one count on the (eagerly materialized) cut frame — cheap, and
+    # the only way to size group state honestly (plan stats on a
+    # LogicalRDD are unknown)
+    parts = max(8, min(1024, adj.count() // 150_000))
+    # not cut again: the exchange lives inside round 0's single
+    # checkpoint action, where ReusedExchange dedups its consumers
+    adj = adj.repartition(parts, "src")
     for _ in range(int(rounds)):
         keep = (
             adj.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
@@ -288,7 +337,9 @@ def kcore(
         adj = _lineage_cut(
             adj.join(keep, "src")
             .join(keep.withColumnsRenamed({"src": "dst"}), "dst")
-            .select("src", "dst"),
-            checkpoint_dir)
+            .select("src", "dst")
+            .repartition(parts, "src"),
+            checkpoint_dir,
+            storage_level=StorageLevel.DISK_ONLY)
     return adj.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree"))
