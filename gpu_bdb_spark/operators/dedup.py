@@ -565,13 +565,32 @@ def duplicate_clusters(
     diameters).
 
     Returns (id, cluster_id) for every id that appears in `pairs`.
+
+    Standing caches and round snapshots are DISK_ONLY (round-14 CC
+    probe, SCALE.md): at 20M pairs the MEMORY_AND_DISK edge cache held
+    the protected half of unified storage and execution could not
+    acquire a page under a default 1g heap — the same failure class
+    the kcore probe hit. Corpus-sized iterative state must not sit in
+    storage memory; one ser/deser pass per reference is the price.
     """
+    from pyspark.storagelevel import StorageLevel
+
     e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
     edges = e.union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist(StorageLevel.DISK_ONLY)
+    # force-materialize once (round-12 cold-cache lesson) and size the
+    # per-round aggregates' partitioning from the real edge count: the
+    # min-aggregate's cost is GROUP STATE, and an explicit AQE-exempt
+    # hash repartition on the group key turns it into a single-phase
+    # aggregate with ≤ nodes/parts groups per task (round-14 CC probe:
+    # unbounded map-side partials exhausted the pool at 20M pairs).
+    parts = max(8, min(1024, edges.count() // 150_000))
     labels = (
-        edges.select(F.col("a").alias("id")).distinct()
-        .withColumn("cluster_id", F.col("id")).persist()
+        edges.select(F.col("a").alias("id"))
+        .repartition(parts, "id").distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist(StorageLevel.DISK_ONLY)
     )
     for _ in range(max_iter):
         prop = edges.join(
@@ -582,8 +601,10 @@ def duplicate_clusters(
         # execution) grows superlinearly with rounds
         new_labels = _lineage_cut(
             labels.union(prop)
+            .repartition(parts, "id")
             .groupBy("id").agg(F.min("cluster_id").alias("cluster_id")),
             checkpoint_dir,
+            storage_level=StorageLevel.DISK_ONLY,
         )
         changed = (
             new_labels.join(
@@ -632,25 +653,35 @@ def duplicate_clusters_star(
     `duplicate_clusters`.
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     e = (
         pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
+    # DISK_ONLY standing caches + round cuts: see duplicate_clusters —
+    # the 20M-pair probe OOM'd with the edge cache in storage memory
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-                    ).distinct().persist()
+                    ).distinct().persist(StorageLevel.DISK_ONLY)
     # Force-materialize the edge cache with ONE standalone action before
     # any job that references it more than once: a cold cache referenced
     # twice in one job runs the (possibly expensive) upstream pairs
     # pipeline TWICE CONCURRENTLY — measured heap OOM on sf1zipf under a
     # default-memory session while the same pipeline alone passed
     # (round 12). The count is a bare-long-frame action, trivially cheap
-    # next to what it prevents.
-    edges.count()
+    # next to what it prevents. It also sizes the per-round aggregates:
+    # their cost is GROUP STATE, so each runs single-phase over an
+    # explicit AQE-exempt hash repartition on "a" (a subset of the
+    # (a, b) group keys — co-location holds, and the window over "a"
+    # then needs no further exchange). Round-14 CC probe: unbounded
+    # map-side partial maps exhausted the pool at 20M pairs (SCALE.md).
+    parts = max(8, min(1024, edges.count() // 150_000))
     # nodes derive from the PERSISTED symmetrized edges (every endpoint
     # appears as "a" there), never from the raw pairs subtree — same
     # double-materialization argument.
-    nodes = edges.select(F.col("a").alias("id")).distinct().persist()
+    nodes = (edges.select(F.col("a").alias("id"))
+             .repartition(parts, "id").distinct()
+             .persist(StorageLevel.DISK_ONLY))
 
     def signature(df: DataFrame) -> tuple:
         """(count, hash-sum) set signature — one narrow aggregate. Equal
@@ -664,9 +695,13 @@ def duplicate_clusters_star(
 
     prev_sig: tuple | None = None
     for _ in range(max_iter):
+        # no distinct on sym: every consumer is duplicate-insensitive
+        # (the window MIN, and ls re-distincts below) — round 0's fully
+        # symmetric edges double each row here, later rounds' oriented
+        # (a > b) edges make the two union legs disjoint. Dropping it
+        # removes an edge-sized exchange+aggregate per round.
         sym = edges.union(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct()
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # large-star: within each a-neighborhood, larger neighbors point
         # at m = min(neighborhood ∪ {a}); output edges all have b < a
         m = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
@@ -674,7 +709,7 @@ def duplicate_clusters_star(
             sym.withColumn("_m", m)
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("_m").alias("b"))
-            .distinct()
+            .repartition(parts, "a").distinct()
         )
         # small-star over the oriented (b < a) output: a and its smaller
         # neighbors all re-point at the down-set minimum
@@ -688,8 +723,9 @@ def duplicate_clusters_star(
             with_m.select(F.col("b").alias("a"), F.col("_m").alias("b"))
             .union(with_m.select("a", F.col("_m").alias("b")))
             .filter(F.col("a") != F.col("b"))
-            .distinct(),
+            .repartition(parts, "a").distinct(),
             checkpoint_dir,
+            storage_level=StorageLevel.DISK_ONLY,
         )
         sig = signature(new_edges)
         same = sig == prev_sig and new_edges.subtract(edges).count() == 0

@@ -48,15 +48,21 @@ def pagerank(
     oracle in queries/dedup_ops.py).
 
     Returns (id, rank) for every node of the pair graph.
+
+    Standing caches and round snapshots are DISK_ONLY — corpus-sized
+    iterative state must not hold the unified pool's protected storage
+    fraction (round-14 kcore/CC probe lesson, SCALE.md).
     """
+    from pyspark.storagelevel import StorageLevel
+
     from gpu_bdb_spark.operators.dedup import _lineage_cut
 
     e = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).alias("deg")).persist()
+        F.count(F.lit(1)).alias("deg")).persist(StorageLevel.DISK_ONLY)
     n = deg.count()
     base = (1.0 - damping) / n
     ranks = deg.select(
@@ -83,6 +89,7 @@ def pagerank(
                     + F.lit(damping) * F.col("_s").cast("double"),
                     9).alias("rank")),
             checkpoint_dir,
+            storage_level=StorageLevel.DISK_ONLY,
         )
     edges.unpersist()
     deg.unpersist()
