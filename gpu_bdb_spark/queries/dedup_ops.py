@@ -260,12 +260,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(d, "text", "doc_id")
 
 
-EMBED_NEARDUP_ORACLE = """
-WITH pairs AS (
+#: Size-bounded certification tier for the exhaustive embedding-cosine
+#: pair stage (round-14; fuzzy/jaccard precedent): every driver SF
+#: (≤2000 vectors) stays full-corpus; above the bound a deterministic
+#: ¼ md5 vec_id sample shrinks the quadratic pair work 16× on sweep
+#: corpora (sf1zipf: 7997 vectors → ~2000; oracle leg measured
+#: 444.7 s → tens of seconds). Replayed exactly in every consuming
+#: oracle via `certification_sample_sql`.
+EMBED_CERT_BOUND = 4000
+EMBED_CERT_FRACTION = 0.25
+
+
+def _embed_cert_where() -> str:
+    from gpu_bdb_spark.operators.sampling import certification_sample_sql
+    return certification_sample_sql(
+        "embeddings", "vec_id", EMBED_CERT_BOUND, EMBED_CERT_FRACTION)
+
+
+EMBED_NEARDUP_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {_embed_cert_where()}
+),
+pairs AS (
   SELECT a.vec_id AS id_1, b.vec_id AS id_2,
          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                 CAST(b.embedding AS DOUBLE[])) AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
 )
 SELECT id_1, id_2, ROUND(cosine, 4) AS cosine
 FROM pairs WHERE cosine >= 0.35
@@ -280,11 +300,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact form runs only on LSH-bucketed candidates
     (operators/similarity.lsh_topk provides the bucketing); here it doubles
     as the verifiable baseline. Scores rounded to 4 (engines differ in the
-    last float bits)."""
+    last float bits). Above EMBED_CERT_BOUND vectors the quadratic stage
+    certifies on the deterministic ¼ sample (driver SFs untouched)."""
     from pyspark.sql import functions as F
 
-    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
-                   hint_broadcast=False)
+    from gpu_bdb_spark.operators.sampling import certification_sample
+
+    e = certification_sample(
+        read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False),
+        "vec_id", EMBED_CERT_BOUND, EMBED_CERT_FRACTION)
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = e.select(
         F.col("vec_id"), vd.alias("vec"),
@@ -479,10 +504,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_known(batch, known, "text", "doc_id")
 
 
-SEMANTIC_DEDUP_ORACLE = """
-WITH RECURSIVE p AS (
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH RECURSIVE s AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {_embed_cert_where()}
+),
+p AS (
   SELECT a.vec_id AS id_1, b.vec_id AS id_2
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
   WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                CAST(b.embedding AS DOUBLE[])) >= 0.35
 ),
