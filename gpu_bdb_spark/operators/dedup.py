@@ -509,7 +509,7 @@ def simhash64(
 
 
 def _lineage_cut(df: DataFrame, checkpoint_dir: str | None,
-                 storage_level=None) -> DataFrame:
+                 local_storage_level=None) -> DataFrame:
     """Cut an iterative plan's lineage once per round.
 
     localCheckpoint (default) materializes to executor block storage —
@@ -521,7 +521,10 @@ def _lineage_cut(df: DataFrame, checkpoint_dir: str | None,
     truncation either way — analysis cost stays O(1) per round instead
     of nesting (measured 1.6→41.5 s/round without cutting, SCALE.md).
 
-    `storage_level` (local path only): the default MEMORY_AND_DISK
+    `local_storage_level` (localCheckpoint path ONLY — ignored by
+    design when `checkpoint_dir` is set, since reliable checkpoint
+    files live on the checkpoint FS and never occupy block-storage
+    memory; the name says so — ADVICE r07): the default MEMORY_AND_DISK
     deserialized blocks occupy unified-pool STORAGE memory, of which
     `spark.memory.storageFraction` (50%) is PROTECTED from eviction —
     a corpus-sized round snapshot halves the execution pool for every
@@ -534,7 +537,8 @@ def _lineage_cut(df: DataFrame, checkpoint_dir: str | None,
     memory-constrained executor at scale.
     """
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True, storageLevel=storage_level)
+        return df.localCheckpoint(eager=True,
+                                  storageLevel=local_storage_level)
     sc = df.sparkSession.sparkContext
     # setCheckpointDir appends a per-context UUID subdir; set once and
     # keep it (first configured dir wins for the context's lifetime).
@@ -604,7 +608,7 @@ def duplicate_clusters(
             .repartition(parts, "id")
             .groupBy("id").agg(F.min("cluster_id").alias("cluster_id")),
             checkpoint_dir,
-            storage_level=StorageLevel.DISK_ONLY,
+            local_storage_level=StorageLevel.DISK_ONLY,
         )
         changed = (
             new_labels.join(
@@ -725,7 +729,7 @@ def duplicate_clusters_star(
             .filter(F.col("a") != F.col("b"))
             .repartition(parts, "a").distinct(),
             checkpoint_dir,
-            storage_level=StorageLevel.DISK_ONLY,
+            local_storage_level=StorageLevel.DISK_ONLY,
         )
         sig = signature(new_edges)
         same = sig == prev_sig and new_edges.subtract(edges).count() == 0

@@ -89,7 +89,7 @@ def pagerank(
                     + F.lit(damping) * F.col("_s").cast("double"),
                     9).alias("rank")),
             checkpoint_dir,
-            storage_level=StorageLevel.DISK_ONLY,
+            local_storage_level=StorageLevel.DISK_ONLY,
         )
     edges.unpersist()
     deg.unpersist()
@@ -327,7 +327,7 @@ def kcore(
         pairs.select(F.col("id_2").alias("src"),
                      F.col("id_1").alias("dst")))
     adj = _lineage_cut(adj, checkpoint_dir,
-                       storage_level=StorageLevel.DISK_ONLY)
+                       local_storage_level=StorageLevel.DISK_ONLY)
     # one count on the (eagerly materialized) cut frame — cheap, and
     # the only way to size group state honestly (plan stats on a
     # LogicalRDD are unknown)
@@ -347,6 +347,6 @@ def kcore(
             .select("src", "dst")
             .repartition(parts, "src"),
             checkpoint_dir,
-            storage_level=StorageLevel.DISK_ONLY)
+            local_storage_level=StorageLevel.DISK_ONLY)
     return adj.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree"))

@@ -48,7 +48,8 @@ def deterministic_sample(
 
 
 def certification_sample(
-    df: DataFrame, key_col: str, bound: int, fraction: float
+    df: DataFrame, key_col: str, bound: int, fraction: float,
+    count_hint: int | None = None,
 ) -> DataFrame:
     """Size-bounded certification tier (VERDICT r05 item 1): below
     `bound` rows the frame passes through UNTOUCHED (every driver SF —
@@ -58,8 +59,11 @@ def certification_sample(
     verifies) shrinks by fraction² and stays tractable on big sweep
     corpora. The count and the sample predicate are both exactly
     replayable in SQL — pair with `certification_sample_sql` in the
-    oracle. The one count() action is a single-column scan."""
-    if df.count() <= int(bound):
+    oracle. The one count() action is a single-column scan; a caller
+    that already knows the exact row count (e.g. memoized per table —
+    ADVICE r07) passes it as `count_hint` to skip the action."""
+    n = int(count_hint) if count_hint is not None else df.count()
+    if n <= int(bound):
         return df
     return deterministic_sample(df, fraction, key_col)
 

@@ -277,6 +277,28 @@ def _embed_cert_where() -> str:
         "embeddings", "vec_id", EMBED_CERT_BOUND, EMBED_CERT_FRACTION)
 
 
+#: Memoized embeddings row count per sf_dir (ADVICE r07): the table is
+#: immutable for the session, so entries sharing the certification tier
+#: (dedup_embedding_cosine, the nested semantic_dedup call) pay the
+#: single-column count() action once, not once per invocation.
+_EMBED_COUNT: dict[str, int] = {}
+
+
+def _embed_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings (vec_id, embedding) under the shared certification
+    tier: full corpus at driver SFs, deterministic ¼ md5 sample above
+    EMBED_CERT_BOUND — one memoized count per sf_dir."""
+    from gpu_bdb_spark.operators.sampling import certification_sample
+
+    e = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+                   hint_broadcast=False)
+    if sf_dir not in _EMBED_COUNT:
+        _EMBED_COUNT[sf_dir] = e.count()
+    return certification_sample(
+        e, "vec_id", EMBED_CERT_BOUND, EMBED_CERT_FRACTION,
+        count_hint=_EMBED_COUNT[sf_dir])
+
+
 EMBED_NEARDUP_ORACLE = f"""
 WITH s AS (
   SELECT vec_id, embedding FROM embeddings WHERE {_embed_cert_where()}
@@ -304,12 +326,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies on the deterministic ¼ sample (driver SFs untouched)."""
     from pyspark.sql import functions as F
 
-    from gpu_bdb_spark.operators.sampling import certification_sample
-
-    e = certification_sample(
-        read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"],
-                   hint_broadcast=False),
-        "vec_id", EMBED_CERT_BOUND, EMBED_CERT_FRACTION)
+    e = _embed_certified(spark, sf_dir)
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = e.select(
         F.col("vec_id"), vd.alias("vec"),
