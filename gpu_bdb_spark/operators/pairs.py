@@ -203,15 +203,24 @@ def frequent_triples(
     The pruning is the scale story: the naive 3-way basket self-join
     touches Σ basket³ rows; here the cubic work happens only on the
     (tiny, downward-closed) frequent-pair lattice. Support counting
-    explodes each candidate into its 3 (triple, item) memberships and
-    BROADCAST-joins the basket stream once on the bare item key — a
-    basket contains the triple iff it matches all 3 memberships (the
-    count==3 aggregate). The fact-sized basket frame is never shuffled
-    on a composite key and is scanned once on the counting side (the
-    original three-renamed-joins formulation planned 9 scans / 16
-    exchanges with zero subtree reuse — renames break ReusedExchange).
-    Output equals the unpruned count-all-triples semantics exactly
-    (downward closure guarantees no frequent triple is pruned).
+    (round-15 rework) is candidate-TRIMMED per-basket expansion — the
+    classical transaction trimming: basket rows survive only if their
+    item appears in some candidate (broadcast left-semi on the distinct
+    candidate-item set), the trimmed baskets expand their ordered
+    triples through the `basket_triples` self-join shape (work per
+    basket ≤ C(k_trimmed, 3), bounded by BASKET SIZE and independent of
+    item frequency), and a broadcast semi-join on the candidate set
+    drops non-candidates before the support aggregate. The previous
+    (triple, item)-membership broadcast join fanned out by
+    Σ_i freq(i)·|cand ∋ i| — measured pathological on a Zipf-head
+    corpus at 20M rows (hub-item rows × thousands of candidate triples
+    ≈ 1e10 join rows, zero tasks finishing; probe_heavy_batch.py) —
+    frequency-skew in the basket stream must never multiply into the
+    candidate side. Output equals the unpruned count-all-triples
+    semantics exactly: trimming only removes items no candidate
+    contains, so every candidate triple's per-basket occurrence count
+    is unchanged, and downward closure guarantees no frequent triple
+    is pruned.
 
     `min_support_frac` switches to RELATIVE support (the classical
     relative minsup): threshold = max(min_support,
@@ -248,20 +257,30 @@ def frequent_triples(
                 F.col("q.b").alias("c"))
         .join(l2.withColumnsRenamed({"b": "c"}), ["a", "c"], "left_semi")
     )
-    # support counting: one broadcast join of the basket stream against
-    # the candidates' exploded (triple, item) memberships, then a
-    # contains-all-three aggregate per (basket, triple)
-    members = cand.select(
-        "a", "b", "c",
-        F.explode(F.array("a", "b", "c")).alias("_i"))
-    per_basket = (
-        base.join(F.broadcast(members), "_i")
-        .groupBy("_g", "a", "b", "c")
-        .agg(F.count(F.lit(1)).alias("_hits"))
-        .filter(F.col("_hits") == 3)
+    # support counting: trim the basket stream to candidate items
+    # (broadcast semi — the only touch of the fact-sized frame), expand
+    # the trimmed baskets' ordered triples (three identical subtrees,
+    # one reused exchange on the basket key), keep candidates only,
+    # then one hash aggregate
+    cand_items = cand.select(
+        F.explode(F.array("a", "b", "c")).alias("_i")).distinct()
+    trimmed = base.join(F.broadcast(cand_items), "_i", "left_semi")
+    expanded = (
+        trimmed.alias("x")
+        .join(trimmed.alias("y"),
+              (F.col("x._g") == F.col("y._g"))
+              & (F.col("x._i") < F.col("y._i")))
+        .join(trimmed.alias("z"),
+              (F.col("x._g") == F.col("z._g"))
+              & (F.col("y._i") < F.col("z._i")))
+        .select(F.col("x._i").alias("a"), F.col("y._i").alias("b"),
+                F.col("z._i").alias("c"))
     )
-    sup = per_basket.groupBy("a", "b", "c").agg(
-        F.count(F.lit(1)).alias("support"))
+    sup = (
+        expanded.join(F.broadcast(cand), ["a", "b", "c"], "left_semi")
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
     return (
         support_filter(sup, "support")
         .select(F.col("a").alias(c1), F.col("b").alias(c2),

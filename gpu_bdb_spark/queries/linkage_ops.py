@@ -58,15 +58,18 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Size-bounded certification tier (VERDICT r05 item 1): at or below
 #: this document count (every driver SF: 500/500/5000) the entries run
 #: the FULL corpus — byte-identical to the pre-tier gate; above it both
-#: the Spark side and the oracle restrict to the deterministic ¼ md5
-#: content-hash sample, shrinking the exhaustive oracle's pair space by
-#: 16× (sf1zipf: 80M → ~5M list-intersections) so the sweep certifies
-#: end-to-end under one default-memory session. The FULL-corpus run at
-#: big SFs stays covered by the containment/row-count invariant probe
-#: (.claude/skills/verify/probe_cert_sample.py): sampled output ==
-#: full output restricted to sampled ids.
+#: the Spark side and the oracle restrict to the deterministic ⅛ md5
+#: content-hash sample (¼ until round 15 — trimmed per the r07 verdict
+#: because the exhaustive oracle's quadratic leg was the sf1zipf
+#: sweep's heaviest at 211 s; ⅛ cuts the pair space another 4× to
+#: ~1.2M list-intersections, same as fuzzy_name_pairs' round-14 trim).
+#: The FULL-corpus run at big SFs stays covered by the containment/
+#: row-count invariant probe (.claude/skills/verify/
+#: probe_cert_sample.py): sampled output == full output restricted to
+#: sampled ids — pair predicates are pairwise, so the sampled gate
+#: certifies exactly the sampled sub-problem.
 CERT_DOC_BOUND = 20_000
-CERT_FRACTION = 0.25
+CERT_FRACTION = 0.125
 
 #: Routing budget for the measured LSH bucket pair-work (see
 #: `lsh_verified_pairs_portable`): driver fixtures 0.85M/0.87M/84M and

@@ -833,9 +833,9 @@ def frequent_triples_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivially). The 64-name vocabulary is the DENSE regime, so Spark
     runs the per-basket C(k,3) expansion (`basket_triples`: linear in
     baskets for bounded basket size, one reused basket exchange) —
-    A-priori's broadcast-membership join is the sparse-vocabulary
-    shape and measurably blows up here (see operators/pairs.py
-    regime notes)."""
+    A-priori's candidate lattice prunes nothing over a dense small
+    vocabulary, so its extra passes buy nothing here (see
+    operators/pairs.py regime notes)."""
     from gpu_bdb_spark.operators.pairs import basket_triples
 
     li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
