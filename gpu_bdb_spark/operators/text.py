@@ -266,10 +266,24 @@ def winnow_fingerprints(
     md5-derived 32-bit hash → running window-min (one exchange on doc id)
     → distinct. Docs with fewer than k+w-1 tokens (no full window) yield
     no fingerprints. Returns (id, fingerprint) distinct.
+
+    The doc-key exchange is pinned BEFORE the gram expansion
+    (`repartition(id_col)` on the doc frame): if the window's exchange
+    were left to the planner it would land on the ~(tokens/doc)×
+    exploded gram rows — and when an upstream already satisfies the
+    clustering (a range-derived id, a pre-repartitioned pipeline
+    stage), the planner ELIDES it entirely, so the per-partition
+    window sort runs over expansion × the source partition. Measured:
+    a 5M-doc/290M-gram probe on 8 fat source partitions OOM'd the
+    default 1g heap in the sort's spill merge (hundreds of spill files
+    × 1MB ReadAheadInputStream buffers each, probe_heavy_batch.py).
+    Repartitioning the DOCS bounds the sort at expansion ×
+    AQE-coalesced doc-partition bytes AND moves ~4× fewer bytes
+    through the wire than shuffling exploded grams.
     """
     from pyspark.sql import Window
 
-    grams = df.select(
+    grams = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         ngrams(tokenize(F.lower(F.col(text_col))), k).alias("grams"),
     ).select(
@@ -584,12 +598,14 @@ def winnow_positions(
     SQL-oracle-able (reference parity: SIGMOD'03 winnowing, same paper
     as `winnow_fingerprints`).
 
-    One exchange (doc id) shared by all the lag/lead windows. Returns
+    One exchange (doc id) shared by all the lag/lead windows — pinned
+    BEFORE the gram expansion (same fat-partition sort-merge OOM class
+    as `winnow_fingerprints`, see its docstring). Returns
     (id, pos, fingerprint).
     """
     from pyspark.sql import Window
 
-    grams = df.select(
+    grams = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         ngrams(tokenize(F.lower(F.col(text_col))), k).alias("grams"),
     ).select(
@@ -1208,10 +1224,12 @@ def _positioned_grams(df, text_col, id_col, L):
     single spaces, drop empty tokens, renumber positions densely per
     document, and hash every full L-token sliding window (codegen'd
     lead chain — no interpreted HOFs). Returns (toks(id,tok,pos),
-    grams(id,pos,gh)); both window passes share one doc-key exchange."""
+    grams(id,pos,gh)); both window passes share one doc-key exchange,
+    pinned BEFORE the token expansion (the fat-partition sort-merge
+    OOM class — see winnow_fingerprints' docstring)."""
     from pyspark.sql import Window
 
-    raw = df.select(
+    raw = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "tok"),
     ).filter(F.col("tok") != "")
