@@ -4,6 +4,22 @@ built-ins can't express).
 
 The closure is self-contained (ships by value; executors don't need this
 package on PYTHONPATH — same rule as operators/multimodal.py).
+
+DEPLOYMENT NOTES (measured at 100k keys × 50 micro-batches,
+probe_streaming_state.py):
+
+* The state-store partition count is `spark.sql.shuffle.partitions`
+  at the FIRST micro-batch and is frozen into the checkpoint —
+  stateful stages are AQE-exempt, so a default-200 session pays 200
+  python-worker roundtrips per micro-batch forever (measured
+  ~35 s/batch at 200 partitions vs ~25 s at 32 for the same 60k-row
+  batches). Size it to the cluster BEFORE the first run.
+* Per-batch wall is dominated by PER-KEY pandas cost — update() runs
+  once per key PRESENT in the batch (~45k keys → ~25 s/batch), and is
+  FLAT over the stream (early/late ratio 0.99): total state size does
+  not leak into batch latency, so long-running streams are safe. The
+  keys-present-per-batch count, not events/batch, is the capacity
+  number to size against.
 """
 
 from __future__ import annotations
