@@ -154,6 +154,26 @@ def test_winnow_fingerprints_single_exchange(spark, sf_dir):
     assert plan.count("Arguments: hashpartitioning") == 1, plan
 
 
+def test_winnow_exchange_not_elided_by_satisfied_upstream(spark):
+    """The elided-exchange trap (round 15, probe_heavy_batch.py): a doc
+    frame whose partitioning already satisfies the window's clustering
+    (here: a range-derived doc_id — RangePartitioning(id) satisfies
+    ClusteredDistribution(doc_id) through the alias) must STILL show
+    one doc-key exchange below the gram expansion; with the exchange
+    elided, the per-partition window sort runs over
+    expansion × source-partition bytes and OOM'd the default heap at
+    5M docs in the sort's spill merge."""
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.text import winnow_fingerprints
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d e f g h i j").alias("text"))
+    plan = formatted_plan(winnow_fingerprints(docs))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
 def test_shard_export_single_exchange_no_global_sort(spark, sf_dir):
     """shard_export: one hash exchange on the shard key; NO range
     exchange (a global sort would serialize the 100 TB export)."""
