@@ -899,6 +899,18 @@ def inverted_index(
     stream, and only surviving tokens shuffle into collect_list. The
     posting list is emitted as a sorted CSV string so the result is
     deterministically comparable cross-engine.
+
+    The postings aggregate runs behind an explicit token repartition
+    (round 15): collect_list plans as ObjectHashAggregate, whose
+    sort-based fallback triggers at 128 distinct keys and then SORTS
+    THE ENTIRE INPUT PARTITION — and a map-side partial reduces
+    nothing for collect_list (the partial IS the data), so on fat
+    source partitions the partial-agg sort spilled hundreds of files
+    and OOM'd the default heap in the spill merge (1MB
+    ReadAheadInputStream per file; measured at 1M docs / 100M tokens
+    on 8 range partitions, probe_lexical_100m.py). Pinning the
+    exchange first bounds the fallback sort at a shuffle-slice and
+    skips the useless partial.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -918,6 +930,7 @@ def inverted_index(
     )
     return (
         toks.join(F.broadcast(kept), "token")
+        .repartition(F.col("token"))
         .groupBy("token", "df")
         .agg(
             F.array_join(
