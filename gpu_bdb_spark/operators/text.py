@@ -216,11 +216,20 @@ def term_scores_tfidf(
 
     from gpu_bdb_spark.functions import r6
 
+    # the tf aggregate runs behind an explicit (doc, term) repartition
+    # (round 15): on a natural-text stream most (doc, term) pairs are
+    # unique (tf = 1), so the map-side partial reduces ~nothing while
+    # its hash map grows to the input slice — on fat source partitions
+    # the partial's sort-fallback spill merge OOM'd the default heap
+    # (probe_lexical_100m.py, 100M tokens). Pinning the exchange first
+    # bounds the aggregate at a shuffle-slice for the same shuffle
+    # volume (no reduction was happening anyway).
     pairs = (
         df.select(
             F.col(id_col),
             F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
         )
+        .repartition(F.col(id_col), F.col("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
