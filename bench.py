@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: a full detail record (per-query timings/spread/floors), then
+a compact headline line LAST — {"metric": ..., "value": total_sec,
+"unit": "sec", "full_value": ..., "throughput_qps": ..., "scale_value":
+..., "sf": ...}. The driver captures only a 2000-char stdout TAIL, so
+the graded line must be the final, short one (r08 verdict item 1:
+BENCH_r07/r08 recorded parsed=null because the single detail line
+outgrew the tail). The headline is asserted <1500 chars.
 
 Two series in one JSON (round-3 verdict: keep regressions attributable):
 - "value" — the FROZEN 13-query baseline set (exactly BENCH_r01's
@@ -252,9 +257,29 @@ def main() -> None:
                   f"({tp['n_streams']} streams x {len(THROUGHPUT6)} "
                   f"queries in {tp['wall_s']}s)", file=sys.stderr)
 
-    print(json.dumps({
+    for line in result_lines(
+            sf=sf, repeats=repeats, timings=timings, spread=spread,
+            base_total=base_total, full_total=full_total,
+            throughput=throughput, throughput16=throughput16,
+            scale_timings=scale_timings,
+            scale_dir=scale_dir if scale_timings else None):
+        print(line)
+
+
+def result_lines(*, sf, repeats, timings, spread, base_total, full_total,
+                 throughput, throughput16, scale_timings, scale_dir):
+    """The two stdout JSON lines: detail first, compact headline LAST.
+
+    The driver captures only a 2000-char stdout TAIL and parses the JSON
+    it finds there; the detail line outgrew that in r07/r08 (BENCH
+    parsed=null two rounds — the graded value went dark), so the
+    headline is emitted last and asserted <1500 chars.
+    tests/test_bench_contract.py pins the truncate-then-parse path.
+    """
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = json.dumps({
         "metric": "gpu_bdb_spark frozen 13-query baseline set wall time "
-                  f"(best of {repeats})",
+                  f"(best of {repeats}) [detail]",
         "value": base_total,
         "unit": "sec",
         "full_value": full_total,
@@ -278,9 +303,27 @@ def main() -> None:
         "scale_value": (round(sum(scale_timings.values()), 3)
                         if scale_timings else None),
         "scale_queries": scale_timings,
-        "scale_sf_dir": (scale_dir if scale_timings else None),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "scale_sf_dir": scale_dir,
+        "sf": sf_val,
+    })
+    headline = json.dumps({
+        "metric": "gpu_bdb_spark frozen 13-query baseline set wall time "
+                  f"(best of {repeats})",
+        "value": base_total,
+        "unit": "sec",
+        "full_value": full_total,
+        "full_n_queries": len(timings),
+        "throughput_qps": throughput,
+        "throughput_qps_16": throughput16,
+        "scale_value": (round(sum(scale_timings.values()), 3)
+                        if scale_timings else None),
+        "sf": sf_val,
+    })
+    assert len(headline) < 1500, (
+        f"bench headline line grew to {len(headline)} chars — it must "
+        f"stay under the driver's 2000-char stdout-tail capture; move "
+        f"new series into the detail line above")
+    return [detail, headline]
 
 
 if __name__ == "__main__":

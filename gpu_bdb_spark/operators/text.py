@@ -806,9 +806,18 @@ def winnow_positions_robust(
     stateless rightmost-min set; every full window contains ≥1
     selection; selection count ≤ the stateless rule's count.
 
+    The doc-key exchange is pinned BEFORE the gram expansion (same
+    elided-exchange fat-partition class as `winnow_fingerprints`/
+    `winnow_positions`): applyInPandas requires clustering by doc, and
+    with a range-derived or pre-partitioned upstream EnsureRequirements
+    would elide its exchange, leaving the grouped sort to run over
+    expansion × source-partition bytes. Repartitioning the DOC frame
+    first bounds the sort by doc-partition × expansion and ships docs,
+    not grams, over the wire (plan-pinned in tests/test_plans.py).
+
     Returns (id, pos, fingerprint).
     """
-    grams = df.select(
+    grams = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         ngrams(tokenize(F.lower(F.col(text_col))), k).alias("grams"),
     ).select(

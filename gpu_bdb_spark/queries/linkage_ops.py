@@ -133,8 +133,8 @@ def jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer verify) — the oracle is the EXHAUSTIVE quadratic
     list_intersect self-join, so the driver hash proves the prefix
     blocking loses no pairs. Above CERT_DOC_BOUND docs both sides
-    certify on the deterministic ¼ content-hash sample (the
-    size-bounded tier; identical to the full gate at every driver
+    certify on the deterministic CERT_FRACTION content-hash sample
+    (the size-bounded tier; identical to the full gate at every driver
     SF)."""
     from gpu_bdb_spark.functions import tokenize
     from gpu_bdb_spark.operators.linkage import jaccard_set_join
@@ -287,8 +287,8 @@ def jaccard_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix verify, whose recall is provably 1.0 so the routed output is
     the exhaustive truth and the oracle's routed arm is the EXHAUSTIVE
     size-compatible join. Above CERT_DOC_BOUND docs both engines
-    certify on the deterministic ¼ content-hash sample (size-bounded
-    tier — sf1zipf's 49M-pair verify would otherwise cost >25 min in
+    certify on the deterministic CERT_FRACTION content-hash sample
+    (size-bounded tier — sf1zipf's 49M-pair verify would otherwise cost >25 min in
     the single-threaded oracle)."""
     from gpu_bdb_spark.functions import tokenize
     from gpu_bdb_spark.operators.dedup import lsh_verified_pairs_portable

@@ -174,6 +174,32 @@ def test_winnow_exchange_not_elided_by_satisfied_upstream(spark):
     assert plan.count("Arguments: hashpartitioning") == 1, plan
 
 
+def test_winnow_robust_exchange_not_elided(spark):
+    """winnow_positions_robust shares the elided-exchange class via the
+    applyInPandas-after-explode shape (r08 verdict task 3): with a
+    range-derived doc_id upstream, the grouped-map exchange must still
+    appear, pinned BELOW gram expansion so the pandas group sort is
+    bounded by doc-partition × expansion and the wire carries docs."""
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.text import winnow_positions_robust
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d e f g h i j").alias("text"))
+    plan = formatted_plan(winnow_positions_robust(docs))
+    # exactly ONE exchange: 0 = the pin is gone (elision — the trap),
+    # 2 = the pin moved above the explode (grams on the wire)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    # and the exchange must sit BELOW the gram explode: node ids grow
+    # toward the root, so every Exchange id < every Generate id
+    import re
+
+    exch_ids = [int(m) for m in re.findall(r"\((\d+)\) Exchange", plan)]
+    gen_ids = [int(m) for m in re.findall(r"\((\d+)\) Generate", plan)]
+    assert exch_ids and gen_ids and max(exch_ids) < min(gen_ids), plan
+
+
 def test_shard_export_single_exchange_no_global_sort(spark, sf_dir):
     """shard_export: one hash exchange on the shard key; NO range
     exchange (a global sort would serialize the 100 TB export)."""
