@@ -125,6 +125,12 @@ FLOOR_S = {
 #: Idle-machine frozen-13 total band on identical plans (SCALE.md).
 BAND_13_S = (11.6, 19.0)
 
+#: Idle-machine scale_value (SCALE8 at sf1zipf) band on identical
+#: plans: six recorded idle readings across rounds 14-16 spanned
+#: 43.8-59.1 s (SCALE.md "Scale-series variance band") — like the
+#: frozen-13 band, a single reading inside it carries no signal.
+BAND_SCALE_S = (43.8, 59.1)
+
 #: Frozen throughput-phase set (round-5 verdict item 4): six cheap-to-
 #: moderate frozen-13 members, run 4 concurrent streams rotated. Fixed
 #: forever like BASELINE13 so the qps series stays comparable.
@@ -303,6 +309,7 @@ def result_lines(*, sf, repeats, timings, spread, base_total, full_total,
         "scale_value": (round(sum(scale_timings.values()), 3)
                         if scale_timings else None),
         "scale_queries": scale_timings,
+        "band_scale_s": (list(BAND_SCALE_S) if scale_timings else None),
         "scale_sf_dir": scale_dir,
         "sf": sf_val,
     })
