@@ -126,10 +126,13 @@ FLOOR_S = {
 BAND_13_S = (11.6, 19.0)
 
 #: Idle-machine scale_value (SCALE8 at sf1zipf) band on identical
-#: plans: six recorded idle readings across rounds 14-16 spanned
-#: 43.8-59.1 s (SCALE.md "Scale-series variance band") — like the
-#: frozen-13 band, a single reading inside it carries no signal.
-BAND_SCALE_S = (43.8, 59.1)
+#: plans — like the frozen-13 band, a single reading inside it carries
+#: no signal. RE-BASELINED in round 16 when testdata_gen pinned 32MB
+#: row groups (the old coalesce(1) corpus had ONE 177MB row group per
+#: table, serializing every scan): three idle readings on the new
+#: layout spanned 33.7-38.4 s; the old-layout band was 43.8-59.1 s
+#: across six readings (SCALE.md "Scale-series variance band").
+BAND_SCALE_S = (33.7, 38.4)
 
 #: Frozen throughput-phase set (round-5 verdict item 4): six cheap-to-
 #: moderate frozen-13 members, run 4 concurrent streams rotated. Fixed

@@ -245,7 +245,19 @@ def write_testdata(spark: SparkSession, out_dir: str, sf: float,
     """Write all driver-shaped tables in the driver layout: ONE
     parquet FILE per table at {out}/{table}.parquet (DuckDB's scan
     takes file paths, not directories — single-file is the shared
-    denominator of both engines' readers)."""
+    denominator of both engines' readers).
+
+    Row groups are pinned to 32MB (production distributed-writer
+    layout). A coalesce(1) write under the default block size produced
+    ONE row group per table (177MB decompressed for sf1 lineitem),
+    which (a) serializes every scan — a row group is read by exactly
+    one task, so a 32-core scan ran 1 real + 25 empty tasks, measured
+    2.1× slower than the 32MB layout on a 3-column aggregate — and
+    (b) OOMs a default 1g heap in reader column-chunk buffers alone
+    when a plan scans the same file twice concurrently (SCALE.md
+    round 16, the reader-buffer class). Content is unaffected: the
+    generator is hash-based and bit-stable, so oracle hashes are
+    identical across layouts."""
     import glob
     import os
     import shutil
@@ -255,7 +267,8 @@ def write_testdata(spark: SparkSession, out_dir: str, sf: float,
     for name in TESTDATA_TABLES:
         df = generate_table(spark, name, sf, partitions, doc_vocab_size)
         tmp = f"{out}/_tmp_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (df.coalesce(1).write.mode("overwrite")
+         .option("parquet.block.size", 32 * 1024 * 1024).parquet(tmp))
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
         final = f"{out}/{name}.parquet"
         if os.path.exists(final):
