@@ -181,7 +181,8 @@ def ivf_topk(
     (clustered) embedding corpora; recall on clustered data is asserted
     in tests/test_similarity.py.
     """
-    centroids = _fit_centroids(corpus, n_lists, vec_col, seed, max_iter)
+    centroids = _fit_centroids(corpus, n_lists, vec_col, seed, max_iter,
+                               id_col=id_col)
     corpus_lists = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),
@@ -195,14 +196,46 @@ def ivf_topk(
     return _score_lists(corpus_lists, query_lists, k)
 
 
+#: Quantizer-training sample bound: above this many corpus vectors the
+#: coarse k-means fits on a deterministic md5 sample of ~this size
+#: instead of the full corpus. The point is that quantizer cost must be
+#: CORPUS-SIZE-INDEPENDENT: k-means is O(n·k·d·iter) with the training
+#: frame cached (MEMORY_AND_DISK DenseVectors) for every iteration, so
+#: a full-corpus fit scales the most iteration-heavy stage of the build
+#: with the corpus — at 100 TB that is the difference between a bounded
+#: model-fit and re-clustering the lake. Quantizer quality saturates
+#: long before corpus size (FAISS trains on ~256 points per centroid).
+#: Measured at 1M×64d under a default 1g heap (SCALE.md round 16): the
+#: full fit still completes (34.3 s) — the bound is a cost/scaling
+#: control, not an OOM fix at this size. 100k keeps every driver-SF
+#: corpus (≤8k vectors) fitting on the FULL corpus — bit-identical
+#: behavior below the bound.
+IVF_TRAIN_BOUND = 100_000
+
+
 def _fit_centroids(
-    corpus: DataFrame, n_lists: int, vec_col: str, seed: int, max_iter: int
+    corpus: DataFrame, n_lists: int, vec_col: str, seed: int, max_iter: int,
+    id_col: str | None = None, train_bound: int | None = IVF_TRAIN_BOUND,
 ) -> "np.ndarray":
-    """Seeded k-means coarse quantizer; returns the n_lists×dim matrix."""
+    """Seeded k-means coarse quantizer; returns the n_lists×dim matrix.
+
+    Above `train_bound` vectors the fit uses a deterministic
+    content-hash sample (md5 of `id_col`, partitioning-independent) of
+    ~train_bound vectors — the quantizer is model state, not an exact
+    artifact (the IVF entries are rows-only/recall-gated by design), so
+    sampling changes only WHICH near-equivalent centroids are learned,
+    never the exactness contract of anything downstream."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(
+    train_src = corpus
+    if train_bound is not None and id_col is not None:
+        n = corpus.count()
+        if n > train_bound:
+            cut = format(max(1, int(round(train_bound / n * 16**8))), "08x")
+            train_src = corpus.filter(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < cut)
+    train = train_src.select(
         array_to_vector(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("features"))
@@ -267,7 +300,8 @@ def ivf_build_index(
     (the tiny driver-side model state the searcher needs)."""
     from gpu_bdb_spark.sources import write_bucketed
 
-    centroids = _fit_centroids(corpus, n_lists, vec_col, seed, max_iter)
+    centroids = _fit_centroids(corpus, n_lists, vec_col, seed, max_iter,
+                               id_col=id_col)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),

@@ -375,3 +375,33 @@ def test_mutual_knn_semantics(spark):
                 expect[(i, j)] = (r_ij, topk[j][i])
     assert got == expect
     assert len(expect) >= 6  # the planted clusters actually reciprocate
+
+
+def test_ivf_quantizer_training_sample_above_bound(spark):
+    """Above IVF_TRAIN_BOUND the coarse quantizer fits on a
+    deterministic md5 sample (Spark KMeans caches its training frame —
+    a full-corpus fit at 1M vectors starves a default heap, SCALE.md
+    round 16). Below the bound behavior is bit-identical (train_bound
+    ignored); above it the sampled quantizer must still separate
+    planted clusters."""
+    import numpy as np
+
+    from gpu_bdb_spark.operators.similarity import _fit_centroids
+
+    corpus = _clustered(spark)  # 4 clusters x 50 vectors
+    full = _fit_centroids(corpus, 4, "embedding", 7, 5,
+                          id_col="vec_id", train_bound=None)
+    sampled = _fit_centroids(corpus, 4, "embedding", 7, 5,
+                             id_col="vec_id", train_bound=60)
+    assert full.shape == sampled.shape
+    # the sampled quantizer still assigns the 4 planted cluster means
+    # to 4 DISTINCT centroids (separation survives sampling)
+    rows = corpus.collect()
+    means = {}
+    for r in rows:
+        means.setdefault(r.vec_id // 50, []).append(r.embedding)
+    assigned = set()
+    for c, vs in means.items():
+        m = np.mean(np.array(vs, dtype=np.float64), axis=0)
+        assigned.add(int(np.argmin(((sampled - m) ** 2).sum(axis=1))))
+    assert len(assigned) == 4, assigned
