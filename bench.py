@@ -329,10 +329,14 @@ def result_lines(*, sf, repeats, timings, spread, base_total, full_total,
                         if scale_timings else None),
         "sf": sf_val,
     })
-    assert len(headline) < 1500, (
-        f"bench headline line grew to {len(headline)} chars — it must "
-        f"stay under the driver's 2000-char stdout-tail capture; move "
-        f"new series into the detail line above")
+    if len(headline) >= 1500:
+        # Not an assert: the guard must survive `python -O` — a silently
+        # oversized headline is exactly the BENCH parsed=null regression
+        # this contract exists to prevent.
+        raise RuntimeError(
+            f"bench headline line grew to {len(headline)} chars — it must "
+            f"stay under the driver's 2000-char stdout-tail capture; move "
+            f"new series into the detail line above")
     return [detail, headline]
 
 

@@ -161,9 +161,14 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 5,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
     per-list grouped matmul scoring.
+
+    `n_rows`: optional (approximate) corpus row count — skips the
+    quantizer-sizing count() so expensive corpus lineage is not
+    materialized an extra time (see _fit_centroids).
 
     A seeded k-means over the corpus learns `n_lists` centroids (the
     coarse quantizer — model state is n_lists×dim floats, driver-side by
@@ -182,7 +187,7 @@ def ivf_topk(
     in tests/test_similarity.py.
     """
     centroids = _fit_centroids(corpus, n_lists, vec_col, seed, max_iter,
-                               id_col=id_col)
+                               id_col=id_col, n_rows=n_rows)
     corpus_lists = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),
@@ -216,6 +221,7 @@ IVF_TRAIN_BOUND = 100_000
 def _fit_centroids(
     corpus: DataFrame, n_lists: int, vec_col: str, seed: int, max_iter: int,
     id_col: str | None = None, train_bound: int | None = IVF_TRAIN_BOUND,
+    n_rows: int | None = None,
 ) -> "np.ndarray":
     """Seeded k-means coarse quantizer; returns the n_lists×dim matrix.
 
@@ -224,15 +230,24 @@ def _fit_centroids(
     ~train_bound vectors — the quantizer is model state, not an exact
     artifact (the IVF entries are rows-only/recall-gated by design), so
     sampling changes only WHICH near-equivalent centroids are learned,
-    never the exactness contract of anything downstream."""
+    never the exactness contract of anything downstream.
+
+    `n_rows` is a caller-supplied (possibly approximate) corpus row
+    count: when given, the sizing count() is skipped, so a corpus with
+    expensive computed-embedding lineage is executed exactly twice
+    (train scan + assignment scan) instead of three times. Only the
+    bound comparison and sample fraction depend on it, so an estimate
+    within ~2× is fine."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     train_src = corpus
     if train_bound is not None and id_col is not None:
-        n = corpus.count()
+        n = corpus.count() if n_rows is None else n_rows
         if n > train_bound:
-            cut = format(max(1, int(round(train_bound / n * 16**8))), "08x")
+            cut_i = min(max(1, int(round(train_bound / n * 16**8))),
+                        16**8 - 1)
+            cut = format(cut_i, "08x")
             train_src = corpus.filter(
                 F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < cut)
     train = train_src.select(
@@ -291,17 +306,21 @@ def ivf_build_index(
     seed: int = 42,
     max_iter: int = 5,
     num_buckets: int | None = None,
+    n_rows: int | None = None,
 ) -> "np.ndarray":
     """Persist an IVF index: corpus vectors assigned to their coarse
     list, written as a table BUCKETED BY the list id. The assignment
     shuffle is paid once at build time; every later `ivf_search_index`
     cogroups straight off the bucketed files with NO exchange on the
     corpus side (plan-asserted in tests). Returns the centroid matrix
-    (the tiny driver-side model state the searcher needs)."""
+    (the tiny driver-side model state the searcher needs).
+
+    `n_rows`: optional (approximate) corpus row count — skips the
+    quantizer-sizing count() (see _fit_centroids)."""
     from gpu_bdb_spark.sources import write_bucketed
 
     centroids = _fit_centroids(corpus, n_lists, vec_col, seed, max_iter,
-                               id_col=id_col)
+                               id_col=id_col, n_rows=n_rows)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),

@@ -405,3 +405,31 @@ def test_ivf_quantizer_training_sample_above_bound(spark):
         m = np.mean(np.array(vs, dtype=np.float64), axis=0)
         assigned.add(int(np.argmin(((sampled - m) ** 2).sum(axis=1))))
     assert len(assigned) == 4, assigned
+
+
+def test_ivf_quantizer_n_rows_hint_and_cut_clamp(spark):
+    """ADVICE r09: (a) a caller-supplied n_rows skips the sizing
+    count() but must pick the SAME deterministic sample (the cut
+    depends only on n, not on how it was obtained); (b) a huge
+    train_bound with n just above it must clamp the md5 cut below
+    16**8 — an unclamped cut formats to the 9-char '100000000' and
+    lexicographically under-samples to ~1/16 instead of ~100%."""
+    from gpu_bdb_spark.operators.similarity import _fit_centroids
+
+    corpus = _clustered(spark)
+    n = corpus.count()
+    counted = _fit_centroids(corpus, 4, "embedding", 7, 5,
+                             id_col="vec_id", train_bound=60)
+    hinted = _fit_centroids(corpus, 4, "embedding", 7, 5,
+                            id_col="vec_id", train_bound=60, n_rows=n)
+    assert (counted == hinted).all()
+
+    # clamp: ratio rounds to 1.0 -> cut must be 16**8-1 ("ffffffff"),
+    # which keeps essentially the whole corpus -> quantizer == the
+    # full-corpus fit (every md5 prefix < "ffffffff" w.h.p. here)
+    clamped = _fit_centroids(corpus, 4, "embedding", 7, 5,
+                             id_col="vec_id", train_bound=10**12,
+                             n_rows=10**12 + 1)
+    full = _fit_centroids(corpus, 4, "embedding", 7, 5,
+                          id_col="vec_id", train_bound=None)
+    assert (clamped == full).all()
