@@ -22,7 +22,8 @@ def _lines(n_queries=30, n_scale=12):
         throughput=3.03, throughput16=6.21,
         scale_timings={f"scale_query_name_{i:02d}": 100.123
                        for i in range(n_scale)},
-        scale_dir="/root/repo/.localdata/sf1zipf")
+        scale_dir="/root/repo/.localdata/sf1zipf",
+        tp_runs={"4": [2.9, 3.03], "16": [6.21, 5.8]})
 
 
 def test_headline_is_last_and_short():
@@ -55,3 +56,18 @@ def test_headline_none_series():
     parsed = json.loads(headline)
     assert parsed["scale_value"] is None
     assert json.loads(detail)["floor_s"] is None
+    assert json.loads(detail)["band_qps4"] is None
+
+
+def test_detail_carries_qps_runs_and_bands():
+    # r09 verdict item 1: the per-repeat qps readings + frozen idle
+    # bands live in the DETAIL record (qps analogue of floor_s); the
+    # headline stays compact and carries only the best-of-N values.
+    detail, headline = _lines()
+    d = json.loads(detail)
+    assert d["throughput_runs"] == {"4": [2.9, 3.03], "16": [6.21, 5.8]}
+    assert d["band_qps4"] == list(bench.BAND_QPS4)
+    assert d["band_qps16"] == list(bench.BAND_QPS16)
+    h = json.loads(headline)
+    assert "throughput_runs" not in h
+    assert h["throughput_qps"] == 3.03
