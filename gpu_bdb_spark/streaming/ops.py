@@ -358,12 +358,17 @@ def _commit_version(base_path: str, batch_id: int, merged,
     """Publish `merged` (a DataFrame) as committed version `batch_id`
     under `base_path`, then prune all but the two newest versions.
 
-    ``rename``: write to a ``.tmp-`` sibling, then one atomic
-    directory rename — correct on local/HDFS filesystems. A rename
-    failure is treated as a lost duplicate race ONLY when the final
-    directory actually exists; any other OSError re-raises so the
-    streaming engine retries the batch instead of silently dropping it
-    (ADVICE r3).
+    ``rename``: write to a UNIQUE ``.tmp-v<id>-<token>`` sibling, then
+    one atomic directory rename — correct on local/HDFS filesystems.
+    The tmp name is unique PER COMMITTER (r09 verdict item 3: a shared
+    ``.tmp-v<id>`` let two concurrent duplicate committers — zombie
+    driver + its replacement — overwrite each other's in-flight tmp,
+    so the winner could rename a half-written mixture; with unique
+    tmps the loser's rename fails ENOTEMPTY against the winner's
+    published dir and it cleans up). A rename failure is treated as a
+    lost duplicate race ONLY when the final directory actually exists;
+    any other OSError re-raises so the streaming engine retries the
+    batch instead of silently dropping it (ADVICE r3).
 
     ``pointer``: object-store-safe. Data is written under a
     UNIQUE-named ``data-v<id>-<token>`` directory (never overwritten,
@@ -379,7 +384,8 @@ def _commit_version(base_path: str, batch_id: int, merged,
 
     os.makedirs(base_path, exist_ok=True)
     if commit_mode == "rename":
-        tmp = os.path.join(base_path, f".tmp-v{batch_id}")
+        tmp = os.path.join(base_path,
+                           f".tmp-v{batch_id}-{uuid.uuid4().hex}")
         final = os.path.join(base_path, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(tmp)
         try:
@@ -466,6 +472,18 @@ def _prune_versions(base_path: str, batch_id: int) -> None:
                     os.unlink(tmp_full)
             except OSError:
                 pass  # concurrent committer just linked/unlinked it
+            continue
+        if name.startswith(".tmp-v"):
+            # orphan rename-mode tmp dir (committer crashed before its
+            # rename; tmps are unique per committer since r17, so a
+            # crash no longer gets overwritten by the retry) — reap
+            # once stale, never a LIVE committer's in-flight write
+            tmp_full = os.path.join(base_path, name)
+            try:
+                if now - os.path.getmtime(tmp_full) > _STALE_TMP_MARKER_S:
+                    shutil.rmtree(tmp_full, ignore_errors=True)
+            except OSError:
+                pass  # concurrent committer just renamed it away
             continue
         full = os.path.join(base_path, name)
         if (name.startswith("v") and name[1:].isdigit()
