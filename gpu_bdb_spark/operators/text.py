@@ -905,6 +905,8 @@ def inverted_index(
     id_col: str = "doc_id",
     min_df: int = 2,
     max_df_frac: float = 0.5,
+    chunk_docs: int | None = None,
+    shuffle_parts: int | None = None,
 ) -> DataFrame:
     """Corpus inverted index: token → (document frequency, comma-joined
     sorted posting list), keeping only tokens with
@@ -929,6 +931,37 @@ def inverted_index(
     on 8 range partitions, probe_lexical_100m.py). Pinning the
     exchange first bounds the fallback sort at a shuffle-slice and
     skips the useless partial.
+
+    `chunk_docs` (round 17, the 1B-token decade class): per-GROUP
+    aggregate state scales with n_docs × max_df_frac — a token with df
+    just under the 0.5 cap at 10M docs is a ~40MB collect_list + CSV
+    cell in ONE group, and no exchange sizing can split one group
+    (measured OOM under a default 1g heap, probe_lexical_1b.py; the
+    same corpus with small groups passes). Passing `chunk_docs`
+    switches to CHUNKED postings — Lucene-block style: each token's
+    posting list is split into ~chunk_docs-sized chunks keyed by
+    ``chunk = doc_id % ceil(df / chunk_docs)`` (deterministic,
+    partitioning-independent, no extra sort or exchange: the chunk id
+    is a column derived from the broadcast df), output one row per
+    (token, df, chunk) with the chunk's doc ids sorted. Group state is
+    bounded by ~chunk_docs regardless of corpus size; a reader wanting
+    the full sorted list streams a k-way merge of the (already
+    sorted) chunks. None (default) preserves the single-row-per-token
+    contract of the registered entry.
+
+    `shuffle_parts` (round 17, same decade): the postings exchange
+    inherits spark.sql.shuffle.partitions, and AQE can only COALESCE
+    reduce slices, never split one — at 1B surviving (doc, token)
+    rows over 32 partitions each reduce task sort-falls-back over a
+    ~31M-row slice and dies in the spill-merge's untracked 1MB
+    read-ahead buffers (the round-15 class, now ∝ slice size instead
+    of map-partition size; measured: 19M-row slices pass, 31M-row
+    slices OOM a default 1g heap — probe_lexical_1b.py). Reduce-slice
+    row count is a SIZING OBLIGATION like kcore's round aggregates
+    (round 14): pass an explicit partition count scaled to
+    ~corpus_rows/4M (a 1000-executor cluster would set
+    shuffle.partitions in the thousands anyway; the knob exists
+    because the operator must not depend on session conf).
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -946,16 +979,32 @@ def inverted_index(
         )
         .select("token", "df")
     )
+    joined = toks.join(F.broadcast(kept), "token")
+    parts = ([int(shuffle_parts)] if shuffle_parts is not None else [])
+    if chunk_docs is None:
+        return (
+            joined
+            .repartition(*parts, F.col("token"))
+            .groupBy("token", "df")
+            .agg(
+                F.array_join(
+                    F.sort_array(F.collect_list(F.col("doc_id"))), ","
+                ).alias("postings")
+            )
+            .select("token", "df", "postings")
+        )
+    n_chunks = F.ceil(F.col("df") / F.lit(int(chunk_docs))).cast("long")
     return (
-        toks.join(F.broadcast(kept), "token")
-        .repartition(F.col("token"))
-        .groupBy("token", "df")
+        joined
+        .withColumn("chunk", F.pmod(F.col("doc_id"), n_chunks))
+        .repartition(*parts, F.col("token"), F.col("chunk"))
+        .groupBy("token", "df", "chunk")
         .agg(
             F.array_join(
                 F.sort_array(F.collect_list(F.col("doc_id"))), ","
             ).alias("postings")
         )
-        .select("token", "df", "postings")
+        .select("token", "df", "chunk", "postings")
     )
 
 

@@ -53,6 +53,60 @@ def test_inverted_index_filters_before_collect(spark, sf_dir):
         "df-filter join must run before postings are collected")
 
 
+def test_inverted_index_chunked_reassembles(spark):
+    """Round-17 1B-token class: per-group postings state is unbounded
+    in n_docs × max_df_frac (one near-cap token = a ~40MB cell at 10M
+    docs — measured OOM, probe_lexical_1b.py). chunk_docs splits each
+    token's postings into bounded chunks keyed doc_id % ceil(df/chunk):
+    chunks must carry the SAME (df, doc-id multiset) as the unchunked
+    form, each chunk sorted, chunk count = ceil(df/chunk_docs), and
+    the deterministic chunk assignment must be replayable."""
+    texts = [f"tok{j} filler{i}" for i in range(50)
+             for j in range(i % 5 + 1)]
+    d = _docs(spark, [" ".join(t.split()) for t in texts])
+    flat = {r.token: (r.df, r.postings) for r in
+            inverted_index(d, min_df=1, max_df_frac=1.0).collect()}
+    chunked = inverted_index(d, min_df=1, max_df_frac=1.0,
+                             chunk_docs=7).collect()
+    by_tok: dict = {}
+    for r in chunked:
+        by_tok.setdefault(r.token, []).append(r)
+    assert set(by_tok) == set(flat)
+    for tok, rows in by_tok.items():
+        df_flat, postings_flat = flat[tok]
+        n_chunks = -(-df_flat // 7)  # ceil
+        assert all(r.df == df_flat for r in rows)
+        assert sorted(r.chunk for r in rows) == sorted(
+            {int(p) % n_chunks for p in postings_flat.split(",")})
+        merged: list[int] = []
+        for r in rows:
+            ids = [int(p) for p in r.postings.split(",")]
+            assert ids == sorted(ids)  # each chunk sorted
+            assert all(i % n_chunks == r.chunk for i in ids)
+            merged.extend(ids)
+        assert sorted(merged) == [int(p)
+                                  for p in postings_flat.split(",")]
+
+
+def test_inverted_index_shuffle_parts_output_invariant(spark):
+    """shuffle_parts only sizes the postings exchange (round-17 1B
+    class: AQE cannot split an aggregate reduce slice, so slice row
+    count is caller-sizeable) — output is identical with and without,
+    in both flat and chunked forms."""
+    d = _docs(spark, [f"a b c{i % 7} d{i}" for i in range(40)])
+    base = sorted(map(tuple, inverted_index(
+        d, min_df=1, max_df_frac=1.0).collect()))
+    sized = sorted(map(tuple, inverted_index(
+        d, min_df=1, max_df_frac=1.0, shuffle_parts=5).collect()))
+    assert base == sized
+    cbase = sorted(map(tuple, inverted_index(
+        d, min_df=1, max_df_frac=1.0, chunk_docs=4).collect()))
+    csized = sorted(map(tuple, inverted_index(
+        d, min_df=1, max_df_frac=1.0, chunk_docs=4,
+        shuffle_parts=5).collect()))
+    assert cbase == csized
+
+
 def test_cooccurrence_pmi_semantics(spark):
     # one doc "a b a b": window=1 pairs: (a,b),(a,b),(a,b) → n_ab=3
     d = _docs(spark, ["a b a b"])
