@@ -192,6 +192,7 @@ def term_scores_tfidf(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    shuffle_parts: int | None = None,
 ) -> DataFrame:
     """Top-k keywords per document by TF-IDF (keyword extraction /
     salient-term indexing for corpus exploration).
@@ -211,6 +212,21 @@ def term_scores_tfidf(
     top-k before the doc exchange).
 
     Returns (id, term, tf, doc_freq, tfidf, rank), rank ≤ k per doc.
+
+    `shuffle_parts` (round 17): all three exchanges inherit
+    spark.sql.shuffle.partitions, and AQE can only coalesce a reduce
+    slice, never split one — at 1B tokens over 32 partitions the tf
+    aggregate's ~31M-row slices die in the spill-merge's untracked
+    read-ahead buffers even though the aggregate is a tracked,
+    spilling codegen HashAggregate (tf≈1 means no reduction happens;
+    probe_lexical_1b.py — the same class as inverted_index's postings,
+    proving it is ∝ slice ROWS, not the aggregate implementation).
+    When set, the tf exchange is sized explicitly and both windows run
+    behind explicit repartition(shuffle_parts, key) — deliberately
+    satisfying each window's clustering so EnsureRequirements elides
+    the window's own session-sized exchange in favor of ours (the
+    round-15 elision trap used ON PURPOSE). None preserves the
+    registered entry's exact plan.
     """
     from pyspark.sql import Window
 
@@ -224,15 +240,18 @@ def term_scores_tfidf(
     # (probe_lexical_100m.py, 100M tokens). Pinning the exchange first
     # bounds the aggregate at a shuffle-slice for the same shuffle
     # volume (no reduction was happening anyway).
+    parts = ([int(shuffle_parts)] if shuffle_parts is not None else [])
     pairs = (
         df.select(
             F.col(id_col),
             F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
         )
-        .repartition(F.col(id_col), F.col("term"))
+        .repartition(*parts, F.col(id_col), F.col("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if parts:
+        pairs = pairs.repartition(*parts, F.col("term"))
     with_df = pairs.withColumn(
         "doc_freq",
         F.count(F.lit(1)).over(Window.partitionBy("term")))
@@ -245,6 +264,8 @@ def term_scores_tfidf(
                "tfidf"),
         )
     )
+    if parts:
+        scored = scored.repartition(*parts, F.col(id_col))
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -107,6 +107,20 @@ def test_inverted_index_shuffle_parts_output_invariant(spark):
     assert cbase == csized
 
 
+def test_tfidf_shuffle_parts_output_invariant(spark):
+    """Same round-17 sizing knob on term_scores_tfidf: explicit
+    exchange sizing (aggregate + both windows) must not change a
+    single output row."""
+    from gpu_bdb_spark.operators.text import term_scores_tfidf
+
+    d = _docs(spark, [f"alpha beta w{i % 11} w{i % 3} gamma{i}"
+                      for i in range(60)])
+    base = sorted(map(tuple, term_scores_tfidf(d, k=3).collect()))
+    sized = sorted(map(tuple, term_scores_tfidf(
+        d, k=3, shuffle_parts=5).collect()))
+    assert base == sized
+
+
 def test_cooccurrence_pmi_semantics(spark):
     # one doc "a b a b": window=1 pairs: (a,b),(a,b),(a,b) → n_ab=3
     d = _docs(spark, ["a b a b"])
