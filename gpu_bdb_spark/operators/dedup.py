@@ -103,32 +103,43 @@ def jaccard_pairs(
     uncapped the plan stragglers/OOMs regardless of total work. The
     cap is vacuous at every driver SF (max bigram df 338 at sf0.1 →
     output identical to uncapped). None = unchanged exhaustive
-    behavior."""
+    behavior.
+
+    Round-10 shape changes (guide §2.4/§2.5, all output-identical):
+    * The per-shingle df aggregate is computed ONCE (persisted,
+      vocab-sized) and a one-row collect reads max(df) and the exact
+      pair work Σ_kept C(df,2) off it. When max(df) ≤ max_df the cap
+      is VACUOUS — the stop-shingle merge join (and its two sorts) is
+      skipped outright, which is every driver SF by measurement; the
+      filtered corpora where it binds keep the identical pipeline.
+    * The pair-aggregate repartition is sized from that measured pair
+      work (ceil(pw / 200k rows-per-task), clamped [8, 4096]) instead
+      of a flat 256 — the same state-bounding guarantee at sf1zipf
+      (~50M pair rows → ~250 parts) without scheduling 256 near-empty
+      tasks at the small SFs (round-13 OOM class, now data-adaptive).
+    * The posting self-join takes BOTH sides from one plan (alias, no
+      renames) so the shingle-key exchange is planned once and
+      ReusedExchange serves the second side — renames defeat plan
+      canonicalization (the round-6 frequent_triples lesson).
+    """
     posting = shingled.select(
         F.col(id_col).alias("id"), F.explode("shingles").alias("shingle")
     )
+    parts = None
     if max_df is not None:
-        keep = (posting.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") <= max_df).select("shingle"))
-        posting = posting.join(keep.hint("merge"), "shingle")
-        sizes = posting.groupBy(F.col("id")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"))
-    else:
-        sizes = shingled.select(F.col(id_col).alias("id"), "n_shingles")
-    a = posting.select(F.col("id").alias("id_1"), "shingle")
-    b = posting.select(F.col("id").alias("id_2"), "shingle")
-    # merge-join pin: the posting frame is corpus-cardinality — a
-    # planner broadcast of it OOMs a default-memory session at sf1
-    # (the round-9 class), and shuffle_hash's per-partition build map
-    # cannot spill (measured: "not enough memory to build hash map" on
-    # sf1zipf under the 1g driver session). Sort-merge spills — the
-    # only join that survives an arbitrary-memory session here.
-    paired = (
-        a.join(b.hint("merge"), ["shingle"])
-        .filter(F.col("id_1") < F.col("id_2"))
-    )
-    if max_df is not None:
+        vocab_df = (posting.groupBy("shingle")
+                    .agg(F.count(F.lit(1)).alias("_df")).persist())
+        # all-integer C(df,2), decimal sum: exact at any corpus size
+        stat = vocab_df.agg(
+            F.max("_df").alias("_mx"),
+            F.coalesce(F.sum(
+                F.when(F.col("_df") <= max_df,
+                       F.shiftright(F.col("_df") * (F.col("_df") - 1), 1))
+                .otherwise(F.lit(0)).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)")).alias("_pw"),
+        ).collect()[0]
+        max_df_seen = stat["_mx"] or 0
+        pair_work = int(stat["_pw"])
         # Pin the pair-aggregate width: AQE coalesces the post-join
         # shuffle by BYTES, but the candidate-pair aggregate's cost is
         # GROUP STATE (tens of millions of (id_1, id_2) groups from a
@@ -136,7 +147,36 @@ def jaccard_pairs(
         # of reducers the per-task hash-agg state heap-OOMs a 1g
         # session. An explicit repartition is exempt from AQE
         # coalescing and bounds per-task groups.
-        paired = paired.repartition(256, "id_1", "id_2")
+        parts = max(8, min(4096, -(-pair_work // 200_000)))
+        if max_df_seen > max_df:
+            keep = vocab_df.filter(F.col("_df") <= max_df).select("shingle")
+            posting = posting.join(keep.hint("merge"), "shingle")
+            sizes = posting.groupBy(F.col("id")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_shingles"))
+        else:
+            # cap vacuous: identical output without the stop-shingle
+            # join; the df aggregate has served its purpose
+            vocab_df.unpersist()
+            sizes = shingled.select(F.col(id_col).alias("id"), "n_shingles")
+    else:
+        sizes = shingled.select(F.col(id_col).alias("id"), "n_shingles")
+    # merge-join pin: the posting frame is corpus-cardinality — a
+    # planner broadcast of it OOMs a default-memory session at sf1
+    # (the round-9 class), and shuffle_hash's per-partition build map
+    # cannot spill (measured: "not enough memory to build hash map" on
+    # sf1zipf under the 1g driver session). Sort-merge spills — the
+    # only join that survives an arbitrary-memory session here.
+    pl = posting.alias("_jpl")
+    pr = posting.alias("_jpr")
+    paired = (
+        pl.join(pr.hint("merge"),
+                (F.col("_jpl.shingle") == F.col("_jpr.shingle"))
+                & (F.col("_jpl.id") < F.col("_jpr.id")))
+        .select(F.col("_jpl.id").alias("id_1"),
+                F.col("_jpr.id").alias("id_2"))
+    )
+    if parts is not None:
+        paired = paired.repartition(parts, "id_1", "id_2")
     inter = (
         paired.groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -226,8 +266,6 @@ def minhash_lsh_pairs(
         .select("id", F.col("bb.band").alias("band"),
                 F.col("bb.band_hash").alias("band_hash"))
     )
-    left = buckets.select("band", "band_hash", F.col("id").alias("id_1"))
-    right = buckets.select("band", "band_hash", F.col("id").alias("id_2"))
     # Two-stage prefilter before the exact verify ever touches the wide
     # shingle arrays:
     # 1. band-collision count (free from the bucket join) ≥2 — a pair at
@@ -241,52 +279,58 @@ def minhash_lsh_pairs(
     # bucket-join sides and the signature/shingle re-attach frames grow
     # with the corpus, and letting the planner broadcast one of them
     # worked at sf0.1 but failed the driver's default-memory session at
-    # sf1 ("Not enough memory to build and broadcast")
+    # sf1 ("Not enough memory to build and broadcast").
+    # Every self-join below takes BOTH sides from ONE plan (alias, no
+    # renames) so the per-side exchanges canonicalize identically and
+    # runtime stage reuse computes each subtree once — the rename
+    # formulation ran the signature aggregate 4× and scanned the corpus
+    # 6× for one query (round-10 plan audit; renames defeat plan
+    # canonicalization, the round-6 frequent_triples lesson).
+    bl = buckets.alias("_mhl")
+    br = buckets.alias("_mhr")
     candidates = (
-        left.join(right.hint("shuffle_hash"), ["band", "band_hash"])
-        .filter(F.col("id_1") < F.col("id_2"))
+        bl.join(br.hint("shuffle_hash"),
+                (F.col("_mhl.band") == F.col("_mhr.band"))
+                & (F.col("_mhl.band_hash") == F.col("_mhr.band_hash"))
+                & (F.col("_mhl.id") < F.col("_mhr.id")))
+        .select(F.col("_mhl.id").alias("id_1"),
+                F.col("_mhr.id").alias("id_2"))
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("_bands_matched"))
         .filter(F.col("_bands_matched") >= min_band_matches)
         .select("id_1", "id_2")
     )
     est_floor = max(0.0, threshold - 0.2)
-    sig1 = signed.select(
-        F.col("id").alias("id_1"),
-        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(num_hashes)])
-    sig2 = signed.select(
-        F.col("id").alias("id_2"),
-        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(num_hashes)])
+    s1 = signed.alias("_sg1")
+    s2 = signed.alias("_sg2")
     matches = reduce(
         lambda x, y: x + y,
-        [(F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        [(F.col(f"_sg1.mh_{i}") == F.col(f"_sg2.mh_{i}")).cast("int")
          for i in range(num_hashes)],
     )
     candidates = (
-        candidates.join(sig1.hint("shuffle_hash"), "id_1")
-        .join(sig2.hint("shuffle_hash"), "id_2")
+        candidates.join(s1.hint("shuffle_hash"),
+                        F.col("id_1") == F.col("_sg1.id"))
+        .join(s2.hint("shuffle_hash"), F.col("id_2") == F.col("_sg2.id"))
         .filter(matches.cast("double") / num_hashes >= est_floor)
         .select("id_1", "id_2")
     )
     sets = shingled.select("id", "shingles", "n_shingles")
+    t1 = sets.alias("_st1")
+    t2 = sets.alias("_st2")
+    n_inter = F.size(F.array_intersect(
+        F.col("_st1.shingles"), F.col("_st2.shingles"))).cast("long")
     verified = (
-        candidates.join(
-            sets.select(F.col("id").alias("id_1"),
-                        F.col("shingles").alias("sh1"),
-                        F.col("n_shingles").alias("sz1"))
-            .hint("shuffle_hash"), "id_1")
-        .join(
-            sets.select(F.col("id").alias("id_2"),
-                        F.col("shingles").alias("sh2"),
-                        F.col("n_shingles").alias("sz2"))
-            .hint("shuffle_hash"), "id_2")
-        .withColumn("n_inter",
-                    F.size(F.array_intersect("sh1", "sh2")).cast("long"))
+        candidates.join(t1.hint("shuffle_hash"),
+                        F.col("id_1") == F.col("_st1.id"))
+        .join(t2.hint("shuffle_hash"), F.col("id_2") == F.col("_st2.id"))
+        .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("n_inter")).cast("double"),
+                / (F.col("_st1.n_shingles") + F.col("_st2.n_shingles")
+                   - F.col("n_inter")).cast("double"),
                 6,
             ),
         )
@@ -444,31 +488,33 @@ def lsh_verified_pairs_portable(
                 F.round(F.col("inter_n").cast("double")
                         / F.col("union_n").cast("double"), 6)
                 .alias("jaccard"))
+    # alias self-join (no renames): both sides canonicalize to one plan
+    # so the bucket-key exchange is computed once and reused (round-10;
+    # renames defeat canonicalization — round-6 frequent_triples lesson)
+    vbl = buckets.alias("_lvl")
+    vbr = buckets.alias("_lvr")
     candidates = (
-        buckets.select("band", "bh", F.col("id").alias("id_1"))
-        .join(buckets.select("band", "bh", F.col("id").alias("id_2"))
-              .hint("shuffle_hash"),
-              ["band", "bh"])
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2")
+        vbl.join(vbr.hint("shuffle_hash"),
+                 (F.col("_lvl.band") == F.col("_lvr.band"))
+                 & (F.col("_lvl.bh") == F.col("_lvr.bh"))
+                 & (F.col("_lvl.id") < F.col("_lvr.id")))
+        .select(F.col("_lvl.id").alias("id_1"),
+                F.col("_lvr.id").alias("id_2"))
         .distinct()
     )
     sets = shingled.select("id", "members", "n_members")
+    vt1 = sets.alias("_lt1")
+    vt2 = sets.alias("_lt2")
+    n_inter = F.size(F.array_intersect(
+        F.col("_lt1.members"), F.col("_lt2.members"))).cast("long")
     verified = (
-        candidates.join(
-            sets.select(F.col("id").alias("id_1"),
-                        F.col("members").alias("sh1"),
-                        F.col("n_members").alias("sz1"))
-            .hint("shuffle_hash"), "id_1")
-        .join(
-            sets.select(F.col("id").alias("id_2"),
-                        F.col("members").alias("sh2"),
-                        F.col("n_members").alias("sz2"))
-            .hint("shuffle_hash"), "id_2")
-        .withColumn("n_inter",
-                    F.size(F.array_intersect("sh1", "sh2")).cast("long"))
+        candidates.join(vt1.hint("shuffle_hash"),
+                        F.col("id_1") == F.col("_lt1.id"))
+        .join(vt2.hint("shuffle_hash"), F.col("id_2") == F.col("_lt2.id"))
+        .withColumn("n_inter", n_inter)
         .withColumn("n_union",
-                    (F.col("sz1") + F.col("sz2") - F.col("n_inter")))
+                    (F.col("_lt1.n_members") + F.col("_lt2.n_members")
+                     - F.col("n_inter")))
         .filter(F.col("n_inter") * threshold_den
                 >= F.col("n_union") * threshold_num)
     )

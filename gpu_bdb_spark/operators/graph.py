@@ -38,14 +38,23 @@ def pagerank(
     list means every node has out-degree ≥ 1 (no dangling-mass term)
     and every node receives ≥ 1 contribution (no vanishing rows).
 
-    One shuffle per round (edge join + destination hash-aggregate);
-    ranks and degrees are narrow (id + number). Per-edge contributions
-    are rounded to 1e-12 and summed as DECIMAL(28,12); the new rank is
-    re-rounded to 1e-9 — every iteration's state is therefore exactly
+    Loop shape (round 10, guide §2.4 — measured 6.2 s → per-round
+    overhead on a 256-edge sf0.1 graph): the out-degree is joined onto
+    the edge list ONCE outside the loop and the combined
+    (src, dst, deg) frame is repartitioned by src BEFORE the standing
+    DISK_ONLY persist, so its hash partitioning is part of the cached
+    plan. Each round is then ONE join (narrow ranks vs the
+    pre-partitioned cache — only the node-sized ranks frame is ever
+    re-shuffled; the old shape re-shuffled edges AND deg AND ranks
+    every round, 3 exchanges of which 2 were corpus-sized at scale)
+    plus the destination aggregate. Per-edge contributions are rounded
+    to 1e-12 and summed as DECIMAL(28,12); the new rank is re-rounded
+    to 1e-9 — every iteration's state is therefore exactly
     representable, making the whole fixed-point loop bit-reproducible
     across engines and partitionings (same recipe as
     operators/text.unigram_nll, proven by the DuckDB recursive-CTE
-    oracle in queries/dedup_ops.py).
+    oracle in queries/dedup_ops.py). rank/deg is computed identically
+    (same IEEE divide, same round), so the fixed point is unchanged.
 
     Returns (id, rank) for every node of the pair graph.
 
@@ -60,20 +69,24 @@ def pagerank(
     e = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.DISK_ONLY)
+    )
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg")).persist(StorageLevel.DISK_ONLY)
     n = deg.count()
+    # (src, dst, deg) partitioned by the per-round join key: rounds
+    # reuse this cached layout; only ranks crosses the wire per round
+    edges_deg = (
+        edges.join(deg, "src")
+        .repartition("src")
+        .persist(StorageLevel.DISK_ONLY)
+    )
     base = (1.0 - damping) / n
     ranks = deg.select(
         F.col("src").alias("id"),
         F.round(F.lit(1.0 / n), 9).alias("rank"))
     for _ in range(iters):
         contrib = (
-            edges.join(
-                ranks.join(deg, ranks["id"] == deg["src"])
-                .select("id", "rank", "deg"),
-                edges["src"] == F.col("id"))
+            edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
             .select(
                 F.col("dst"),
                 F.round(F.col("rank") / F.col("deg"), 12)
@@ -91,7 +104,7 @@ def pagerank(
             checkpoint_dir,
             local_storage_level=StorageLevel.DISK_ONLY,
         )
-    edges.unpersist()
+    edges_deg.unpersist()
     deg.unpersist()
     return ranks
 

@@ -46,10 +46,19 @@ def pair_counts(
         .filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
         .distinct()
     )
-    a = base.select(F.col(group_col).alias("_g"), F.col(item_col).alias(c1))
-    b = base.select(F.col(group_col).alias("_g2"), F.col(item_col).alias(c2))
+    # Both self-join sides come from ONE plan (alias, no renames) so the
+    # distinct's exchange is planned once and stage-level reuse serves
+    # the second side — the rename formulation computed the scan +
+    # distinct twice (renames defeat plan canonicalization, the round-6
+    # frequent_triples lesson; measured in the round-10 plan audit:
+    # part_pairs ran 2 scans + 2 distinct aggregates for one input).
+    bl = base.alias("_pcl")
+    br = base.alias("_pcr")
+    gl, gr = F.col(f"_pcl.{group_col}"), F.col(f"_pcr.{group_col}")
+    il, ir = F.col(f"_pcl.{item_col}"), F.col(f"_pcr.{item_col}")
     return (
-        a.join(b, (a._g == b._g2) & (F.col(c1) < F.col(c2)))
+        bl.join(br, (gl == gr) & (il < ir))
+        .select(il.alias(c1), ir.alias(c2))
         .repartition(256, c1, c2)
         .groupBy(c1, c2)
         .agg(F.count(F.lit(1)).alias("cnt"))
