@@ -58,6 +58,29 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Resolved-plan memo for the (immutable) driver tables: maps
+#: (applicationId, sf_dir, table) -> the normalized base DataFrame.
+#: Plan/metadata reuse ONLY — a DataFrame holds no data; every execution
+#: still scans the parquet files. What it skips is the per-call file
+#: listing + footer schema read (measured ~250-300 ms of pure plan
+#: construction PER QUERY at bench, round 10 — every entry re-resolved
+#: every table it touched). Keyed by applicationId so a new
+#: SparkContext never sees another context's plans. Only the TABLES
+#: of the driver contract route through here; mutable table dirs
+#: (upsert/delete/sink roundtrips) use spark.read directly and are
+#: never memoized.
+_PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _base_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    df = _PLAN_MEMO.get(key)
+    if df is None:
+        df = _normalize_timestamps(spark.read.parquet(table_path(sf_dir, name)))
+        _PLAN_MEMO[key] = df
+    return df
+
+
 def read_table(
     spark: SparkSession,
     sf_dir: str,
@@ -72,7 +95,7 @@ def read_table(
     (readers.py:108-127) but is optional: Catalyst prunes the parquet scan
     to the referenced columns regardless; passing it just documents intent.
     """
-    df = _normalize_timestamps(spark.read.parquet(table_path(sf_dir, name)))
+    df = _base_table(spark, sf_dir, name)
     if columns:
         df = df.select(*columns)
     if hint_broadcast or (hint_broadcast is None and name in BROADCAST_TABLES):
@@ -84,9 +107,7 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register each table as a temp view for spark.sql queries
     (reference dask-sql entry point: c.create_table, q01_utils.py:43-46)."""
     for name in names:
-        _normalize_timestamps(
-            spark.read.parquet(table_path(sf_dir, name))
-        ).createOrReplaceTempView(name)
+        _base_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def write_result(df: DataFrame, output_dir: str, file_format: str = "parquet") -> None:
