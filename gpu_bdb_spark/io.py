@@ -36,6 +36,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def size_derived_parts(sf_dir: str, name: str,
+                       bytes_per_part: int = 1 << 20,
+                       lo: int = 8, hi: int = 4096) -> int:
+    """Data-derived partition count for AQE-exempt state-bounding
+    repartitions: clamp(table_bytes / bytes_per_part, lo, hi).
+
+    A plain os.stat walk — no Spark job. Linear in the input, so a
+    repartition sized by it keeps per-task aggregate state bounded at
+    any scale factor (the round-13 fat-aggregate OOM class) without
+    scheduling hundreds of near-empty tasks at the small SFs, and
+    without being tuned to either local core counts or one cluster
+    size. Callers whose expansion is super-linear in the input must
+    measure their own statistic instead (jaccard_pairs does)."""
+    import os
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path) for f in files)
+    elif os.path.exists(path):
+        total = os.path.getsize(path)
+    else:
+        return max(lo, min(hi, 256))
+    return max(lo, min(hi, -(-total // bytes_per_part)))
+
+
 def _normalize_timestamps(df: DataFrame) -> DataFrame:
     """Normalize driver-generated timestamp encodings to plain TIMESTAMP.
 

@@ -422,7 +422,15 @@ def lsh_verified_pairs_portable(
     quadratic by math. The stat is one scalar collect (the convergence
     -signature pattern) and is exactly replayable in SQL."""
     rows = num_hashes // bands
-    shingled = sets_df.persist()
+    # NOT persisted (round 10): the wide member-array frame has exactly
+    # two consumer subtrees — the posting leg (feeding the persisted
+    # narrow `signed`) and the verify re-attach, whose two sides now
+    # share one exchange via the alias self-join below — so a persist
+    # bought one avoided recompute at the price of materializing
+    # corpus-sized string arrays into storage memory (the round-14
+    # protected-storage-fraction class) and measured neutral-to-slower
+    # at bench (the round-12 xxhash-tier persist lesson again).
+    shingled = sets_df
     # Carter–Wegman hash family (round 5): ONE md5 per member → 32-bit
     # base hash h1; hash_i = (a_i·h1 + b_i) mod (2^61−1) with fixed
     # pseudorandom constants (`minhash_cw_constants`) inlined as
@@ -477,7 +485,6 @@ def lsh_verified_pairs_portable(
             .collect()[0]["pw"]
         )
         if int(pw) > int(pair_work_budget):
-            shingled.unpersist()
             signed.unpersist()
             from gpu_bdb_spark.operators.linkage import jaccard_set_join
             ex = jaccard_set_join(

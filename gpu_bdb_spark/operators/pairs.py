@@ -17,6 +17,7 @@ def pair_counts(
     group_col: str,
     item_col: str,
     out_prefix: str = "item",
+    parts: int | None = None,
 ) -> DataFrame:
     """Count co-occurrences of distinct item pairs within a group.
 
@@ -38,8 +39,13 @@ def pair_counts(
     coalesced partial aggregate heap-OOMs a default-memory session —
     marginally: part_pairs passed four sf1zipf sweeps then died in the
     fifth on unlucky task co-residency (round-13; the round-12-lesson-3
-    class). 256 hash partitions bound per-task groups deterministically.
+    class). `parts` (round 10) lets a caller that knows the input size
+    pass a data-derived width (e.g. clamp(input_bytes/1MB, 8, 4096) —
+    part_pairs does this from the fact file size, no extra job); None
+    keeps the deterministic 256 bound.
     """
+    if parts is None:
+        parts = 256
     c1, c2 = f"{out_prefix}_1", f"{out_prefix}_2"
     base = (
         df.select(group_col, item_col)
@@ -59,7 +65,7 @@ def pair_counts(
     return (
         bl.join(br, (gl == gr) & (il < ir))
         .select(il.alias(c1), ir.alias(c2))
-        .repartition(256, c1, c2)
+        .repartition(parts, c1, c2)
         .groupBy(c1, c2)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gpu_bdb_spark.functions import DEC, davg, dec, dsum, revenue
-from gpu_bdb_spark.io import read_table
+from gpu_bdb_spark.io import read_table, size_derived_parts
 from gpu_bdb_spark.queries.registry import register
 
 # ---------------------------------------------------------------------------
@@ -306,8 +306,16 @@ def part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
                    hint_broadcast=False)
+    # Data-derived pair-aggregate width (round 10): the pair stream is
+    # ~1× the fact rows here (sf1: 12.0M pairs from 12M rows), so the
+    # fact file size is a faithful linear proxy — clamp(bytes/1MB,
+    # 8, 4096) keeps the round-13 per-task group-state bound at scale
+    # (sf1zipf ~109MB → ~109 parts ≈ the old flat 256's state/task
+    # within 2×) without 256 near-empty tasks at the driver SFs. No
+    # extra job: plain os.stat on the table file/dir.
     pairs = pair_counts(l, group_col="l_orderkey", item_col="l_partkey",
-                        out_prefix="part")
+                        out_prefix="part",
+                        parts=size_derived_parts(sf_dir, "lineitem"))
     return (
         pairs.filter(F.col("cnt") >= 2)
         .orderBy(F.desc("cnt"), "part_1", "part_2")
