@@ -70,9 +70,20 @@ TPC-H tables + 50k documents over a Zipf(s=1) 30k-token vocabulary;
 regenerate with `python -m gpu_bdb_spark.testdata_gen
 .localdata/sf1zipf 1.0 30000` — SCALE.md round 10). Emitted as
 "scale_value" + per-query "scale_queries"; skipped (null) when the
-dir is absent so the sf0.1 series never breaks. Single repeat, same
-rationale as the HEAVY_TWICE cap (scale numbers are probe-grade; the
-per-round trend lives in SCALE.md). Disable with SPARK_GRAFT_SCALE=0.
+dir is absent so the sf0.1 series never breaks. Since round 11 each
+scale query runs SCALE_REPEATS times and reports the BEST, with the
+max−min in "scale_spread" (r10 verdict item 6: the single-shot series
+recorded movers like rolling_user_24h 1.92→3.04 s with zero code
+change and nobody could classify them; this round's own baseline read
+pricing_summary at 29.8 s single-shot on a machine stall). Disable
+with SPARK_GRAFT_SCALE=0.
+
+Driver visibility (r10 verdict item 1): the HEADLINE line now carries
+the full per-query best dict ("queries") — the driver's 2000-char
+stdout-tail capture parses only the last JSON line, so per-query
+timings, the round-over-round geomean and the low-core scaling table
+were all dark while that dict lived only in the detail record. 21
+entries ≈ 650 chars; the <1500 guard still protects the tail contract.
 """
 
 from __future__ import annotations
@@ -155,6 +166,11 @@ THROUGHPUT6 = (
 #: least robust number in the bench; best-of-N absorbs a transient
 #: stall exactly like the serial best-of-3 does).
 TP_REPEATS = 2
+
+#: Repeats per scale-series query (best-of-N like the serial phase;
+#: r10 verdict item 6 — a single-shot reading cannot be classified as
+#: stall vs regression without a control run).
+SCALE_REPEATS = 2
 
 #: Idle-machine qps bands on identical plans (probe_throughput.py,
 #: round 17 — 3 rounds after a serial warm pass, plus the r16 in-bench
@@ -246,6 +262,7 @@ def main() -> None:
     # 10×-scale series (r06 verdict item 2): one repeat per SCALE8
     # query at the scale dir; primed like the main series
     scale_timings: dict[str, float] | None = None
+    scale_spread: dict[str, float] | None = None
     scale_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -261,15 +278,21 @@ def main() -> None:
             raise SystemExit(f"frozen scale queries missing from "
                              f"registry: {missing}")
         scale_timings = {}
+        scale_spread = {}
         for name in SCALE8:
             if prime_dir:
                 full_specs[name].fn(spark, prime_dir).write.format(
                     "noop").mode("overwrite").save()
-            t0 = time.perf_counter()
-            full_specs[name].fn(spark, scale_dir).write.format(
-                "noop").mode("overwrite").save()
-            scale_timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"  [scale] {name}: {scale_timings[name]:.3f}s",
+            runs = []
+            for _ in range(SCALE_REPEATS):
+                t0 = time.perf_counter()
+                full_specs[name].fn(spark, scale_dir).write.format(
+                    "noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            scale_timings[name] = round(min(runs), 3)
+            scale_spread[name] = round(max(runs) - min(runs), 3)
+            print(f"  [scale] {name}: best {scale_timings[name]:.3f}s "
+                  f"(spread {scale_spread[name]:.3f}s over {len(runs)})",
                   file=sys.stderr)
 
     # Fixed-stream concurrency phase: 2-point curve (r06 verdict item 3),
@@ -300,20 +323,24 @@ def main() -> None:
             throughput=throughput, throughput16=throughput16,
             scale_timings=scale_timings,
             scale_dir=scale_dir if scale_timings else None,
-            tp_runs=tp_runs or None):
+            tp_runs=tp_runs or None, scale_spread=scale_spread):
         print(line)
 
 
 def result_lines(*, sf, repeats, timings, spread, base_total, full_total,
                  throughput, throughput16, scale_timings, scale_dir,
-                 tp_runs=None):
+                 tp_runs=None, scale_spread=None):
     """The two stdout JSON lines: detail first, compact headline LAST.
 
     The driver captures only a 2000-char stdout TAIL and parses the JSON
     it finds there; the detail line outgrew that in r07/r08 (BENCH
     parsed=null two rounds — the graded value went dark), so the
-    headline is emitted last and asserted <1500 chars.
-    tests/test_bench_contract.py pins the truncate-then-parse path.
+    headline is emitted last and asserted <1500 chars. Since round 11
+    the headline ALSO carries the full per-query best dict ("queries",
+    the driver contract's per-query field): with it only in the detail
+    record, PERF_r10 had per_query={}, no geomean and an empty scaling
+    table (r10 verdict item 1). tests/test_bench_contract.py pins the
+    truncate-then-parse path including the per-query dict.
     """
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = json.dumps({
@@ -350,6 +377,8 @@ def result_lines(*, sf, repeats, timings, spread, base_total, full_total,
         "scale_value": (round(sum(scale_timings.values()), 3)
                         if scale_timings else None),
         "scale_queries": scale_timings,
+        "scale_spread": scale_spread,
+        "scale_repeats": SCALE_REPEATS if scale_timings else None,
         "band_scale_s": (list(BAND_SCALE_S) if scale_timings else None),
         "scale_sf_dir": scale_dir,
         "sf": sf_val,
@@ -359,6 +388,7 @@ def result_lines(*, sf, repeats, timings, spread, base_total, full_total,
                   f"(best of {repeats})",
         "value": base_total,
         "unit": "sec",
+        "queries": timings,
         "full_value": full_total,
         "full_n_queries": len(timings),
         "throughput_qps": throughput,

@@ -59,7 +59,10 @@ def size_derived_parts(sf_dir: str, name: str,
     elif os.path.exists(path):
         total = os.path.getsize(path)
     else:
-        return max(lo, min(hi, 256))
+        # ADVICE r10: fail fast — a typo'd table/sf_dir silently
+        # degrading to a flat fallback width hides the mistake.
+        raise FileNotFoundError(
+            f"size_derived_parts: no such table path {path!r}")
     return max(lo, min(hi, -(-total // bytes_per_part)))
 
 
@@ -100,9 +103,23 @@ _PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _base_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    if name not in TABLES:
+        # ADVICE r10 (medium): the immutable-tables-only guarantee must
+        # not rest on call-site convention — an unknown (potentially
+        # mutable/rewritten) path is resolved fresh every call, exactly
+        # the pre-memo semantics.
+        return _normalize_timestamps(
+            spark.read.parquet(table_path(sf_dir, name)))
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), name)
     df = _PLAN_MEMO.get(key)
     if df is None:
+        # ADVICE r10 (low): bound the memo to ONE application — a
+        # process that stops/recreates SparkSessions would otherwise
+        # accumulate py4j references into dead contexts forever.
+        stale = [k for k in _PLAN_MEMO if k[0] != app_id]
+        for k in stale:
+            del _PLAN_MEMO[k]
         df = _normalize_timestamps(spark.read.parquet(table_path(sf_dir, name)))
         _PLAN_MEMO[key] = df
     return df
