@@ -105,6 +105,14 @@ def jaccard_pairs(
     output identical to uncapped). None = unchanged exhaustive
     behavior.
 
+    CONSTRUCTION-TIME JOB (ADVICE r10): when `max_df` is set, building
+    this DataFrame runs an EAGER Spark job (the persisted df aggregate
+    + a one-row collect) before returning — the repo's collect-boundary
+    pattern. Plan-only callers (explain/plan audits) therefore execute
+    a corpus-wide aggregate; callers outside the registry wrapper also
+    inherit the posting/vocab persists until the next entry's cache
+    boundary (or their own clearCache) releases them.
+
     Round-10 shape changes (guide §2.4/§2.5, all output-identical):
     * The per-shingle df aggregate is computed ONCE (persisted,
       vocab-sized) and a one-row collect reads max(df) and the exact
@@ -112,6 +120,16 @@ def jaccard_pairs(
       is VACUOUS — the stop-shingle merge join (and its two sorts) is
       skipped outright, which is every driver SF by measurement; the
       filtered corpora where it binds keep the identical pipeline.
+    * Round 11: the exploded POSTING is persisted (DISK_ONLY) before
+      the stat job, because the stat collect and the main query are
+      separate ACTIONS — ReusedExchange dedups identical subtrees only
+      within one job, so the corpus-wide tokenize+ngrams+explode ran
+      TWICE per query (measured the dominant cost at sf1zipf: 10.1 s
+      of the 33.1 s wall was the second explode; guide §1.2 "don't
+      compute what you throw away", §5 persist-on-reuse-across-jobs).
+      DISK_ONLY because the posting is corpus-sized — iterative/reused
+      frames must not pin the protected storage fraction (round-14
+      rule). The registry's per-entry cache boundary releases it.
     * The pair-aggregate repartition is sized from that measured pair
       work (ceil(pw / 200k rows-per-task), clamped [8, 4096]) instead
       of a flat 256 — the same state-bounding guarantee at sf1zipf
@@ -127,6 +145,11 @@ def jaccard_pairs(
     )
     parts = None
     if max_df is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        # One explode for BOTH actions (stat job + main query); the
+        # stat collect below materializes the cache as a side effect.
+        posting = posting.persist(StorageLevel.DISK_ONLY)
         vocab_df = (posting.groupBy("shingle")
                     .agg(F.count(F.lit(1)).alias("_df")).persist())
         # all-integer C(df,2), decimal sum: exact at any corpus size
