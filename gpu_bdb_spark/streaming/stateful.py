@@ -28,6 +28,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 
+def _sized_group(df: DataFrame, *keys):
+    """groupBy for a stateful stage, sizing the state-store partition
+    count BEFORE the plan is built (r10 verdict item 5).
+
+    The stateful stage freezes its partition count from
+    spark.sql.shuffle.partitions at the FIRST micro-batch (AQE-exempt,
+    baked into the checkpoint); a session left at Spark's untouched 200
+    default pays ~200 python-worker roundtrips per micro-batch forever
+    (~35 s/batch vs ~25 s at 32 partitions for identical 60k-row
+    batches — the r15 probe). When the session still carries the "200"
+    default, derive the count from the machine: max(8, 2 × cores),
+    cores from $SPARK_GRAFT_CPUS (the driver contract's core knob) or
+    the context's defaultParallelism — scale-adaptive, not a constant.
+    ANY other configured value is respected (production sizes the state
+    store explicitly; an explicit 200 is indistinguishable from the
+    default — set 201 if ~200 state partitions is truly intended).
+    """
+    import os
+
+    try:
+        spark = df.sparkSession
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+            if cores <= 0:
+                cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(max(8, 2 * cores)))
+    except Exception:
+        pass  # sizing must never break an op build
+    return df.groupBy(*keys)
+
+
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Per-user running totals maintained as explicit group state.
 
@@ -53,7 +85,7 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]})
 
     return (
-        events.groupBy("user_id")
+        _sized_group(events, "user_id")
         .applyInPandasWithState(
             update,
             outputStructType="user_id long, n_events long, total_value double",
@@ -103,7 +135,7 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             pass
 
     return (
-        events.groupBy("user_id")
+        _sized_group(events, "user_id")
         .transformWithStateInPandas(
             RunningStats(),
             outputStructType="user_id long, n_events long, "
@@ -168,7 +200,7 @@ def streaming_gapfill_locf(events: DataFrame, step_s: int = 3600) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
-        events.groupBy("user_id")
+        _sized_group(events, "user_id")
         .applyInPandasWithState(
             update,
             outputStructType="user_id long, bucket long, value double, "
@@ -226,7 +258,7 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
             })
 
     return (
-        events.groupBy("user_id")
+        _sized_group(events, "user_id")
         .applyInPandasWithState(
             update,
             outputStructType=(
@@ -302,7 +334,7 @@ def streaming_time_weighted(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
-        events.groupBy("user_id")
+        _sized_group(events, "user_id")
         .applyInPandasWithState(
             update,
             outputStructType=(
@@ -377,7 +409,7 @@ def streaming_session_paths(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
-        events.groupBy("user_id")
+        _sized_group(events, "user_id")
         .applyInPandasWithState(
             update,
             outputStructType="path string, depth int, n_sessions long",
@@ -451,7 +483,7 @@ def streaming_expanding_zscore(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
-        events.groupBy("user_id")
+        _sized_group(events, "user_id")
         .applyInPandasWithState(
             update,
             outputStructType=(
@@ -512,7 +544,7 @@ def streaming_conversion_lag(
                  "lag_us": _pd.array([lag], dtype="Int64")})
 
     return (
-        events.groupBy("user_id")
+        _sized_group(events, "user_id")
         .applyInPandasWithState(
             update,
             outputStructType="u long, f_us long, lag_us long",
@@ -569,7 +601,7 @@ def streaming_new_vs_returning(
             state.update((first_p, last_p))
 
     return (
-        events.groupBy("user_id")
+        _sized_group(events, "user_id")
         .applyInPandasWithState(
             update,
             outputStructType="user_id long, period long, is_new boolean",
@@ -628,7 +660,7 @@ def streaming_rfm_state(orders: DataFrame) -> DataFrame:
         })
 
     return (
-        orders.groupBy("o_custkey")
+        _sized_group(orders, "o_custkey")
         .applyInPandasWithState(
             update,
             outputStructType="cust long, last_order_us long, "
@@ -695,7 +727,7 @@ def streaming_m4(events: DataFrame, bucket_us: int = 3_600_000_000
         F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
                 / F.lit(int(bucket_us))).cast("long"))
     return (
-        keyed.groupBy("user_id", "bucket")
+        _sized_group(keyed, "user_id", "bucket")
         .applyInPandasWithState(
             update,
             outputStructType="user_id long, bucket long, n long, "
@@ -760,7 +792,7 @@ def streaming_ewma(
         state.update((last_seq, str(e) if e is not None else ""))
 
     return (
-        rows.groupBy(key_col)
+        _sized_group(rows, key_col)
         .applyInPandasWithState(
             update,
             outputStructType="y long, day long, rev double, ewma double",
@@ -831,8 +863,7 @@ def streaming_cusum(
         state.update((last_seq, repr(s)))
 
     return (
-        rows.withColumn("_k", F.lit(0))
-        .groupBy("_k")
+        _sized_group(rows.withColumn("_k", F.lit(0)), "_k")
         .applyInPandasWithState(
             update,
             outputStructType="day long, rev double, cusum double, flag int",
@@ -913,7 +944,7 @@ def streaming_holt(
                       str(tr) if tr is not None else ""))
 
     return (
-        rows.groupBy(key_col)
+        _sized_group(rows, key_col)
         .applyInPandasWithState(
             update,
             outputStructType=("y long, day long, rev double, level double,"
@@ -979,8 +1010,7 @@ def streaming_sprt(
         state.update((last_seq, str(llr)))
 
     return (
-        rows.withColumn("_k", F.lit(0))
-        .groupBy("_k")
+        _sized_group(rows.withColumn("_k", F.lit(0)), "_k")
         .applyInPandasWithState(
             update,
             outputStructType=("day long, n_users long, n_converted long, "

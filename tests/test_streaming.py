@@ -1479,3 +1479,30 @@ def test_seasonal_ingest_drained_equals_batch(spark, sf_dir,
         got = seasonal_serve(spark, path).sort("day").toPandas()
         assert len(expect) > 100
         assert got.equals(expect), (mode, got.head(), expect.head())
+
+
+def test_stateful_ops_size_state_partitions(spark, events_stream):
+    """r10 verdict item 5: a session left at Spark's untouched 200
+    default gets a machine-derived state-partition count BEFORE the
+    stateful plan is built (the state store freezes the count at the
+    first micro-batch); any explicitly sized session is respected."""
+    import os
+
+    from gpu_bdb_spark.streaming.stateful import streaming_transitions
+
+    _, stream = events_stream
+    inp = stream.select("user_id", "ts", "event_id", "event_type")
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "200")
+        streaming_transitions(inp)
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or \
+            spark.sparkContext.defaultParallelism
+        assert spark.conf.get(key) == str(max(8, 2 * cores))
+
+        spark.conf.set(key, "48")
+        streaming_transitions(inp)
+        assert spark.conf.get(key) == "48"  # explicit sizing respected
+    finally:
+        spark.conf.set(key, saved)
