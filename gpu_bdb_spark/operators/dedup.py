@@ -371,6 +371,7 @@ def minhash_lsh_verified_portable(
     threshold_num: int = 3,
     threshold_den: int = 5,
     n: int = 2,
+    min_band_matches: int = 1,
 ) -> DataFrame:
     """LSH-candidate + exact-verify near-dup pairs with an ENGINE-PORTABLE
     hash family end to end — the composed curation pipeline (candidates
@@ -406,7 +407,8 @@ def minhash_lsh_verified_portable(
         F.col("n_shingles").alias("n_members"))
     return lsh_verified_pairs_portable(
         shingled, num_hashes=num_hashes, bands=bands,
-        threshold_num=threshold_num, threshold_den=threshold_den)
+        threshold_num=threshold_num, threshold_den=threshold_den,
+        min_band_matches=min_band_matches)
 
 
 def lsh_verified_pairs_portable(
@@ -416,6 +418,7 @@ def lsh_verified_pairs_portable(
     threshold_num: int = 3,
     threshold_den: int = 5,
     pair_work_budget: int | None = None,
+    min_band_matches: int = 1,
 ) -> DataFrame:
     """The portable LSH-candidate + exact-integer-verify pipeline over
     an ARBITRARY pre-built set frame (id, members array<string>,
@@ -443,7 +446,21 @@ def lsh_verified_pairs_portable(
     49M — all in-budget at 200M; only the synthetic uniform-vocab sf1
     corpus (8.2G) routes, the regime where ANY candidate generator is
     quadratic by math. The stat is one scalar collect (the convergence
-    -signature pattern) and is exactly replayable in SQL."""
+    -signature pattern) and is exactly replayable in SQL.
+
+    `min_band_matches` (round 11, VERDICT r10 item 3): candidates must
+    collide in at least this many of the `bands` bands (the xxhash
+    tier's count-prefilter, here made oracle-replayable). On a
+    vocabulary-degenerate corpus most bucket collisions are chance
+    one-band hits that the exact verify then rejects at full
+    array-intersect cost — measured at sf0.1: 211,081 candidates of
+    which 202,659 (96%) collide in exactly ONE band, and ZERO of the
+    final verified pairs come from them. With m = 2 the candidate
+    contract becomes P[Binom(b, j^r) >= 2] (~0.992 at j = 0.6 with
+    32/16; the verify still makes false positives impossible). The
+    count aggregate replaces the distinct — same shuffle keyed on the
+    bare id pair, no extra exchange — and the oracle's cand CTE
+    replays the HAVING COUNT(*) >= m cut exactly."""
     rows = num_hashes // bands
     # NOT persisted (round 10): the wide member-array frame has exactly
     # two consumer subtrees — the posting leg (feeding the persisted
@@ -530,8 +547,16 @@ def lsh_verified_pairs_portable(
                  & (F.col("_lvl.id") < F.col("_lvr.id")))
         .select(F.col("_lvl.id").alias("id_1"),
                 F.col("_lvr.id").alias("id_2"))
-        .distinct()
     )
+    if min_band_matches > 1:
+        candidates = (
+            candidates.groupBy("id_1", "id_2")
+            .agg(F.count(F.lit(1)).alias("_bm"))
+            .filter(F.col("_bm") >= min_band_matches)
+            .select("id_1", "id_2")
+        )
+    else:
+        candidates = candidates.distinct()
     sets = shingled.select("id", "members", "n_members")
     vt1 = sets.alias("_lt1")
     vt2 = sets.alias("_lt2")

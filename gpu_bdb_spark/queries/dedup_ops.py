@@ -147,7 +147,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_verified_ctes(num_hashes: int = 32, bands: int = 16,
                        threshold_num: int = 3,
-                       threshold_den: int = 5) -> str:
+                       threshold_den: int = 5,
+                       min_band_matches: int = 2) -> str:
     """CTE chain (no WITH keyword) replaying the ENTIRE portable LSH
     pipeline — signatures, banding, candidate join, exact integer
     verify — ending in a `pairs(id_1, id_2, jaccard)` CTE. Shared by
@@ -193,9 +194,11 @@ bandv AS MATERIALIZED (
   """ + band_rows + """
 ),
 cand AS (
-  SELECT DISTINCT a.id AS id_1, b.id AS id_2
+  SELECT a.id AS id_1, b.id AS id_2
   FROM bandv a JOIN bandv b
     ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= """ + str(min_band_matches) + r"""
 ),
 sizes AS MATERIALIZED (
   SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
@@ -221,7 +224,10 @@ def _lsh_verified_oracle(num_hashes: int = 32, bands: int = 16) -> str:
     """DuckDB replay of the portable LSH pipeline, pair output. The
     gate is deterministic at any SF (LSH recall is the operator's
     contract, not a hash-compare hazard; equality/recall vs the
-    exhaustive join is pinned separately in tests/test_dedup.py)."""
+    exhaustive join is pinned separately in tests/test_dedup.py).
+    Round 11: the cand CTE replays the min_band_matches >= 2
+    count-prefilter (VERDICT r10 item 3) — GROUP BY + HAVING instead
+    of DISTINCT, matching the operator stage for stage."""
     return ("WITH " + _lsh_verified_ctes(num_hashes, bands)
             + "\nSELECT id_1, id_2, jaccard FROM pairs")
 
@@ -248,7 +254,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     return minhash_lsh_verified_portable(
         d, "text", "doc_id", num_hashes=32, bands=16,
-        threshold_num=3, threshold_den=5)
+        threshold_num=3, threshold_den=5, min_band_matches=2)
 
 
 @register("dedup_simhash", tags=("dedup", "simhash"))
@@ -468,7 +474,7 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hint_broadcast=False)
     pairs = minhash_lsh_verified_portable(
         d, "text", "doc_id", num_hashes=32, bands=16,
-        threshold_num=3, threshold_den=5)
+        threshold_num=3, threshold_den=5, min_band_matches=2)
     # Materialize the (small) verified pair set before CC: the star
     # loop references it from several subtrees, and re-executing the
     # candidate+verify pipeline per reference both doubles peak

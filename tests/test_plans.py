@@ -339,20 +339,27 @@ def test_ner_gazetteer_joins_broadcast(spark, sf_dir):
 
 
 def test_lsh_verified_candidates_are_bare_ids(spark, sf_dir):
-    """dedup_lsh_verified: the candidate distinct shuffles bare id
-    pairs — shingle arrays re-attach only after the distinct."""
+    """dedup_lsh_verified: the candidate band-count aggregate shuffles
+    bare id pairs (round 11: GROUP BY + count + min_band_matches >= 2
+    filter replaced the distinct — same exchange, no wide columns) and
+    shingle arrays re-attach only after the prefilter."""
     import re
 
     spark.catalog.clearCache()
     plan = formatted_plan(all_specs()["dedup_lsh_verified"].fn(spark, sf_dir))
-    # the distinct aggregate keyed on (id_1, id_2) must see EXACTLY the
-    # two id columns — wide arrays attach only downstream of it
+    # the candidate aggregate keyed on (id_1, id_2) must see only the
+    # two id columns (+ the partial count on the final side) — wide
+    # arrays attach only downstream of it
     m = re.findall(
         r"\(\d+\) HashAggregate\nInput \[(\d+)\]: \[([^\]]*)\]"
         r"\nKeys \[2\]: \[(id_1[^\]]*)\]", plan)
     assert m, plan
     for n, cols, keys in m:
-        assert int(n) == 2 and "shingles" not in cols, plan
+        assert int(n) <= 3 and "shingles" not in cols \
+            and "members" not in cols, plan
+    # the >= 2 band-count prefilter sits between the aggregate and the
+    # verify re-attach
+    assert re.search(r"Condition : \(_bm#\d+L? >= 2\)", plan), plan
 
 
 def test_rfm_single_fact_aggregate_before_tiles(spark, sf_dir):
