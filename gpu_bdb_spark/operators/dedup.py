@@ -143,6 +143,114 @@ def jaccard_pairs(
     posting = shingled.select(
         F.col(id_col).alias("id"), F.explode("shingles").alias("shingle")
     )
+    sizes_vacuous = shingled.select(F.col(id_col).alias("id"), "n_shingles")
+    return _jaccard_pairs_from_posting(posting, sizes_vacuous, threshold,
+                                       max_df)
+
+
+def shingle_posting(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """(id, shingle) posting — per-document DISTINCT word n-grams,
+    exploded — computed in ONE vectorized mapInArrow pass (round 11,
+    guide §4.2): pyarrow regex split, offset-shifted n-gram join, and a
+    C++ hash group-by for the per-doc distinct.
+
+    Output is multiset-identical to
+    `shingle_sets(df).select(id, explode(shingles))` (pinned in
+    tests/test_dedup.py, exceptAll both directions) — the JVM form's
+    chained zip_with concat runs one interpreted lambda eval per
+    element, measured 9.8 s vs 1.9 s for this pass over the 2.7M-row
+    Zipf-corpus posting (sf0.1: 1.15 s vs 0.33 s). Tokenization is RE2
+    \s+ (pyarrow) vs Java \s+ in the JVM form — identical on every
+    corpus (both = [ \t\n\x0B\f\r] modulo \x0B, absent from
+    word-vocabulary fixtures) and the closer match to the DuckDB
+    oracles, which split with RE2 semantics too.
+
+    Arrow types are pinned int64/string (the round-5 mapInArrow rule);
+    the closure is self-contained (ships by value)."""
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            ids = batch.column(0)
+            texts = batch.column(1)
+            lists = pc.split_pattern_regex(texts, r"\s+")
+            flat = pc.list_flatten(lists)
+            counts = pc.list_value_length(lists).fill_null(0).to_numpy(
+                zero_copy_only=False)
+            mask = pc.not_equal(flat, "")
+            docidx = np.repeat(
+                np.arange(len(counts), dtype=np.int64), counts)
+            keep = mask.to_numpy(zero_copy_only=False)
+            toks = flat.filter(mask)
+            docidx = docidx[keep]
+            empty = pa.record_batch(
+                [pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.string())],
+                names=["id", "shingle"])
+            if len(docidx) == 0:
+                yield empty
+                continue
+            if n == 1:
+                grams, gdoc = toks, docidx
+            else:
+                same = docidx[: 1 - n] == docidx[n - 1:]
+                if not same.any():
+                    yield empty
+                    continue
+                cols = [toks.slice(j, len(toks) - (n - 1))
+                        .filter(pa.array(same)) for j in range(n)]
+                args = []
+                for j, c in enumerate(cols):
+                    if j:
+                        args.append(" ")
+                    args.append(c)
+                grams = pc.binary_join_element_wise(*args, "")
+                gdoc = docidx[: 1 - n][same]
+            idarr = ids.to_numpy(zero_copy_only=False)
+            t = pa.table({"id": pa.array(idarr[gdoc], type=pa.int64()),
+                          "shingle": grams})
+            for b in t.group_by(["id", "shingle"]).aggregate([])                     .to_batches():
+                yield b
+
+    return df.select(id_col, text_col).mapInArrow(
+        fn, schema="id long, shingle string")
+
+
+def jaccard_pairs_text(
+    df: DataFrame, threshold: float, text_col: str = "text",
+    id_col: str = "doc_id", max_df: int | None = None, n: int = 2,
+) -> DataFrame:
+    """`jaccard_pairs` built straight from text via the vectorized
+    `shingle_posting` producer — identical output (same pair pipeline,
+    posting multiset-equal), ~5x cheaper posting construction on the
+    Zipf corpus. Set sizes |A| are counted from the posting itself
+    (per-doc distinct shingle count): docs with zero shingles get no
+    sizes row, which cannot change the output — a doc without postings
+    can never appear in a candidate pair. Same construction-time stat
+    job + persist lifecycle as `jaccard_pairs(max_df=...)`."""
+    posting = shingle_posting(df, text_col, id_col, n=n)
+    sizes_vacuous = posting.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    return _jaccard_pairs_from_posting(posting, sizes_vacuous, threshold,
+                                       max_df)
+
+
+def _jaccard_pairs_from_posting(
+    posting: DataFrame, sizes_vacuous: DataFrame, threshold: float,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared pair pipeline over an (id, shingle) posting: optional
+    df-cap stat job + stop-shingle arm, merge self-join, sized pair
+    aggregate, sizes joins, threshold cut (see `jaccard_pairs` for the
+    full design notes). `sizes_vacuous` supplies (id, n_shingles) when
+    the cap does not bind (the capped arm counts sizes off the capped
+    posting itself)."""
     parts = None
     if max_df is not None:
         from pyspark.storagelevel import StorageLevel
@@ -180,9 +288,9 @@ def jaccard_pairs(
             # cap vacuous: identical output without the stop-shingle
             # join; the df aggregate has served its purpose
             vocab_df.unpersist()
-            sizes = shingled.select(F.col(id_col).alias("id"), "n_shingles")
+            sizes = sizes_vacuous
     else:
-        sizes = shingled.select(F.col(id_col).alias("id"), "n_shingles")
+        sizes = sizes_vacuous
     # merge-join pin: the posting frame is corpus-cardinality — a
     # planner broadcast of it OOMs a default-memory session at sf1
     # (the round-9 class), and shuffle_hash's per-partition build map

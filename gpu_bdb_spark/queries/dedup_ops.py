@@ -18,7 +18,7 @@ from gpu_bdb_spark.operators.dedup import (
     duplicate_clusters,
     duplicate_clusters_star,
     exact_duplicates,
-    jaccard_pairs,
+    jaccard_pairs_text,
     minhash_lsh_pairs,
     shingle_sets,
     simhash64,
@@ -125,9 +125,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
-    shingled = shingle_sets(d, "text", "doc_id", n=2)
-    return jaccard_pairs(shingled, threshold=0.6,
-                         max_df=JACCARD_MAX_DF)
+    return jaccard_pairs_text(d, 0.6, "text", "doc_id",
+                              max_df=JACCARD_MAX_DF)
 
 
 @register("dedup_minhash_lsh", tags=("dedup", "minhash", "lsh"), bench=True)
@@ -389,8 +388,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below would otherwise re-materialize it (concurrently, per cold
     # cache reference), which heap-OOMs a default-memory session at
     # sf1zipf while the pipeline alone passes (round 12)
-    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6,
-                          max_df=JACCARD_MAX_DF).localCheckpoint()
+    pairs = jaccard_pairs_text(d, 0.6, "text", "doc_id",
+                               max_df=JACCARD_MAX_DF).localCheckpoint()
     return duplicate_clusters(pairs)
 
 
@@ -422,8 +421,8 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below would otherwise re-materialize it (concurrently, per cold
     # cache reference), which heap-OOMs a default-memory session at
     # sf1zipf while the pipeline alone passes (round 12)
-    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6,
-                          max_df=JACCARD_MAX_DF).localCheckpoint()
+    pairs = jaccard_pairs_text(d, 0.6, "text", "doc_id",
+                               max_df=JACCARD_MAX_DF).localCheckpoint()
     return duplicate_clusters_star(pairs)
 
 
@@ -794,8 +793,8 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below would otherwise re-materialize it (concurrently, per cold
     # cache reference), which heap-OOMs a default-memory session at
     # sf1zipf while the pipeline alone passes (round 12)
-    pairs = jaccard_pairs(shingle_sets(d, "text", "doc_id", n=2), 0.6,
-                          max_df=JACCARD_MAX_DF).localCheckpoint()
+    pairs = jaccard_pairs_text(d, 0.6, "text", "doc_id",
+                               max_df=JACCARD_MAX_DF).localCheckpoint()
     return pagerank(pairs, iters=6, damping=0.85)
 
 

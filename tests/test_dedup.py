@@ -403,3 +403,43 @@ def test_jaccard_pairs_max_df_stop_shingles(spark):
               for r in jaccard_pairs(sh, 0.5, max_df=3).collect()}
     assert (1, 2) in capped and capped[(1, 2)] == 1.0
     assert all(k == (1, 2) for k in capped)
+
+
+def test_shingle_posting_arrow_matches_jvm(spark, sf_dir):
+    """round 11: the vectorized mapInArrow posting producer is
+    multiset-identical to explode(shingle_sets(...).shingles) — the
+    exact-equality contract that lets jaccard_pairs_text swap in for
+    jaccard_pairs(shingle_sets(...)) under every oracled entry."""
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.dedup import shingle_posting
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    jvm = shingle_sets(d, "text", "doc_id", n=2).select(
+        "id", F.explode("shingles").alias("shingle"))
+    arrow = shingle_posting(d, "text", "doc_id", n=2)
+    assert arrow.exceptAll(jvm).count() == 0
+    assert jvm.exceptAll(arrow).count() == 0
+    # trigram form too (the generic n-gram path)
+    jvm3 = shingle_sets(d, "text", "doc_id", n=3).select(
+        "id", F.explode("shingles").alias("shingle"))
+    arrow3 = shingle_posting(d, "text", "doc_id", n=3)
+    assert arrow3.exceptAll(jvm3).count() == 0
+    assert jvm3.exceptAll(arrow3).count() == 0
+
+
+def test_jaccard_pairs_text_matches_array_form(spark, sf_dir):
+    """jaccard_pairs_text(df) == jaccard_pairs(shingle_sets(df)) row
+    for row, capped and uncapped."""
+    from gpu_bdb_spark.operators.dedup import jaccard_pairs_text
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    for max_df in (None, 3, 1000):
+        a = sorted(map(tuple, jaccard_pairs(
+            shingle_sets(d, "text", "doc_id", n=2), 0.6,
+            max_df=max_df).collect()))
+        b = sorted(map(tuple, jaccard_pairs_text(
+            d, 0.6, "text", "doc_id", max_df=max_df).collect()))
+        assert a == b, (max_df, len(a), len(b))
