@@ -352,11 +352,28 @@ def minhash_signatures(
     return posting.groupBy("id").agg(*aggs)
 
 
+def minhash_signatures_from_posting(
+    posting: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signatures from a pre-built hashed posting (id, h) with
+    h = xxhash64(shingle) — value-identical to `minhash_signatures`
+    over the same shingle multiset (pinned in tests/test_dedup.py).
+    Round 11: lets the signature aggregate consume the vectorized
+    `shingle_posting` producer instead of the interpreted JVM array
+    pipeline (sig stage 5.5 -> 2.5 s on the Zipf corpus)."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return posting.groupBy("id").agg(*aggs)
+
+
 def minhash_lsh_pairs(
     shingled: DataFrame,
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    hashed_posting: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verified.
 
@@ -380,7 +397,9 @@ def minhash_lsh_pairs(
     # walks lesson again). Contrast minhash_lsh_verified_portable, whose
     # md5 signature stage IS expensive enough to persist. Re-execution
     # is deterministic (xxhash64 over deterministic arrays).
-    signed = minhash_signatures(shingled, num_hashes)
+    signed = (minhash_signatures_from_posting(hashed_posting, num_hashes)
+              if hashed_posting is not None
+              else minhash_signatures(shingled, num_hashes))
     # One pass: emit every band's (band, band_hash) from a single projection
     # and explode — a per-band union would re-evaluate the signature
     # expressions once per band (observed 16× cost at bench time).
@@ -516,7 +535,8 @@ def minhash_lsh_verified_portable(
     return lsh_verified_pairs_portable(
         shingled, num_hashes=num_hashes, bands=bands,
         threshold_num=threshold_num, threshold_den=threshold_den,
-        min_band_matches=min_band_matches)
+        min_band_matches=min_band_matches,
+        raw_posting=shingle_posting(df, text_col, id_col, n=n))
 
 
 def lsh_verified_pairs_portable(
@@ -527,6 +547,7 @@ def lsh_verified_pairs_portable(
     threshold_den: int = 5,
     pair_work_budget: int | None = None,
     min_band_matches: int = 1,
+    raw_posting: DataFrame | None = None,
 ) -> DataFrame:
     """The portable LSH-candidate + exact-integer-verify pipeline over
     an ARBITRARY pre-built set frame (id, members array<string>,
@@ -593,9 +614,12 @@ def lsh_verified_pairs_portable(
     # independent multipliers restore the min-wise property
     # (test_dedup.py::test_minhash_portable_estimates_jaccard).
     h1 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-    sh_posting = shingled.select(
-        F.col("id"), F.explode("members").alias("shingle")
-    ).select("id", h1.alias("h1"))
+    # raw_posting (round 11): a pre-built (id, shingle) posting — e.g.
+    # the vectorized `shingle_posting` producer — replaces the member
+    # explode; the md5/CW mapping below is identical either way.
+    base = raw_posting if raw_posting is not None else shingled.select(
+        F.col("id"), F.explode("members").alias("shingle"))
+    sh_posting = base.select("id", h1.alias("h1"))
     cw = minhash_cw_constants(num_hashes)
     # Persist: the band self-join plans two scans of this subtree —
     # narrow frame (id + num_hashes longs); the registry boundary

@@ -138,10 +138,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence to `dedup_ngram_jaccard` (modulo LSH recall) is asserted in
     tests/test_dedup.py.
     """
+    from gpu_bdb_spark.operators.dedup import shingle_posting
+
     d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
                    hint_broadcast=False)
     shingled = shingle_sets(d, "text", "doc_id", n=2)
-    return minhash_lsh_pairs(shingled, num_hashes=32, bands=16, threshold=0.6)
+    # round 11: the signature aggregate consumes the vectorized posting
+    # producer (guide 4.2) — output-identical (exceptAll-pinned), sig
+    # stage 5.5 -> 2.5 s on the Zipf corpus; the verify re-attach keeps
+    # the JVM array form (array_intersect needs the sets).
+    hashed = shingle_posting(d, "text", "doc_id", n=2).select(
+        "id", F.xxhash64("shingle").alias("h"))
+    return minhash_lsh_pairs(shingled, num_hashes=32, bands=16,
+                             threshold=0.6, hashed_posting=hashed)
 
 
 def _lsh_verified_ctes(num_hashes: int = 32, bands: int = 16,

@@ -443,3 +443,23 @@ def test_jaccard_pairs_text_matches_array_form(spark, sf_dir):
         b = sorted(map(tuple, jaccard_pairs_text(
             d, 0.6, "text", "doc_id", max_df=max_df).collect()))
         assert a == b, (max_df, len(a), len(b))
+
+
+def test_minhash_signatures_from_posting_matches(spark, sf_dir):
+    """round 11: signatures built from the vectorized posting equal the
+    array-pipeline signatures exactly (same xxhash64 values, same
+    minima)."""
+    from pyspark.sql import functions as F
+
+    from gpu_bdb_spark.operators.dedup import (
+        minhash_signatures, minhash_signatures_from_posting,
+        shingle_posting)
+
+    d = read_table(spark, sf_dir, "documents", ["doc_id", "text"],
+                   hint_broadcast=False)
+    a = minhash_signatures(shingle_sets(d, "text", "doc_id", n=2), 16)
+    b = minhash_signatures_from_posting(
+        shingle_posting(d, "text", "doc_id", n=2).select(
+            "id", F.xxhash64("shingle").alias("h")), 16)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
