@@ -152,7 +152,7 @@ def shingle_posting(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 2,
 ) -> DataFrame:
-    """(id, shingle) posting — per-document DISTINCT word n-grams,
+    r"""(id, shingle) posting — per-document DISTINCT word n-grams,
     exploded — computed in ONE vectorized mapInArrow pass (round 11,
     guide §4.2): pyarrow regex split, offset-shifted n-gram join, and a
     C++ hash group-by for the per-doc distinct.
